@@ -1,0 +1,56 @@
+"""Table loaders over the driver-generated parquet fixtures.
+
+All queries go through :func:`load` so the two cross-engine landmines are
+handled in exactly one place (FIXTURES.md):
+
+- ``events.ts`` is parquet ``TIMESTAMP(NANOS)``; Spark (with the legacy flag
+  set by :func:`upflow_spark.session.ensure_conf`) reads it as LongType
+  nanoseconds. We normalize to a ``timestamp_ntz`` column truncated to
+  microseconds via **integer** division (``ts div 1000`` — double division
+  loses ULPs at 1.7e18 and can round across a microsecond boundary), which is
+  bit-identical to DuckDB's ns→µs truncation on read.
+- timestamps elsewhere (orders, lineitem) already read as ``timestamp_ntz``.
+
+Scale note: loaders return plain DataFrames (no caching/collect) so Catalyst
+keeps column pruning + predicate pushdown through to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.session import ensure_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def path_of(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing events.ts to timestamp_ntz µs."""
+    ensure_conf(spark)
+    df = spark.read.parquet(path_of(sf_dir, name))
+    if name == "events":
+        # keep raw nanos as ts_ns; canonical ts = µs-truncated wall clock (UTC)
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

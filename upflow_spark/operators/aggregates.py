@@ -1,0 +1,238 @@
+"""§2-D aggregation operators (SURVEY.md).
+
+All parity-sensitive float aggregates are rounded to 4dp on both the Spark
+and oracle sides; every computed column carries an identical alias.
+
+Scale notes (100 TB): groupBy on low-cardinality keys (returnflag/linestatus,
+mktsegment, event_type) is shuffle-light — Spark's two-phase hash aggregate
+does map-side partial aggregation, so shuffled bytes ∝ #groups × #partitions,
+not #rows. Exact count-distinct expands + re-shuffles (RewriteDistinctAggregates);
+at 100 TB prefer approx_count_distinct (HLL, one pass, mergeable sketches) —
+both variants are provided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.registry import query
+
+
+def r4(c):  # noqa: ANN001, ANN201 - tiny local helper
+    return F.round(c, 4)
+
+
+@query(
+    "agg_global",
+    oracle="""
+SELECT count(*) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand totals over lineitem, no grouping (single-row result)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_revenue"),
+        r4(F.min("l_extendedprice")).alias("min_price"),
+        r4(F.max("l_extendedprice")).alias("max_price"),
+        r4(F.avg("l_discount")).alias("avg_disc"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary by returnflag + linestatus."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r4(F.sum(disc_price)).alias("sum_disc_price"),
+            r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) > 12
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups filtered post-aggregation (HAVING count > 12)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group (Catalyst expands via RewriteDistinctAggregates)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL estimate is engine-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event_type — the 100 TB path for distincts.
+
+    Rows-only by design (SURVEY §2-D): sketch estimates differ across
+    engines; tests/test_ops.py asserts ≤2% relative error vs exact instead.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+       round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments: stddev/variance/correlation/covariance."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_extendedprice")).alias("std_price"),
+        r4(F.var_samp("l_quantity")).alias("var_qty"),
+        r4(F.corr("l_extendedprice", "l_quantity")).alias("corr_pq"),
+        r4(F.covar_samp("l_extendedprice", "l_quantity")).alias("covar_pq"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (matches DuckDB quantile_cont).
+
+    Scale note: exact percentile needs per-group sort buffers; at 100 TB use
+    percentile_approx(col, p, accuracy) — one-pass, mergeable — and accept
+    bounded error. Exact kept here for oracle parity.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        r4(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice) AS max_price_orderkey,
+       arg_min(o_orderkey, o_totalprice) AS min_price_orderkey,
+       round(max(o_totalprice), 4) AS max_price,
+       round(min(o_totalprice), 4) AS min_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: the orderkey carrying each group's extreme price."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("max_price_orderkey"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("min_price_orderkey"),
+        r4(F.max("o_totalprice")).alias("max_price"),
+        r4(F.min("o_totalprice")).alias("min_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+SELECT r.r_name,
+       array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations,
+       count(DISTINCT n.n_nationkey) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort, emitted as a joined string (hash-stable output)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias("nations"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+        )
+    )

@@ -1,0 +1,63 @@
+"""Query/oracle registry — the single source of the graded surface.
+
+Every operator from SURVEY.md §2 registers here via the :func:`query`
+decorator: the Spark implementation (``(spark, sf_dir) -> DataFrame``) and,
+unless the op is genuinely non-SQL-expressible, the equivalent DuckDB ANSI
+SQL. ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over
+these dicts, and ``tests/test_oracle.py`` mirrors the driver's comparison
+over the same registry.
+
+Parity conventions enforced by convention in every registered pair
+(SURVEY.md §2 header): identical aliases on both sides, float aggregates
+rounded to 4dp on both sides, events timestamps compared at µs precision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[["SparkSession", str], "DataFrame"]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a graded query; ``oracle=None`` ⇒ driver does rows-only."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in QUERIES:
+            raise ValueError(f"duplicate query key: {key}")
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLE[key] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_modules() -> None:
+    """Import every operator module so registration side effects run."""
+    # local import to avoid cycles at package import time
+    import upflow_spark.functions.arrays  # noqa: F401
+    import upflow_spark.functions.datetime  # noqa: F401
+    import upflow_spark.functions.json_props  # noqa: F401
+    import upflow_spark.functions.math  # noqa: F401
+    import upflow_spark.functions.strings  # noqa: F401
+    import upflow_spark.operators.aggregates  # noqa: F401
+    import upflow_spark.operators.grouping_ext  # noqa: F401
+    import upflow_spark.operators.joins  # noqa: F401
+    import upflow_spark.operators.projection  # noqa: F401
+    import upflow_spark.operators.setops  # noqa: F401
+    import upflow_spark.operators.sortlimit  # noqa: F401
+    import upflow_spark.operators.windows  # noqa: F401
+    import upflow_spark.pipeline.dedup  # noqa: F401
+    import upflow_spark.pipeline.similarity  # noqa: F401
+    import upflow_spark.pipeline.text  # noqa: F401
+    import upflow_spark.sources.scans  # noqa: F401
+    import upflow_spark.sources.sinks  # noqa: F401
+    import upflow_spark.streaming.streams  # noqa: F401
