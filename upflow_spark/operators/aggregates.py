@@ -17,22 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.parity import r4
 from upflow_spark.registry import query
-
-
-def r4(c):  # noqa: ANN001, ANN201 - tiny local helper
-    return F.round(c, 4)
 
 
 @query(
     "agg_global",
     oracle="""
 SELECT count(*) AS n_rows,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
-       round(min(l_extendedprice), 4) AS min_price,
-       round(max(l_extendedprice), 4) AS max_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_revenue,
+       floor((min(l_extendedprice)) * 10000 + 0.5) / 10000 AS min_price,
+       floor((max(l_extendedprice)) * 10000 + 0.5) / 10000 AS max_price,
+       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
        count(DISTINCT l_orderkey) AS n_orders
 FROM lineitem
 """,
@@ -55,13 +52,13 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000 + 0.5) / 10000 AS sum_charge,
+       floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
+       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -91,7 +88,7 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_having",
     oracle="""
-SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_spend
+SELECT o_custkey, count(*) AS n_orders, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS total_spend
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) > 12
@@ -146,10 +143,10 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     oracle="""
 SELECT l_returnflag,
-       round(stddev_samp(l_extendedprice), 4) AS std_price,
-       round(var_samp(l_quantity), 4) AS var_qty,
-       round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
-       round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq
+       floor((stddev_samp(l_extendedprice)) * 10000 + 0.5) / 10000 AS std_price,
+       floor((var_samp(l_quantity)) * 10000 + 0.5) / 10000 AS var_qty,
+       floor((corr(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS corr_pq,
+       floor((covar_samp(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS covar_pq
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -169,8 +166,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
 SELECT o_orderpriority,
-       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       floor((quantile_cont(o_totalprice, 0.5)) * 10000 + 0.5) / 10000 AS median_price,
+       floor((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000 AS p90_price,
        count(*) AS n_orders
 FROM orders
 GROUP BY o_orderpriority
@@ -197,8 +194,8 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        arg_max(o_orderkey, o_totalprice) AS max_price_orderkey,
        arg_min(o_orderkey, o_totalprice) AS min_price_orderkey,
-       round(max(o_totalprice), 4) AS max_price,
-       round(min(o_totalprice), 4) AS min_price
+       floor((max(o_totalprice)) * 10000 + 0.5) / 10000 AS max_price,
+       floor((min(o_totalprice)) * 10000 + 0.5) / 10000 AS min_price
 FROM orders
 GROUP BY o_orderpriority
 """,

@@ -1,1 +1,344 @@
-"""(stub — filled in by build waves)"""
+"""§2-C join operators (SURVEY.md).
+
+Join strategy is chosen deliberately per key and noted inline:
+
+- dimension joins broadcast explicitly (`F.broadcast`) — at 100 TB the fact
+  side never shuffles for a 25-row nation table;
+- fact-fact equi joins rely on shuffle (sort-merge / shuffled-hash picked by
+  Catalyst + AQE, incl. runtime skew-split);
+- the non-equi family (theta/interval/as-of) always carries an EQUI component
+  (user_id) so Spark plans a shuffled join with a residual range predicate
+  instead of a BroadcastNestedLoopJoin — the thing that dies at scale. The
+  as-of join avoids pair explosion entirely via union + last-carry-forward
+  window (single shuffle, linear state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join of two tiny dims (no shuffle at any scale)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner").select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+
+
+@query(
+    "join_shuffle_equi",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderstatus,
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus
+""",
+)
+def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle join on orderkey; revenue per order.
+
+    Scale: both sides hash-partition on l_orderkey/o_orderkey; the groupBy
+    reuses the same key so AQE coalesces without an extra exchange.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+SELECT n.n_name,
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000 + 0.5) / 10000 AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join chain, local-supplier revenue by nation.
+
+    Scale: nation/region/supplier broadcast (dim-sized); customer⋈orders and
+    ⋈lineitem shuffle on their keys. Date filter applied before the join so
+    the pushed predicate prunes parquet row groups.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       count(o.o_orderkey) AS n_orders,
+       floor((coalesce(sum(o.o_totalprice), 0)) * 10000 + 0.5) / 10000 AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers without orders (null-filled → 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            r4(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(o.key, e.key) AS entity_key,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(e.n_events, 0) AS n_events
+FROM (SELECT o_custkey AS key, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+FULL OUTER JOIN
+     (SELECT user_id AS key, count(*) AS n_events FROM events GROUP BY user_id) e
+ON o.key = e.key
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-key order/event activity (aggregate-then-join
+    keeps the outer join 1:1 — no row explosion at scale)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(e, "key", "full").select(
+        F.col("key").alias("entity_key"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers with ≥1 order (probe side never duplicated)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with zero orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, f.l_returnflag
+FROM region r CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small cartesian product (5 × 3); both sides tiny by construction."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    flags = load(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    return r.crossJoin(flags)
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+GROUP BY a.user_id
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join: event pairs of the same user within 60 s.
+
+    The user_id equality makes this a shuffled equi join with a residual
+    range predicate — NOT a nested-loop cross product. At 100 TB, add
+    time-bucketing (join on (user_id, 60s-bucket) ∪ adjacent bucket) to bound
+    per-key fanout; at fixture scale per-user partitions are small.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.event_id AS last_click_id, c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest click at/before it.
+
+    Spark has no native ASOF JOIN; the scalable formulation is union both
+    streams, sort within user, and carry the last click forward with
+    last(..., ignorenulls) — one shuffle on user_id, linear work, no pair
+    explosion (vs the naive range-join + row_number which is O(clicks ×
+    purchases) per user).
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    timeline = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    # clicks sort before purchases at equal ts ⇒ 'at/before' is inclusive
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("purchase_id").isNotNull())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        timeline.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("purchase_id").isNotNull())
+        .select("purchase_id", "user_id", "last_click_id", "last_click_ts")
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(c.event_id) AS n_views_next_hour
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts
+ AND c.ts < p.ts + INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id
+""",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: views falling inside [purchase.ts, +1h) per purchase.
+
+    Same scale pattern as join_theta_range: equi on user_id + residual range
+    predicate; bucket time at 100 TB to bound fanout.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts"))
+            & (F.col("v_ts") < F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count("view_id").alias("n_views_next_hour"))
+    )

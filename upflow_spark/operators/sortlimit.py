@@ -1,1 +1,95 @@
-"""(stub — filled in by build waves)"""
+"""§2-F sort / limit / top-k operators (SURVEY.md).
+
+Scale note: every key here compiles to TakeOrderedAndProject (per-partition
+top-k heaps + driver merge of k×partitions rows) — NOT a global sort. A full
+orderBy of 100 TB is a range-partitioned shuffle; bounded-k queries must never
+pay that, and these plans don't (verified via explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+
+
+@query(
+    "sort_multikey",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, floor((o_totalprice) * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders
+ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort + limit (fuses to TakeOrderedAndProject); deterministic
+    via the unique o_orderkey tiebreak."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderpriority", r4("o_totalprice").alias("o_totalprice"))
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+SELECT c_custkey, last_order,
+       row_number() OVER (ORDER BY last_order DESC NULLS LAST, c_custkey ASC) AS rn
+FROM (
+  SELECT c.c_custkey, max(o.o_orderdate) AS last_order
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+ORDER BY rn
+LIMIT 50
+""",
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESC NULLS LAST ordering made observable via row_number; customers
+    who never ordered (null last_order) sink to the bottom."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("last_order").desc_nulls_last(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .orderBy("rn")
+        .limit(50)
+        .select("c_custkey", "last_order", "rn")
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+SELECT o_orderkey, floor((o_totalprice) * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20 OFFSET 20
+""",
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page 2 of 20 (OFFSET … LIMIT, Spark 3.4+ offset())."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", r4("o_totalprice").alias("o_totalprice"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(20)
+        .limit(20)
+    )
