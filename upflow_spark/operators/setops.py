@@ -1,1 +1,136 @@
-"""(stub — filled in by build waves)"""
+"""§2-G set operations / deduplication (SURVEY.md).
+
+Scale notes: union is metadata-only (no shuffle); distinct/intersect/except
+shuffle on the full row — at 100 TB prefer pre-aggregated or key-only set ops
+(as done here: intersect/except run on projected key columns, not wide rows).
+dedup_keep_latest is the deterministic dedup (ranked window); plain
+dropDuplicates keeps an arbitrary row and is only safe when projecting the
+dedup keys themselves (FIXTURES.md rule 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+
+
+@query(
+    "set_union_all",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM (
+  SELECT event_type FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_type FROM events WHERE value > 50
+)
+GROUP BY event_type
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two overlapping slices (duplicates preserved)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_type")
+    b = ev.filter(F.col("value") > 50).select("event_type")
+    return a.unionByName(b).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+UNION
+SELECT user_id FROM events WHERE event_type = 'signup'
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with duplicate elimination."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 8
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two customer-key sets."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    frequent = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 8)
+        .select("c_custkey")
+    )
+    return building.intersect(frequent)
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT DISTINCT o_custkey AS c_custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): ordering customers minus high-balance ones."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    ordering = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return ordering.exceptAll(rich).distinct()
+
+
+@query(
+    "dedup_exact_rows",
+    oracle="SELECT DISTINCT user_id, event_type, floor((value) * 10000 + 0.5) / 10000 AS value FROM events",
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates projecting only the dedup keys (deterministic form)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_type", r4("value").alias("value")
+    ).dropDuplicates(["user_id", "event_type", "value"])
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+SELECT user_id, event_type, event_id AS latest_event_id, ts AS latest_ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: keep the latest event per (user_id, event_type)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+        )
+    )
