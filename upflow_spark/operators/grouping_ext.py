@@ -1,1 +1,117 @@
-"""(stub — filled in by build waves)"""
+"""§2-D grouping extensions: ROLLUP / CUBE / GROUPING SETS / PIVOT (SURVEY.md).
+
+Scale notes: rollup/cube/grouping-sets compile to a single Expand + hash
+aggregate — one pass over the fact table producing one replicated row per
+grouping set, so cost ∝ (#sets × rows) map-side, with partial aggregation
+before the shuffle. Pivot with an explicit value list is a single groupBy with
+conditional aggregates (no second pass to discover values — always pass the
+list at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping() indicator flags."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT c_mktsegment, n_name,
+       grouping(c_mktsegment) AS g_seg, grouping(n_name) AS g_nat,
+       count(*) AS n_customers,
+       floor((avg(c_acctbal)) * 10000 + 0.5) / 10000 AS avg_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (c_mktsegment, n_name)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, nation) — all four grouping combinations."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("c_mktsegment", "n_name")
+        .agg(
+            F.grouping("c_mktsegment").cast("long").alias("g_seg"),
+            F.grouping("n_name").cast("long").alias("g_nat"),
+            F.count(F.lit(1)).alias("n_customers"),
+            r4(F.avg("c_acctbal")).alias("avg_balance"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       grouping(o_orderpriority) AS g_pri, grouping(o_orderstatus) AS g_st,
+       count(*) AS n_orders,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((a,b),(a),()) via groupingSets()."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+        F.grouping("o_orderstatus").cast("long").alias("g_st"),
+        F.count(F.lit(1)).alias("n_orders"),
+        r4(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS "click",
+       count(*) FILTER (WHERE event_type = 'view')     AS "view",
+       count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+       count(*) FILTER (WHERE event_type = 'signup')   AS "signup",
+       count(*) FILTER (WHERE event_type = 'error')    AS "error"
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts pivoted to one column per event_type (fixed value list)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
