@@ -1,1 +1,225 @@
-"""(stub — filled in by build waves)"""
+"""§2-J + training-data deduplication operators (SURVEY.md; north star).
+
+Four dedup families, each with the 100 TB strategy stated:
+
+- exact: md5(content) groupBy — one shuffle on the digest; always do this
+  pass first, it's the cheapest and removes the bulk.
+- near-dup MinHash/LSH: the graded key computes EXACT token-set Jaccard
+  (explode + pair join) so DuckDB can verify it; `dedup_near_minhash_lsh`
+  is the scale path (Spark ML MinHashLSH approxSimilarityJoin) — banding
+  bounds candidate pairs instead of the O(n²) blowup.
+- SimHash: 32 digit-majority bits from md5(token) hex digits — a pure-SQL
+  simhash both engines compute identically; near-dups share the signature
+  (compare by Hamming distance at scale).
+- n-gram (bigram) Jaccard: shingle-set overlap, catches reorderings that
+  unigram Jaccard misses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
+from upflow_spark.registry import query
+
+
+@query(
+    "dedup_exact_content",
+    oracle="""
+SELECT md5(text) AS content_md5,
+       count(*) AS dup_count,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING count(*) > 1
+""",
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by content digest (keep = min doc_id).
+
+    Duplicate groups exist at sf0.1 (8 dup texts); smaller sfs yield an
+    empty—but still exactly verified—result.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+card AS (SELECT doc_id, count(*) AS n_terms FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor((CAST(n_common AS DOUBLE) / (ca.n_terms + cb.n_terms - n_common)) * 10000 + 0.5) / 10000 AS jaccard
+FROM inter
+JOIN card ca ON ca.doc_id = doc_a
+JOIN card cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_terms + cb.n_terms - n_common) >= 0.8
+""",
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact token-set Jaccard ≥ 0.8.
+
+    Exact formulation for the oracle; `dedup_near_minhash_lsh` is the
+    banded-LSH variant that replaces the all-pairs join at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).distinct()
+    card = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_terms").alias("terms_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n_terms").alias("terms_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("terms_a") + F.col("terms_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+@query("dedup_near_minhash_lsh")  # rows-only: LSH bucketing is engine-specific
+def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup candidates — the 100 TB path.
+
+    Token sets → sparse vectors (HashingTF) → MinHashLSH approxSimilarityJoin
+    at Jaccard distance ≤ 0.2. Banding means candidate generation is
+    bucket-local (no all-pairs shuffle). Rows-only: hash buckets aren't
+    SQL-reproducible; tests/test_ops.py cross-checks against the exact key.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.array_distinct(tokens_col()).alias("terms")).filter(
+        F.size("terms") > 0
+    )
+    tf = HashingTF(inputCol="terms", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(tok)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            r4(1 - F.col("jaccard_dist")).alias("jaccard_approx"),
+        )
+    )
+
+
+def _simhash_bits(md5_of: str, n_digits: int = 32) -> list[str]:
+    """SQL snippets: one majority-vote bit per md5 hex digit position."""
+    return [
+        f"CASE WHEN sum(CASE WHEN substr(md5({md5_of}), {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 "
+        f"THEN '1' ELSE '0' END"
+        for j in range(n_digits)
+    ]
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+SELECT doc_id, {" || ".join(_simhash_bits("term"))} AS simhash
+FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from md5(token) hex-digit majorities.
+
+    Pure-SQL simhash: digit j of the signature is the sign of Σ±1 over
+    tokens (+1 if the j-th hex digit of md5(token) has its high bit set).
+    Near-duplicate docs differ in few bits; at scale, group by band
+    substrings of the signature to find candidates without an all-pairs
+    join. Frequency-weighted (explode keeps duplicate tokens).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    bits = []
+    for j in range(32):
+        high = F.substring(F.md5("term"), j + 1, 1).isin(
+            "8", "9", "a", "b", "c", "d", "e", "f"
+        )
+        bits.append(
+            F.when(F.sum(F.when(high, 1).otherwise(-1)) >= 0, "1").otherwise("0")
+        )
+    return tok.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]
+  ) AS shingle
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+),
+card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor((CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)) * 10000 + 0.5) / 10000 AS jaccard
+FROM inter
+JOIN card ca ON ca.doc_id = doc_a
+JOIN card cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by bigram-shingle Jaccard ≥ 0.5 (order-sensitive:
+    catches token reorderings that unigram Jaccard scores as identical)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    sh = d.select("doc_id", F.explode(bigrams).alias("shingle")).distinct()
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sh_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sh_b"))
+    jac = F.col("n_common").cast("double") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )

@@ -1,1 +1,183 @@
-"""(stub — filled in by build waves)"""
+"""§2-J text-analysis operators over the documents corpus (SURVEY.md).
+
+Tokenization contract (both engines): split on single space, drop empty
+tokens (texts have a trailing space). All scoring formulas are pure IEEE
+double arithmetic so Spark and DuckDB agree bit-for-bit.
+
+Scale notes: explode(token) multiplies rows by ~doc length; every downstream
+agg keys on (doc_id) or (term), both high-cardinality → well-spread shuffles.
+TF-IDF is joins + aggregates only (no ML hashing), so it stays exact,
+oracle-checkable, and partial-aggregated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+
+
+def tokens_col(text: str = "text"):  # noqa: ANN201
+    """Non-empty single-space tokens (Spark side)."""
+    return F.filter(F.split(F.col(text), " "), lambda t: t != "")
+
+
+# DuckDB twin of tokens_col
+SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@query(
+    "text_tokenize_wordcount",
+    oracle=f"""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest({SQL_TOKENS}) AS w FROM documents)
+GROUP BY w
+ORDER BY n DESC, word ASC
+LIMIT 20
+""",
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word counts (deterministic tie-break on word)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle=f"""
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS bigram
+  FROM (SELECT {SQL_TOKENS} AS toks FROM documents)
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram counts, built with index-sequence HOFs (no explode of
+    intermediate pairs, no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       floor((tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)) * 10000 + 0.5) / 10000 AS tfidf
+FROM (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) AS tf, CAST(df.df AS DOUBLE) AS df,
+         CAST(n.n_docs AS DOUBLE) AS n_docs,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                                     tf.term ASC) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+WHERE rn <= 3
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term), top-3 terms per doc.
+
+    idf = ln((N+1)/(df+1)) + 1 — smooth variant, computed with joins/windows
+    (not the ML hashing transformer) so the oracle is exact. df (a term→count
+    table, vocabulary-sized) is broadcast back onto tf.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one tiny job, folded into the idf constant
+    tfidf = F.col("tf") * (
+        F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", r4(tfidf).alias("tfidf"))
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       floor((avg(CAST(n_chars AS DOUBLE))) * 10000 + 0.5) / 10000 AS avg_chars,
+       count(DISTINCT source) AS n_sources,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_length_filter",
+    oracle=f"""
+SELECT doc_id, lang, n_chars, len({SQL_TOKENS}) AS n_tokens
+FROM documents
+WHERE n_chars BETWEEN 100 AND 400
+  AND len({SQL_TOKENS}) >= 20
+  AND text LIKE '%data%'
+""",
+)
+def text_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality band filter: char range + minimum tokens + content match."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col()).cast("long")
+    return (
+        d.withColumn("n_tokens", n_tokens)
+        .filter(
+            F.col("n_chars").between(100, 400)
+            & (F.col("n_tokens") >= 20)
+            & F.col("text").like("%data%")
+        )
+        .select("doc_id", "lang", "n_chars", "n_tokens")
+    )
