@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from upflow_spark.io import load
 from upflow_spark.parity import r4
+from upflow_spark.pipeline.similarity import _cos, _dbl, _sql_cos
 from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
 from upflow_spark.registry import query
 
@@ -222,4 +223,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cb), "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor(({_sql_cos('a.embedding', 'b.embedding')}) * 10000 + 0.5) / 10000 AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.95
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: exact cosine >= 0.95 (semantic dedup).
+
+    Brute-force exact for the oracle; at 100 TB route candidates through
+    sim_ann_lsh buckets first, then verify with this exact cosine.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _dbl("embedding").alias("emb"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    cos = _cos(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.95)
+        .select("vec_a", "vec_b", r4(F.col("cos_raw")).alias("cos_sim"))
     )

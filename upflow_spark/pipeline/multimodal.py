@@ -1,0 +1,161 @@
+"""Multimodal-column operators (north star): binary payloads + typed
+metadata, decoded/feature-extracted through Arrow-batched Pandas plumbing.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (byte arithmetic over the payload) or gated behind an
+import-try that degrades to NotImplementedError metadata — but the
+Spark-side plumbing is real: binary columns, mapInPandas with explicit
+output schema, per-batch vectorized work, row-expanding frame extraction.
+Because the fake decode is pure byte arithmetic and payloads are utf-8 of
+`documents.text`, DuckDB can verify the pipeline end-to-end via ascii()
+arithmetic — the plumbing is graded, not just smoke-tested.
+
+Scale notes: payload columns ride along in parquet row groups; mapInPandas
+streams Arrow batches (no per-row Python), and frame extraction controls
+expansion server-side (step-2 sampling) rather than exploding then filtering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.registry import query
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → opaque binary payloads with typed metadata."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.col("n_chars").alias("n_bytes_meta"),
+    )
+
+
+@query(
+    "multimodal_ingest",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       length(text) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
+)
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ingest: payload length + content digest per typed media row."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+SELECT doc_id,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       length(text) % 256 AS size_mod,
+       list_sum(list_transform(range(1, least(length(text), 16) + 1),
+                               i -> ascii(substr(text, i, 1)))) % 256 AS header_checksum
+FROM documents
+""",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake 'decode': byte-level features via Arrow-batched mapInPandas.
+
+    Stands in for image/audio feature extraction (libs absent here); the
+    batch shape, output schema, and vectorized byte math are the real
+    production plumbing. DuckDB verifies via ascii() arithmetic.
+    """
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pay = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "first_byte": pay.map(lambda b: int(b[0])),
+                    "size_mod": pay.map(lambda b: len(b) % 256),
+                    "header_checksum": pay.map(lambda b: sum(b[:16]) % 256),
+                }
+            )
+
+    return m.mapInPandas(
+        decode, "doc_id long, first_byte long, size_mod long, header_checksum long"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id, k AS frame_idx, md5(substr(text, k * 32 + 1, 32)) AS frame_md5
+FROM documents, unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT), 2)) AS t(k)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling: every 2nd 32-byte chunk, one output row per
+    sampled frame (row-expanding mapInPandas with server-side stepping)."""
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_idx, out_md5 = [], [], []
+            for doc_id, pay in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(pay) + 31) // 32
+                for k in range(0, n_frames, 2):
+                    out_doc.append(doc_id)
+                    out_idx.append(k)
+                    out_md5.append(hashlib.md5(pay[k * 32 : (k + 1) * 32]).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return m.mapInPandas(sample, "doc_id long, frame_idx long, frame_md5 string")
+
+
+@query("multimodal_decode_stub")  # rows-only: exercises the gated-import path
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode slot: import-try PIL → absent here → every row
+    reports decode_status='codec_unavailable' instead of raising, keeping the
+    pipeline total. Swap the except-branch for actual decoding on clusters
+    with codecs installed."""
+    m = media_table(spark, sf_dir).select("doc_id", "media_type", "payload")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL.Image  # noqa: F401
+
+            status = "ok"
+        except ImportError:
+            status = "codec_unavailable"
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "decode_status": [status] * len(pdf),
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return m.mapInPandas(
+        decode, "doc_id long, media_type string, decode_status string, n_bytes long"
+    )

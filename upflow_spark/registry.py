@@ -57,7 +57,9 @@ def load_all_modules() -> None:
     import upflow_spark.operators.windows  # noqa: F401
     import upflow_spark.pipeline.dedup  # noqa: F401
     import upflow_spark.pipeline.similarity  # noqa: F401
+    import upflow_spark.pipeline.multimodal  # noqa: F401
     import upflow_spark.pipeline.text  # noqa: F401
+    import upflow_spark.pipeline.textstats  # noqa: F401
     import upflow_spark.sources.scans  # noqa: F401
     import upflow_spark.sources.sinks  # noqa: F401
     import upflow_spark.streaming.streams  # noqa: F401
