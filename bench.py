@@ -1,0 +1,71 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric", "value" (sum of warm per-query sec), "unit",
+"queries": {name: sec}, "sf"}. The first four names mirror BASELINE.md's
+measured rows (q1_agg / q3_join3 / window_rank / events_agg) for direct
+comparison; the rest cover each operator family's heaviest representative.
+
+Timing protocol (matches BASELINE.md): warm = 2nd run, single collect(),
+session startup excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from upflow_spark import QUERIES
+    from upflow_spark.session import get_spark
+
+    spark = get_spark("upflow-bench")
+
+    # BASELINE.md-comparable names first, then one heavy key per family
+    bench_keys = {
+        "q1_agg": "agg_groupby",
+        "q3_join3": "join_multiway",
+        "window_rank": "win_row_number_topk",
+        "events_agg": "agg_pivot",
+        "scan_parquet": "scan_parquet",
+        "join_shuffle_equi": "join_shuffle_equi",
+        "join_asof": "join_asof",
+        "agg_rollup": "agg_rollup",
+        "dedup_keep_latest": "dedup_keep_latest",
+        "text_tfidf": "text_tfidf_topterms",
+        "sim_probe_topk": "sim_probe_topk",
+        "stream_tumbling": "stream_tumbling",
+    }
+
+    timings: dict[str, float] = {}
+    for name, key in bench_keys.items():
+        fn = QUERIES[key]
+        try:
+            fn(spark, sf_dir).collect()  # warm-up: plan + IO caches
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep the bench line parseable on failure
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_warm_total",
+        "value": round(sum(t for t in timings.values() if t >= 0), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
