@@ -1,0 +1,123 @@
+"""Semantic checks for rows-only keys + cross-key invariants (SURVEY §5.4-5.6).
+
+The oracle mirror covers SQL-expressible keys; these tests pin the behavior
+of the keys the driver can only rows-check: sketches stay within error
+bounds, LSH variants recall what the exact algorithms find, streaming
+append-mode respects watermark finalization, and the as-of join satisfies
+its defining property row-by-row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import upflow_spark  # noqa: F401
+from upflow_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    rows = E.entry(spark).collect()
+    assert len(rows) > 0
+    assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_approx_count_distinct_within_2pct(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_count_distinct"](spark, SF).collect()
+    }
+    from upflow_spark.io import load
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.02, (et, approx[et], n)
+
+
+def test_minhash_lsh_recalls_exact_near_dups(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_near_minhash"](spark, SF).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_near_minhash_lsh"](spark, SF).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} exact pairs"
+    # no self-pairs, orientation invariant holds
+    assert all(a < b for a, b in approx)
+
+
+def test_ann_lsh_sane(spark):
+    pairs = QUERIES["sim_ann_lsh"](spark, SF).collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in pairs)
+    assert all(r["l2_dist"] >= 0 for r in pairs)
+
+
+def test_watermark_append_is_subset_of_complete(spark):
+    appended = {
+        r["win_start"]: r["n_events"]
+        for r in QUERIES["stream_watermark_late"](spark, SF).collect()
+    }
+    complete = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in QUERIES["stream_tumbling"](spark, SF).collect()
+    }
+    # complete-mode totals per window (tumbling key is per event_type)
+    totals: dict = {}
+    for (ws, _), n in complete.items():
+        totals[ws] = totals.get(ws, 0) + n
+    assert appended, "append mode emitted nothing — availableNow finalization broke"
+    for ws, n in appended.items():
+        assert totals.get(ws) == n, (ws, n, totals.get(ws))
+    # late watermark must finalize strictly fewer-or-equal windows
+    assert len(appended) <= len(totals)
+
+
+def test_asof_property_latest_click_at_or_before(spark):
+    out = QUERIES["join_asof"](spark, SF).toPandas()
+    from upflow_spark.io import load
+
+    ev = load(spark, SF, "events").select("event_id", "user_id", "ts", "event_type").toPandas()
+    clicks = ev[ev.event_type == "click"]
+    purchases = ev[ev.event_type == "purchase"].set_index("event_id")
+    merged = out.merge(
+        purchases[["user_id", "ts"]],
+        left_on="purchase_id",
+        right_index=True,
+        suffixes=("", "_p"),
+    )
+    for _, row in merged.sample(min(200, len(merged)), random_state=7).iterrows():
+        p_ts = row["ts"]  # purchase event time from the right side of the merge
+        user_clicks = clicks[(clicks.user_id == row.user_id) & (clicks.ts <= p_ts)]
+        if user_clicks.empty:
+            assert pd.isna(row.last_click_id)
+        else:
+            expect = user_clicks.sort_values("ts").iloc[-1]
+            assert row.last_click_id == expect.event_id, (row.purchase_id,)
+
+
+def test_sink_roundtrip_counts_match(spark):
+    row = QUERIES["sink_parquet_roundtrip"](spark, SF).collect()[0]
+    assert row["n_rows"] == row["n_expected"] > 0
+
+
+def test_simhash_closer_for_similar_docs(spark):
+    """SimHash sanity: a doc's signature is 32 bits; hamming(sig, sig)=0 and
+    signatures are not all identical across docs."""
+    sigs = [r["simhash"] for r in QUERIES["dedup_simhash"](spark, SF).collect()]
+    assert all(len(s) == 32 and set(s) <= {"0", "1"} for s in sigs)
+    assert len(set(sigs)) > 1

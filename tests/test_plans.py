@@ -1,0 +1,101 @@
+"""Physical-plan assertions (SURVEY §3/§4): the scale contract.
+
+These pin the plan shapes that matter at 100 TB — a regression that silently
+turns a broadcast join into a nested loop, or un-pushes a filter, fails here
+long before it would melt a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import upflow_spark  # noqa: F401
+from upflow_spark.registry import QUERIES
+
+import re
+
+
+def n_exchanges(plan: str) -> int:
+    """Shuffle exchanges only (BroadcastExchange excluded)."""
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_projection_pruned_to_two_columns(spark):
+    plan = plan_of(spark, "scan_projection_pushdown")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_discount" not in read and "l_shipdate" not in read
+
+
+def test_predicate_pushed_to_parquet(spark):
+    plan = plan_of(spark, "scan_predicate_pushdown")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "IsNotNull" in pushed
+
+
+def test_dimension_joins_broadcast(spark):
+    for key in ("join_broadcast", "join_multiway", "agg_collect"):
+        plan = plan_of(spark, key)
+        assert "BroadcastHashJoin" in plan, key
+    # the 6-table chain must not degrade to nested loops
+    assert "BroadcastNestedLoopJoin" not in plan_of(spark, "join_multiway")
+    assert "CartesianProduct" not in plan_of(spark, "join_multiway")
+
+
+def test_topk_fuses_to_take_ordered(spark):
+    for key in ("sort_multikey", "limit_offset"):
+        assert "TakeOrderedAndProject" in plan_of(spark, key), key
+
+
+def test_theta_range_join_is_equi_not_nested_loop(spark):
+    plan = plan_of(spark, "join_theta_range")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # any EQUI hash/merge join is fine (AQE broadcasts at tiny scale);
+    # the point is the user_id equality is a join KEY, not a residual filter
+    assert "Left keys [1]: [user_id" in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    plan = plan_of(spark, "join_asof")
+    # union + window formulation: no join operator at all, one user_id exchange
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+        assert op not in plan
+    assert n_exchanges(plan) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_rowlevel_ops_have_no_exchange(spark):
+    for key in ("project_compute", "filter_comparison", "str_basic", "math_basic",
+                "array_hof", "text_quality_score", "text_lang_id"):
+        plan = plan_of(spark, key)
+        assert "Exchange" not in plan, f"{key} should be map-only"
+
+
+def test_scalar_exprs_whole_stage_codegen(spark):
+    # '*' marks codegen stages in formatted plans. HOF lambdas (array_hof,
+    # text_* token scoring) are legitimately outside codegen but still
+    # JVM-side — only plain scalar-expression keys are asserted here.
+    for key in ("project_compute", "filter_comparison", "str_basic", "math_basic"):
+        plan = plan_of(spark, key)
+        assert "* Project" in plan or "* Filter" in plan, f"{key} should codegen"
+
+
+def test_preagg_join_has_no_post_join_shuffle(spark):
+    plan = plan_of(spark, "join_shuffle_equi")
+    # aggregate-below-join: exactly one exchange per side, none after the join
+    assert n_exchanges(plan) <= 2
+
+
+@pytest.mark.parametrize("key", ["agg_groupby", "agg_rollup"])
+def test_aggregates_are_two_phase(spark, key):
+    plan = plan_of(spark, key)
+    assert "HashAggregate" in plan
+    assert "partial" in plan.lower() or plan.count("HashAggregate") >= 2

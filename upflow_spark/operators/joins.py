@@ -52,20 +52,21 @@ GROUP BY o.o_orderkey, o.o_orderstatus
 def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact shuffle join on orderkey; revenue per order.
 
-    Scale: both sides hash-partition on l_orderkey/o_orderkey; the groupBy
-    reuses the same key so AQE coalesces without an extra exchange.
+    Scale: lineitem is PRE-AGGREGATED per l_orderkey before the join
+    (aggregate-below-join). This removes the post-join re-shuffle a naive
+    join→groupBy(o_orderkey, o_orderstatus) plan needs (grouping on a
+    superset of the join key defeats co-partition reuse), shrinks the join's
+    probe side from line items to orders, and keeps results identical —
+    o_orderstatus is constant per order.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = load(spark, sf_dir, "lineitem")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
-        .groupBy("o_orderkey", "o_orderstatus")
-        .agg(
-            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    per_order = li.groupBy("l_orderkey").agg(
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return o.join(per_order, o.o_orderkey == per_order.l_orderkey, "inner").select(
+        "o_orderkey", "o_orderstatus", "revenue", "n_items"
     )
 
 
@@ -294,14 +295,20 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", F.col("purchase_id").isNotNull())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # one struct-valued last() ⇒ a single Window/Sort pass in the plan
+    last_click = F.last(
+        F.when(F.col("click_id").isNotNull(), F.struct("click_id", "ts")),
+        ignorenulls=True,
+    ).over(w)
     return (
-        timeline.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
-        .withColumn(
-            "last_click_ts",
-            F.last(F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w),
-        )
+        timeline.withColumn("lc", last_click)
         .filter(F.col("purchase_id").isNotNull())
-        .select("purchase_id", "user_id", "last_click_id", "last_click_ts")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("lc.click_id").alias("last_click_id"),
+            F.col("lc.ts").alias("last_click_ts"),
+        )
     )
 
 
