@@ -54,6 +54,14 @@ def compare(spark_df, oracle_df: pd.DataFrame, key: str = "?") -> None:
     assert list(got.columns) == list(want.columns), (
         f"[{key}] column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
+    # exact dtype parity: int-vs-float renders differently under value
+    # hashing ("-994" vs "-994.0"), so loose numeric equality is not enough
+    mism = [
+        (c, str(got[c].dtype), str(want[c].dtype))
+        for c in got.columns
+        if str(got[c].dtype) != str(want[c].dtype)
+    ]
+    assert not mism, f"[{key}] dtype mismatch (spark vs oracle): {mism}"
     assert len(got) == len(want), f"[{key}] row count: spark={len(got)} oracle={len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]

@@ -19,8 +19,8 @@ from upflow_spark.registry import query
     oracle="""
 SELECT c_custkey,
        floor((abs(c_acctbal)) * 10000 + 0.5) / 10000 AS abs_bal,
-       floor(c_acctbal) AS floor_bal,
-       ceil(c_acctbal) AS ceil_bal,
+       CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+       CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
        floor((sqrt(abs(c_acctbal))) * 10000 + 0.5) / 10000 AS sqrt_bal,
        floor((pow(c_acctbal / 1000, 2)) * 10000 + 0.5) / 10000 AS pow_bal,
        floor((ln(abs(c_acctbal) + 1)) * 10000 + 0.5) / 10000 AS ln_bal,

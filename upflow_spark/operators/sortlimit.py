@@ -68,7 +68,7 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.col("last_order").desc_nulls_last(), F.col("c_custkey").asc())
     return (
-        agg.withColumn("rn", F.row_number().over(w))
+        agg.withColumn("rn", F.row_number().over(w).cast("long"))
         .orderBy("rn")
         .limit(50)
         .select("c_custkey", "last_order", "rn")

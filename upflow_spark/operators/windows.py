@@ -39,7 +39,7 @@ def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", r4("o_totalprice").alias("o_totalprice"), "rn")
     )
@@ -62,8 +62,8 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_brand",
         r4("p_retailprice").alias("p_retailprice"),
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
     )
 
 
@@ -82,7 +82,7 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey").asc()
     )
-    return c.select("c_custkey", "c_nationkey", F.ntile(4).over(w).alias("balance_quartile"))
+    return c.select("c_custkey", "c_nationkey", F.ntile(4).over(w).cast("long").alias("balance_quartile"))
 
 
 @query(

@@ -68,10 +68,10 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_features",
     oracle="""
 SELECT doc_id,
-       ascii(substr(text, 1, 1)) AS first_byte,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
        length(text) % 256 AS size_mod,
-       list_sum(list_transform(range(1, least(length(text), 16) + 1),
-                               i -> ascii(substr(text, i, 1)))) % 256 AS header_checksum
+       CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+                               i -> ascii(substr(text, i, 1)))) % 256 AS BIGINT) AS header_checksum
 FROM documents
 """,
 )
