@@ -47,11 +47,13 @@ def load_all_modules() -> None:
     import upflow_spark.functions.datetime  # noqa: F401
     import upflow_spark.functions.json_props  # noqa: F401
     import upflow_spark.functions.math  # noqa: F401
+    import upflow_spark.functions.scalar_ext  # noqa: F401
     import upflow_spark.functions.strings  # noqa: F401
     import upflow_spark.operators.aggregates  # noqa: F401
     import upflow_spark.operators.grouping_ext  # noqa: F401
     import upflow_spark.operators.joins  # noqa: F401
     import upflow_spark.operators.projection  # noqa: F401
+    import upflow_spark.operators.scale_patterns  # noqa: F401
     import upflow_spark.operators.setops  # noqa: F401
     import upflow_spark.operators.sortlimit  # noqa: F401
     import upflow_spark.operators.windows  # noqa: F401
@@ -62,4 +64,5 @@ def load_all_modules() -> None:
     import upflow_spark.pipeline.textstats  # noqa: F401
     import upflow_spark.sources.scans  # noqa: F401
     import upflow_spark.sources.sinks  # noqa: F401
+    import upflow_spark.streaming.stateful  # noqa: F401
     import upflow_spark.streaming.streams  # noqa: F401

@@ -1,0 +1,155 @@
+"""Custom stateful streaming operators (SURVEY §2-I extension; north star
+'applyInPandasWithState for custom stateful operators').
+
+Both keys replay events via availableNow (same harness as streams.py) and
+have exact batch-SQL oracles because the replay drains to completion.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+from upflow_spark.streaming.streams import read_events_stream, run_to_completion
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def _track_user(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running counter/sum/max kept in explicit GroupState."""
+    n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        peak = max(peak, float(pdf["value"].max()))
+    state.update((n, total, peak))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [total],
+            "max_value": [peak],
+        }
+    )
+
+
+@query(
+    "stream_custom_state",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value,
+       floor((max(value)) * 10000 + 0.5) / 10000 AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op: per-user counters via applyInPandasWithState.
+
+    The pattern Spark's built-in aggs can't express generally (custom state
+    transition per group and batch). availableNow drains the source, so the
+    emitted per-user state equals the batch aggregate — giving an exact
+    oracle for a custom stateful operator.
+    """
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _track_user,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_completion(updated, "update")
+    # one emission per (user, micro-batch): keep the final (cumulative) row
+    final = result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events_raw"),
+        F.max("sum_value").alias("sum_value_raw"),
+        F.max("max_value").alias("max_value_raw"),
+    )
+    return final.select(
+        "user_id",
+        F.col("n_events_raw").alias("n_events"),
+        r4(F.col("sum_value_raw")).alias("sum_value"),
+        r4(F.col("max_value_raw")).alias("max_value"),
+    )
+
+
+GROUP_BY_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+"""
+
+
+@query("stream_stream_join", oracle=GROUP_BY_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the user's clicks
+    in the preceding hour, with watermarks bounding both sides' state.
+
+    Production topology for attribution joins: state per side is bounded by
+    watermark + the time-range condition (Spark evicts rows outside the
+    joinable window). availableNow replay makes the result equal the batch
+    join, hence the exact oracle.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    return run_to_completion(joined, "append")
