@@ -99,3 +99,12 @@ def test_aggregates_are_two_phase(spark, key):
     plan = plan_of(spark, key)
     assert "HashAggregate" in plan
     assert "partial" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    plan = plan_of(spark, "sink_bucketed_join")
+    # bucketing satisfies the join distribution: the join itself needs no
+    # exchange; only the final small groupBy may shuffle
+    assert plan.count("Bucketed: true") == 2, "both scans should be bucketed"
+    join_part = plan.split("HashAggregate")[0]
+    assert n_exchanges(join_part) == 0, join_part

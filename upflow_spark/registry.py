@@ -50,6 +50,7 @@ def load_all_modules() -> None:
     import upflow_spark.functions.scalar_ext  # noqa: F401
     import upflow_spark.functions.strings  # noqa: F401
     import upflow_spark.operators.aggregates  # noqa: F401
+    import upflow_spark.operators.grouped_pandas  # noqa: F401
     import upflow_spark.operators.grouping_ext  # noqa: F401
     import upflow_spark.operators.joins  # noqa: F401
     import upflow_spark.operators.projection  # noqa: F401
@@ -62,6 +63,7 @@ def load_all_modules() -> None:
     import upflow_spark.pipeline.multimodal  # noqa: F401
     import upflow_spark.pipeline.text  # noqa: F401
     import upflow_spark.pipeline.textstats  # noqa: F401
+    import upflow_spark.sources.bucketed  # noqa: F401
     import upflow_spark.sources.scans  # noqa: F401
     import upflow_spark.sources.sinks  # noqa: F401
     import upflow_spark.streaming.stateful  # noqa: F401

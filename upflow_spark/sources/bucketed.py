@@ -1,0 +1,71 @@
+"""Bucketed-table co-located join (SURVEY §4 'bucketing for co-located
+joins'): write both join sides bucketed on the key, then join WITHOUT a
+shuffle — the bucketing metadata satisfies the join's distribution
+requirement.
+
+Rows-only key (bucket spec isn't SQL-observable) but tests/test_plans.py
+asserts the punchline: zero shuffle exchanges in the bucketed join's plan.
+At 100 TB this is the difference between re-shuffling both fact tables on
+every join and paying the shuffle once at write time.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+from upflow_spark.session import ensure_conf
+
+N_BUCKETS = 8
+_warehouse_ready: set[tuple[str, str]] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders+lineitem bucketed by orderkey once per (session, sf)."""
+    ensure_conf(spark)
+    key = (id(spark), sf_dir)
+    o_name, l_name = "upflow_orders_bkt", "upflow_lineitem_bkt"
+    if key not in _warehouse_ready:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        loc = tempfile.mkdtemp(prefix="upflow_bkt_")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        (
+            o.write.mode("overwrite")
+            .option("path", f"{loc}/orders")
+            .bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(o_name)
+        )
+        (
+            li.write.mode("overwrite")
+            .option("path", f"{loc}/lineitem")
+            .bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(l_name)
+        )
+        _warehouse_ready.add(key)
+    return o_name, l_name
+
+
+@query("sink_bucketed_join")  # rows-only: bucket layout is engine-internal
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two bucketed tables on the bucket key — no exchange in the plan."""
+    o_name, l_name = _bucketed_tables(spark, sf_dir)
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+    )
