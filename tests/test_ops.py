@@ -121,3 +121,38 @@ def test_simhash_closer_for_similar_docs(spark):
     sigs = [r["simhash"] for r in QUERIES["dedup_simhash"](spark, SF).collect()]
     assert all(len(s) == 32 and set(s) <= {"0", "1"} for s in sigs)
     assert len(set(sigs)) > 1
+
+
+def test_percentile_approx_error_bounded(spark):
+    approx = {
+        r["o_orderpriority"]: (r["median_approx"], r["p90_approx"])
+        for r in QUERIES["agg_percentile_approx"](spark, SF).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["median_price"], r["p90_price"])
+        for r in QUERIES["agg_percentile"](spark, SF).collect()
+    }
+    for pri, (m, p90) in exact.items():
+        am, ap = approx[pri]
+        assert abs(am - m) / m < 0.02, (pri, am, m)
+        assert abs(ap - p90) / p90 < 0.02, (pri, ap, p90)
+
+
+def test_ivf_recall_vs_exact_topk(spark):
+    """IVF recall floor. The fixture embeddings are near-random w.r.t. their
+    labels at this sf (a probe's exact top-10 spans ~7 of 10 labels at
+    cosine ≈ 0.3), so label-cell IVF recall is bounded by ~nprobe/n_cells —
+    assert that floor, plus structural sanity (results ⊆ probed cells'
+    members, sorted by cosine). With genuinely clustered vectors the same
+    operator approaches recall 1.0.
+    """
+    from upflow_spark.pipeline.ann_ivf import NPROBE
+
+    exact = [r["vec_id"] for r in QUERIES["sim_probe_topk"](spark, SF).collect()]
+    rows = QUERIES["sim_ann_ivf"](spark, SF).collect()
+    ivf = [r["vec_id"] for r in rows]
+    recall = len(set(exact) & set(ivf)) / len(exact)
+    assert recall >= NPROBE / 10 - 0.05, f"IVF recall {recall}"
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert len({r["label"] for r in rows}) <= NPROBE

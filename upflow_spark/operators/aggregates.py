@@ -233,3 +233,15 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("n_nationkey").alias("n_nations"),
         )
     )
+
+
+@query("agg_percentile_approx")  # rows-only: sketch quantiles are engine-specific
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx quantiles (Greenwald-Khanna sketch) — the 100 TB percentile
+    path: one pass, mergeable, bounded error (1/accuracy). Rows-only by
+    design; tests/test_ops.py bounds its error against exact percentile."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.percentile_approx("o_totalprice", 0.5, 1000)).alias("median_approx"),
+        r4(F.percentile_approx("o_totalprice", 0.9, 1000)).alias("p90_approx"),
+    )

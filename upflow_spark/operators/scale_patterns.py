@@ -140,3 +140,36 @@ def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "agg_skew_two_stage",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_skew_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage (salted) aggregation, hash-identical to the plain groupBy.
+
+    For hot grouping keys (5 event types over billions of rows) a single
+    hash-agg reduces each key on ONE task. Stage 1 groups by (key, salt) —
+    N_SALTS-way parallel partial reduction; stage 2 merges the partials per
+    key. Spark's map-side partial aggregation usually makes this implicit,
+    but the explicit form is needed when partial agg is defeated (e.g.
+    count-distinct rewrites, high-cardinality maps in state).
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        r4(F.sum("psum")).alias("sum_value"),
+    )
