@@ -42,28 +42,6 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _track_user(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user running counter/sum/max kept in explicit GroupState."""
-    n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
-    for pdf in batches:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        peak = max(peak, float(pdf["value"].max()))
-    state.update((n, total, peak))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "sum_value": [total],
-            "max_value": [peak],
-        }
-    )
-
-
 @query(
     "stream_custom_state",
     oracle="""
@@ -84,8 +62,32 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle for a custom stateful operator.
     """
     ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+
+    # defined INSIDE the query so cloudpickle ships it by value — a
+    # module-level function pickles by reference and executors would need
+    # upflow_spark importable (driver cwd ≠ repo breaks that)
+    def track_user(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            peak = max(peak, float(pdf["value"].max()))
+        state.update((n, total, peak))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total],
+                "max_value": [peak],
+            }
+        )
+
     updated = ev.groupBy("user_id").applyInPandasWithState(
-        _track_user,
+        track_user,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
