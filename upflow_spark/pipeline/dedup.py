@@ -251,3 +251,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.95)
         .select("vec_a", "vec_b", r4(F.col("cos_raw")).alias("cos_sim"))
     )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id, {" || ".join(_simhash_bits("term"))} AS simhash
+  FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_filter(range(1, 33),
+                i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS BIGINT)
+         AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE (substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
+    OR substr(a.simhash, 9, 8) = substr(b.simhash, 9, 8)
+    OR substr(a.simhash, 17, 8) = substr(b.simhash, 17, 8)
+    OR substr(a.simhash, 25, 8) = substr(b.simhash, 25, 8))
+  AND len(list_filter(range(1, 33),
+          i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 4
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates via banding + Hamming verification.
+
+    The banding theorem in action: a pair within Hamming distance 4 over 32
+    bits must agree on at least one of four 8-bit bands (pigeonhole), so
+    grouping by band substrings finds ALL such pairs with equi-joins only —
+    never an all-pairs scan. Four self-joins on (band_idx, band_value),
+    deduped, then exact Hamming ≤ 4 verification. This is the 100 TB
+    candidate generator for dedup_simhash signatures.
+    """
+    sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.substring("simhash", 1 + 8 * i, 8).alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # pair may share several bands
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.substring("sig_a", 1, 32).substr(i, F.lit(1))
+            != F.substring("sig_b", 1, 32).substr(i, F.lit(1)),
+        )
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 4)
+        .select("doc_a", "doc_b", "hamming")
+    )

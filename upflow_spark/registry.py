@@ -57,6 +57,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.scale_patterns  # noqa: F401
     import upflow_spark.operators.setops  # noqa: F401
     import upflow_spark.operators.sortlimit  # noqa: F401
+    import upflow_spark.operators.tpch_shapes  # noqa: F401
     import upflow_spark.operators.windows  # noqa: F401
     import upflow_spark.pipeline.ann_ivf  # noqa: F401
     import upflow_spark.pipeline.dedup  # noqa: F401
@@ -66,6 +67,7 @@ def load_all_modules() -> None:
     import upflow_spark.pipeline.textstats  # noqa: F401
     import upflow_spark.sources.bucketed  # noqa: F401
     import upflow_spark.sources.scans  # noqa: F401
+    import upflow_spark.sources.text_formats  # noqa: F401
     import upflow_spark.sources.sinks  # noqa: F401
     import upflow_spark.streaming.stateful  # noqa: F401
     import upflow_spark.streaming.streams  # noqa: F401
