@@ -156,3 +156,25 @@ def test_ivf_recall_vs_exact_topk(spark):
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert len({r["label"] for r in rows}) <= NPROBE
+
+
+def test_stratified_sample_within_binomial_bounds(spark):
+    from upflow_spark.io import load
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r["n_sampled"]
+        for r in QUERIES["sample_stratified"](spark, SF).collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF, "events").groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    fractions = {"click": 0.2, "view": 0.2, "purchase": 1.0, "signup": 1.0, "error": 1.0}
+    for et, frac in fractions.items():
+        n, k = totals[et], got.get(et, 0)
+        if frac == 1.0:
+            assert k == n, (et, k, n)
+        else:
+            mean, sd = n * frac, (n * frac * (1 - frac)) ** 0.5
+            assert abs(k - mean) <= 5 * sd, (et, k, mean, sd)

@@ -1,0 +1,130 @@
+"""Sampling / splitting / data-audit operators (training-data pipeline
+essentials beyond SURVEY §2-J).
+
+split_train_test uses content-hash bucketing — the industry-standard
+deterministic split (stable under re-runs, shard-order independent, and
+join-free): md5's first 7 hex digits mod 10 give a uniform 0-9 bucket both
+engines compute identically. Random `sample()` is provided too but is
+engine-specific by nature (rows-only + statistical test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+
+
+@query(
+    "split_train_test",
+    oracle="""
+SELECT split, lang, count(*) AS n_docs,
+       floor((avg(CAST(n_chars AS DOUBLE))) * 10000 + 0.5) / 10000 AS avg_chars
+FROM (
+  SELECT lang, n_chars,
+         CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 7)) AS BIGINT) % 10 AS bucket
+    FROM documents
+  )
+)
+GROUP BY split, lang
+""",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content hash.
+
+    Hash bucketing beats random splits at scale: stable across re-runs and
+    partitionings, no persisted assignment table, and leak-safe (identical
+    content always lands in the same split — pair with dedup first).
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 7), 16, 10).cast("long"),
+        F.lit(10),
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        )
+    )
+
+
+@query("sample_stratified")  # rows-only: RNG streams are engine-specific
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: 20% of clicks/views, 100% of rarer types (sampleBy).
+
+    The standard class-rebalancing pass for training data; seed-pinned so
+    re-runs are stable within Spark. tests/test_ops.py bounds the per-type
+    sample counts within binomial tolerance.
+    """
+    ev = load(spark, sf_dir, "events")
+    fractions = {"click": 0.2, "view": 0.2, "purchase": 1.0, "signup": 1.0, "error": 1.0}
+    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "audit_referential",
+    oracle="""
+SELECT 'lineitem_orphan_orders' AS check_name,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+UNION ALL
+SELECT 'orders_orphan_customers',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'orders_negative_price',
+       (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+UNION ALL
+SELECT 'customer_null_segment',
+       (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL)
+""",
+)
+def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: FK orphans (anti joins) + domain constraints,
+    one row per check. The pre-training gate every pipeline needs; each
+    check is an independent job-free plan unioned into one result."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        one(
+            "orders_orphan_customers",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        one("orders_negative_price", o.filter(F.col("o_totalprice") <= 0)),
+        one(
+            "lineitem_discount_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one("customer_null_segment", c.filter(F.col("c_mktsegment").isNull())),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
