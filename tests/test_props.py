@@ -85,8 +85,8 @@ def test_window_topk_subset_of_global_sort(spark, rows):
 def test_cosine_self_similarity_is_one(spark, vec):
     if all(abs(x) < 1e-6 for x in vec):
         return  # zero vector: cosine undefined
-    from upflow_spark.pipeline.similarity import _cos, _dbl
+    from upflow_spark.pipeline.similarity import _cos, _unit
 
     df = spark.createDataFrame([(vec,)], "emb array<float>")
-    got = df.select(_cos(_dbl("emb"), _dbl("emb")).alias("c")).collect()[0]["c"]
+    got = df.select(_cos(_unit("emb"), _unit("emb")).alias("c")).collect()[0]["c"]
     assert abs(got - 1.0) < 1e-9

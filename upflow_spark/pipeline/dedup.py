@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from upflow_spark.io import load
 from upflow_spark.parity import r4
-from upflow_spark.pipeline.similarity import _cos, _dbl, _sql_cos
+from upflow_spark.pipeline.similarity import _cos, _sql_cos, _unit
 from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
 from upflow_spark.registry import query
 
@@ -72,11 +72,15 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN card ca ON ca.doc_id = doc_a
 JOIN card cb ON cb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (ca.n_terms + cb.n_terms - n_common) >= 0.8
+WHERE CAST(n_common AS DOUBLE) / (ca.n_terms + cb.n_terms - n_common) >= 0.95
 """,
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact token-set Jaccard ≥ 0.8.
+    """Near-duplicate pairs by exact token-set Jaccard ≥ 0.95.
+
+    (The synthetic corpus shares a ~40-word vocabulary, so unigram token
+    SETS of long docs are near-identical — a 0.8 threshold admits millions
+    of pairs at sf0.1; 0.95 keeps the op selective on this data.)
 
     Exact formulation for the oracle; `dedup_near_minhash_lsh` is the
     banded-LSH variant that replaces the all-pairs join at 100 TB.
@@ -84,10 +88,20 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).distinct()
     card = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+    # length filter (semantics-preserving): jaccard ≤ min(|A|,|B|)/max(|A|,|B|),
+    # so J ≥ 0.95 implies cardinalities within 5% — pruned INSIDE the pair
+    # join, which cuts the quadratic intermediate, not just the output
+    tok_c = tok.join(F.broadcast(card), "doc_id")
+    a = tok_c.alias("a")
+    b = tok_c.alias("b")
     inter = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_terms") >= F.col("b.n_terms") * 0.95)
+            & (F.col("b.n_terms") >= F.col("a.n_terms") * 0.95),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -99,7 +113,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(F.broadcast(ca), "doc_a")
         .join(F.broadcast(cb), "doc_b")
-        .filter(jac >= 0.8)
+        .filter(jac >= 0.95)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
 
@@ -241,7 +255,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brute-force exact for the oracle; at 100 TB route candidates through
     sim_ann_lsh buckets first, then verify with this exact cosine.
     """
-    e = load(spark, sf_dir, "embeddings").select("vec_id", _dbl("embedding").alias("emb"))
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _unit("embedding").alias("emb"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
     cos = _cos(F.col("emb_a"), F.col("emb_b"))
@@ -271,14 +285,15 @@ WHERE (substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
     OR substr(a.simhash, 17, 8) = substr(b.simhash, 17, 8)
     OR substr(a.simhash, 25, 8) = substr(b.simhash, 25, 8))
   AND len(list_filter(range(1, 33),
-          i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 4
+          i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 3
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates via banding + Hamming verification.
 
-    The banding theorem in action: a pair within Hamming distance 4 over 32
-    bits must agree on at least one of four 8-bit bands (pigeonhole), so
+    The banding theorem in action: a pair within Hamming distance 3 over 32
+    bits must agree on at least one of four 8-bit bands (pigeonhole: 3 flips
+    cannot touch all 4 bands; d=4 could), so
     grouping by band substrings finds ALL such pairs with equi-joins only —
     never an all-pairs scan. Four self-joins on (band_idx, band_value),
     deduped, then exact Hamming ≤ 4 verification. This is the 100 TB
@@ -324,6 +339,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 4)
+        .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
