@@ -1,0 +1,121 @@
+"""Upsert / slowly-changing-dimension operators — the incremental-ETL core
+(MERGE INTO semantics without a table format; on Delta/Iceberg the same
+logic is one MERGE statement, here it's the portable DataFrame form).
+
+Scale notes: SCD1 merge = full-outer join on the business key (one shuffle
+each side — or zero if both sides are bucketed on the key, see
+sink_bucketed_join); SCD2 intervals = one window per business key. Neither
+requires driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+
+
+@query(
+    "upsert_scd1",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_totalprice * 1.05 AS o_totalprice, 'U' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'N'
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS total_price,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM (
+  SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+         coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+         coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+  FROM (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders) b
+  FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+)
+GROUP BY o_orderstatus
+""",
+)
+def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE: updates overwrite matched rows, unmatched updates insert.
+
+    updates = deterministic change set (every 3rd order repriced +5% →
+    status U; every 7th order cloned to a new key → status N). The merge is
+    a full-outer join + coalesce — matched rows take the update's values,
+    unmatched base rows persist, unmatched updates insert.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    repriced = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+    )
+    inserts = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_totalprice",
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    updates = repriced.unionByName(inserts)
+    u = updates.select(
+        F.col("o_orderkey").alias("u_key"),
+        F.col("o_totalprice").alias("u_price"),
+        F.col("o_orderstatus").alias("u_status"),
+    )
+    merged = base.join(u, base.o_orderkey == u.u_key, "full").select(
+        F.coalesce("u_key", "o_orderkey").alias("o_orderkey"),
+        F.coalesce("u_price", "o_totalprice").alias("o_totalprice"),
+        F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("o_totalprice")).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey AS version_key,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current,
+       floor((o_totalprice) * 10000 + 0.5) / 10000 AS attr_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals: each order version of a customer gets
+    [valid_from, valid_to) from its date and the next version's date; the
+    open-ended row is flagged current. One window per business key."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    valid_to = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        r4("o_totalprice").alias("attr_price"),
+    )
