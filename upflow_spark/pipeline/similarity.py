@@ -7,6 +7,11 @@ Scale strategy (stated per key): the graded keys are brute-force exact (the
 baseline the paper variants are judged against); `sim_ann_lsh` is the
 random-hyperplane LSH scale path that bounds candidate pairs, and the probe
 top-k broadcasts the single probe vector (map-side only + one top-k).
+
+Related public work (PAPERS.md): incremental top-k similarity search
+(EDBT 2020) and continuously adaptive similarity search (SIGMOD 2020)
+motivate the candidate-prune-verify split used here — exact verification
+over bounded candidate sets instead of all-pairs scans.
 """
 
 from __future__ import annotations
