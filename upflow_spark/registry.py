@@ -54,6 +54,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.grouped_pandas  # noqa: F401
     import upflow_spark.operators.grouping_ext  # noqa: F401
     import upflow_spark.operators.joins  # noqa: F401
+    import upflow_spark.operators.misc_surfaces  # noqa: F401
     import upflow_spark.operators.projection  # noqa: F401
     import upflow_spark.operators.scale_patterns  # noqa: F401
     import upflow_spark.operators.setops  # noqa: F401
