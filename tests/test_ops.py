@@ -178,3 +178,23 @@ def test_stratified_sample_within_binomial_bounds(spark):
         else:
             mean, sd = n * frac, (n * frac * (1 - frac)) ** 0.5
             assert abs(k - mean) <= 5 * sd, (et, k, mean, sd)
+
+
+def test_kmeans_ivf_recall_and_structure(spark):
+    """k-means IVF: same recall floor as label-cell IVF (the fixture
+    embeddings are near-random, so any K-cell quantizer scans ~nprobe/K of
+    the corpus), plus structural checks — ≤ NPROBE distinct cells probed,
+    scores sorted, and the top-1 exact neighbor found iff its cell was
+    probed (which the floor assertion covers statistically)."""
+    from upflow_spark.pipeline.ann_ivf import K_CELLS, NPROBE, TOP_K
+
+    exact = [r["vec_id"] for r in QUERIES["sim_probe_topk"](spark, SF).collect()]
+    rows = QUERIES["sim_ann_ivf_kmeans"](spark, SF).collect()
+    assert len(rows) == TOP_K
+    got = [r["vec_id"] for r in rows]
+    recall = len(set(exact) & set(got)) / len(exact)
+    assert recall >= NPROBE / K_CELLS - 0.2, f"kmeans IVF recall {recall}"
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert len({r["cell"] for r in rows}) <= NPROBE
+    assert 0 not in got  # probe excluded from its own neighbor list

@@ -68,3 +68,109 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", r4(F.col("cos_raw")).alias("cos_sim"))
     )
+
+
+K_CELLS = 8
+KMEANS_ITERS = 3
+
+
+@query("sim_ann_ivf_kmeans")  # rows-only: iterative float algorithm (no SQL twin)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-trained coarse quantizer (spherical Lloyd's).
+
+    Unlike sim_ann_ivf's label-mean cells, the quantizer here is learned:
+    KMEANS_ITERS rounds of (assign to nearest centroid, recompute cell
+    means, renormalize). Each round is one broadcast-centroid map pass plus
+    one groupBy shuffle of dim-exploded partial sums; only the K x dim
+    centroid table ever reaches the driver (the MLlib pattern — the corpus
+    itself never leaves the executors, so the loop scales to 100 TB with
+    K x dim x iters driver traffic).
+
+    Probe path: rank the K centroids against the probe driver-side (tiny),
+    search the NPROBE best cells exactly.
+    """
+    from upflow_spark.pipeline.similarity import _unit
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _unit("embedding").alias("emb"))
+        .persist()
+    )
+
+    def lit_vec(vals):  # noqa: ANN001, ANN202
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    def best_cell(cents):  # noqa: ANN001, ANN202
+        # argmax over K dot products; struct array_max = (score, cell) max,
+        # deterministic on score ties via the cell field
+        scored = F.array(*[
+            F.named_struct(
+                F.lit("s"),
+                F.aggregate(
+                    F.zip_with(F.col("emb"), lit_vec(c), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                ),
+                F.lit("cell"),
+                F.lit(k),
+            )
+            for k, c in enumerate(cents)
+        ])
+        return F.array_max(scored).getField("cell")
+
+    # deterministic seeding: the first K vectors by vec_id
+    cents = [
+        r["emb"]
+        for r in e.orderBy("vec_id").limit(K_CELLS).collect()
+    ]
+    for _ in range(KMEANS_ITERS):
+        assigned = e.select(best_cell(cents).alias("cell"), F.posexplode("emb"))
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s.getField("m")).alias("c"))
+            .collect()
+        )
+        by_cell = {r["cell"]: r["c"] for r in means}
+        new = []
+        for k in range(K_CELLS):
+            if k in by_cell:  # empty cells keep their old centroid
+                v = by_cell[k]
+                n = sum(x * x for x in v) ** 0.5 or 1.0
+                new.append([x / n for x in v])
+            else:
+                new.append(cents[k])
+        cents = new
+
+    probe_vec = e.filter(F.col("vec_id") == 0).collect()[0]["emb"]
+    e.unpersist()
+    scores = [
+        (sum(x * y for x, y in zip(c, probe_vec)), k) for k, c in enumerate(cents)
+    ]
+    probed = [k for _, k in sorted(scores, reverse=True)[:NPROBE]]
+
+    probe = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(_unit("embedding").alias("p"))
+    )
+    cand = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _unit("embedding").alias("emb"))
+        .withColumn("cell", best_cell(cents).cast("long"))
+        .filter(F.col("cell").isin([int(k) for k in probed]) & (F.col("vec_id") != 0))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("p"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return (
+        cand.crossJoin(F.broadcast(probe))
+        .select("vec_id", "cell", dot.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id", "cell", r4(F.col("cos_raw")).alias("cos_sim"))
+    )
