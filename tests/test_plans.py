@@ -108,3 +108,16 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert plan.count("Bucketed: true") == 2, "both scans should be bucketed"
     join_part = plan.split("HashAggregate")[0]
     assert n_exchanges(join_part) == 0, join_part
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """join_bloom_runtime_filter's whole point is the might_contain()
+    predicate on the fact branch — assert it actually got injected and
+    that the session confs were restored afterwards."""
+    from upflow_spark.registry import QUERIES
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = QUERIES["join_bloom_runtime_filter"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, "runtime bloom filter not injected"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before

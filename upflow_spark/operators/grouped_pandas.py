@@ -56,3 +56,68 @@ def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", "c_mktsegment", r4(F.col("bal_zscore_raw")).alias("bal_zscore")
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vs,
+         list(event_id ORDER BY ts, event_id) AS ids
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id,
+       unnest(ids) AS event_id,
+       unnest([
+         floor(list_sum([
+           vs[j] * CASE WHEN j = 1 THEN pow(0.5, i - 1)
+                        ELSE pow(0.5, i - j + 1) END
+           for j in range(1, i + 1)
+         ]) * 10000 + 0.5) / 10000
+         for i in range(1, len(vs) + 1)
+       ]) AS ewma
+FROM seq
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (alpha=0.5) of purchase
+    values, ordered by event time — the streaming-feature primitive behind
+    recency-weighted user state.
+
+    applyInPandas: one shuffle on user_id, then a vectorizable per-group
+    recurrence (inherently sequential within a key, embarrassingly parallel
+    across keys — exactly the applyInPandas sweet spot). alpha=0.5 keeps
+    every weight an exact power of two, so Spark and the oracle's expanded
+    power-sum agree bit-for-bit when both fold left-to-right.
+
+    Scale: per-group state is one float; group size = one user's history
+    (bounded); for unbounded keys use applyInPandasWithState
+    (stream_custom_state) instead.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        xs = pdf["value"].tolist()
+        out = []
+        for i in range(1, len(xs) + 1):
+            acc = 0.0
+            for j in range(1, i + 1):
+                w = 0.5 ** (i - 1) if j == 1 else 0.5 ** (i - j + 1)
+                acc += xs[j - 1] * w
+            out.append(acc)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma_raw": out}
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, event_id long, ewma_raw double"
+    )
+    return out.select("user_id", "event_id", r4("ewma_raw").alias("ewma"))

@@ -349,3 +349,63 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id", "user_id")
         .agg(F.count("view_id").alias("n_views_next_hour"))
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+SELECT purchase_id, user_id,
+       CASE WHEN within_tol THEN last_click_id END AS last_click_id,
+       CASE WHEN within_tol THEN last_click_ts END AS last_click_ts
+FROM (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         c.event_id AS last_click_id, c.ts AS last_click_ts,
+         c.ts IS NOT NULL AND c.ts >= p.ts - INTERVAL 1 HOUR AS within_tol
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour tolerance (pandas merge_asof semantics): the
+    user's latest click at/before each purchase, but only if it happened
+    within the last hour — older matches become NULL.
+
+    Because the as-of match is the LATEST prior click, "latest within
+    tolerance" == "latest, then null-if-stale": one residual filter on the
+    carried struct, no second window. Same single-shuffle union+last()
+    formulation as join_asof.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    timeline = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("purchase_id").isNotNull())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("click_id").isNotNull(), F.struct("click_id", "ts")),
+        ignorenulls=True,
+    ).over(w)
+    fresh = F.col("lc").isNotNull() & (
+        F.col("lc.ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        timeline.withColumn("lc", last_click)
+        .filter(F.col("purchase_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.when(fresh, F.col("lc.click_id")).alias("last_click_id"),
+            F.when(fresh, F.col("lc.ts")).alias("last_click_ts"),
+        )
+    )

@@ -173,3 +173,65 @@ def agg_skew_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         r4(F.sum("psum")).alias("sum_value"),
     )
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000 + 0.5) / 10000
+         AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim-filtered fact join with a runtime Bloom filter injected
+    on the fact side.
+
+    At 100 TB the win is pre-shuffle row pruning: the filtered orders side
+    builds a Bloom filter over o_orderkey; Catalyst injects might_contain()
+    into the lineitem scan branch, so non-matching fact rows die BEFORE the
+    exchange instead of after it (semi-join reduction). Spark gates the
+    rewrite on a 10 GB application-side scan, so at fixture scale we lower
+    the threshold for the demo; production keeps the default and the filter
+    fires exactly where it pays. tests/test_plans.py asserts might_contain
+    is present in the optimized plan.
+    """
+    conf = spark.conf
+    # At fixture scale two size heuristics veto the rewrite that 100 TB would
+    # trigger naturally: the 10 GB application-side floor, and "creation side
+    # is broadcastable, so there is no shuffle to prune". Open both for the
+    # demo window; restore after.
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: conf.get(k) for k in keys}
+    for k, v in keys.items():
+        conf.set(k, v)
+    try:
+        o = load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000)
+        )
+        li = load(spark, sf_dir, "lineitem")
+        df = (
+            li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                r4(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).alias("revenue"),
+            )
+        )
+        # materialize the optimized plan while the conf window is open —
+        # QueryExecution memoizes it, so later execution keeps the filter
+        df._jdf.queryExecution().optimizedPlan()
+        return df
+    finally:
+        for k, v in prev.items():
+            conf.set(k, v)

@@ -217,3 +217,39 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+SELECT user_id, event_id, ts,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                         AND CURRENT ROW)) * 10000 + 0.5) / 10000
+         AS val_1h
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour running sum per user — a RANGE frame bounded by a
+    time interval, not a row count.
+
+    Unlike rowsBetween, the frame contains however many events fall in the
+    hour (and all ts-peers, making it deterministic under ties). The
+    DataFrame API's rangeBetween only takes numeric offsets, so the
+    interval frame is expressed in SQL — same Catalyst WindowExec either
+    way, one shuffle on user_id.
+    """
+    load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).createOrReplaceTempView("events_win_range_v")
+    return spark.sql("""
+        SELECT user_id, event_id, ts,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                          AND CURRENT ROW) AS val_raw
+        FROM events_win_range_v
+    """).select(
+        "user_id", "event_id", "ts", r4(F.col("val_raw")).alias("val_1h")
+    )

@@ -56,6 +56,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.joins  # noqa: F401
     import upflow_spark.operators.misc_surfaces  # noqa: F401
     import upflow_spark.operators.projection  # noqa: F401
+    import upflow_spark.operators.reshape  # noqa: F401
     import upflow_spark.operators.scale_patterns  # noqa: F401
     import upflow_spark.operators.setops  # noqa: F401
     import upflow_spark.operators.sortlimit  # noqa: F401
@@ -63,6 +64,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.upsert  # noqa: F401
     import upflow_spark.operators.windows  # noqa: F401
     import upflow_spark.pipeline.ann_ivf  # noqa: F401
+    import upflow_spark.pipeline.cluster  # noqa: F401
     import upflow_spark.pipeline.dedup  # noqa: F401
     import upflow_spark.pipeline.sampling  # noqa: F401
     import upflow_spark.pipeline.similarity  # noqa: F401

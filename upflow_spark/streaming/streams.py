@@ -303,3 +303,56 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("batch_id").alias("n_batches"),
     )
+
+
+@query(
+    "stream_rocksdb_state",
+    oracle="""
+SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
+FROM events
+GROUP BY win_start, event_type
+""",
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation on the RocksDB state store provider.
+
+    Functionally the stream_tumbling shape (10-minute windows); the point is
+    the state backend: HDFSBackedStateStoreProvider keeps every key in
+    executor heap, which caps state at JVM memory — at 100 TB event scale a
+    keyed window/session state easily exceeds that. RocksDBStateStoreProvider
+    spills state to local SSD with incremental-changelog checkpointing, so
+    state size is bounded by disk, not heap. The provider is picked up from
+    SQLConf at query start; we set it for this query and restore after, so
+    sibling keys keep the default backend.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                r4(F.avg("value")).alias("avg_value"),
+            )
+            .select(
+                F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+                "event_type",
+                "n_events",
+                "avg_value",
+            )
+        )
+        return run_to_completion(agg, "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
