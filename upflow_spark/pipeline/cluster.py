@@ -109,3 +109,43 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
     )
+
+
+@query(
+    "dedup_apply_canonical",
+    oracle=f"""
+WITH RECURSIVE
+{_PAIRS_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT r.n, e.v AS m FROM reach r JOIN edges e ON e.u = r.m
+),
+cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+SELECT d.doc_id, d.lang, length(d.text) AS content_len
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id
+""",
+)
+def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: the document corpus with every
+    non-canonical near-duplicate dropped (docs outside any dup cluster pass
+    through; each cluster keeps its min-doc_id representative).
+
+    Composition: pair generation (banded SimHash) → connected components →
+    anti-join of losers against the corpus. The loser set is tiny relative
+    to the corpus, so it broadcasts; the corpus itself is never shuffled —
+    which is the property that matters when `documents` is the 100 TB side.
+    """
+    from upflow_spark.io import load
+
+    cc = dedup_cluster_cc(spark, sf_dir)
+    losers = cc.filter(~F.col("is_canonical")).select("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .select("doc_id", "lang", F.length("text").cast("long").alias("content_len"))
+    )
