@@ -198,3 +198,26 @@ def test_kmeans_ivf_recall_and_structure(spark):
     assert sims == sorted(sims, reverse=True)
     assert len({r["cell"] for r in rows}) <= NPROBE
     assert 0 not in got  # probe excluded from its own neighbor list
+
+
+def test_hll_sketch_error_bound_and_merge(spark):
+    """HLL estimates within 5% of exact; merged per-group sketches give
+    EXACTLY the same estimate as one direct global sketch (mergeability —
+    the property that makes sketch rollups scan-free)."""
+    from pyspark.sql import functions as F
+    from upflow_spark.io import load
+
+    rows = {r["o_orderpriority"]: r for r in QUERIES["agg_hll_sketch"](spark, SF).collect()}
+    union_est = rows.pop("__all__")["est_custs"]
+    for pri, r in rows.items():
+        assert abs(r["est_custs"] - r["exact_custs"]) / r["exact_custs"] < 0.05, (pri, r)
+    o = load(spark, SF, "orders")
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e"),
+        F.count_distinct("o_custkey").alias("x"),
+    ).collect()[0]
+    # not bit-equal: a direct sketch keeps its HIP estimator, a union
+    # invalidates HIP and falls back to the composite estimator — the
+    # register state is identical, the ESTIMATOR is path-dependent
+    assert abs(union_est - direct["e"]) / direct["e"] < 0.01, (union_est, direct["e"])
+    assert abs(union_est - direct["x"]) / direct["x"] < 0.05

@@ -121,3 +121,10 @@ def test_bloom_runtime_filter_injected(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in plan, "runtime bloom filter not injected"
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_dpp_partition_filter_injected(spark):
+    """join_dpp must show a dynamicpruningexpression inside the fact scan's
+    PartitionFilters — the runtime analogue of static partition pruning."""
+    plan = plan_of(spark, "join_dpp")
+    assert "dynamicpruningexpression" in plan, "DPP not injected"

@@ -87,3 +87,35 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("name_md5"),
         F.sha2(F.col("c_name"), 256).alias("name_sha256"),
     )
+
+
+@query(
+    "str_regexp_extract_all",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Z][a-z]{3,}')) AS BIGINT)
+         AS n_capwords,
+       CASE WHEN len(regexp_extract_all(text, '[A-Z][a-z]{3,}')) > 0
+            THEN regexp_extract_all(text, '[A-Z][a-z]{3,}')[1] END
+         AS first_capword,
+       CASE WHEN len(regexp_extract_all(text, '[0-9]+')) > 0
+            THEN CAST(regexp_extract_all(text, '[0-9]+')[1] AS BIGINT) END
+         AS first_number
+FROM documents
+""",
+)
+def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all over document text: capitalized-word count, first
+    capitalized word, first number — array-producing regex kept
+    oracle-safe by projecting scalars (count + null-safe get()) instead of the
+    raw arrays (container rendering differs across engines).
+    """
+    d = load(spark, sf_dir, "documents")
+    caps = F.regexp_extract_all("text", F.lit(r"[A-Z][a-z]{3,}"))
+    nums = F.regexp_extract_all("text", F.lit(r"[0-9]+"))
+    return d.select(
+        "doc_id",
+        F.size(caps).cast("long").alias("n_capwords"),
+        F.get(caps, 0).alias("first_capword"),
+        F.get(nums, 0).cast("long").alias("first_number"),
+    )

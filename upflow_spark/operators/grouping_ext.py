@@ -10,7 +10,7 @@ list at scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
@@ -114,4 +114,78 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
         .count()
         .na.fill(0)
+    )
+
+
+@query("agg_hll_sketch")  # rows-only: sketch estimates are binary/approximate
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 3.5+ builtins):
+    per-priority distinct-customer sketches, merged to a global estimate.
+
+    The 100 TB property is MERGEABILITY: per-partition/per-day sketches are
+    tiny (<= lgK 2^12 bytes), persistable, and hll_union_agg combines them
+    without rescanning history — count-distinct over any rollup becomes an
+    O(sketch) merge instead of an O(data) scan. tests/test_ops.py bounds the
+    estimate error against exact counts and checks union(sketches) ==
+    direct global sketch.
+    """
+    o = load(spark, sf_dir, "orders")
+    per_pri = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_custs"),
+    )
+    return (
+        per_pri.select(
+            "o_orderpriority",
+            F.hll_sketch_estimate("sk").alias("est_custs"),
+            "exact_custs",
+        )
+        .unionByName(
+            per_pri.agg(
+                F.lit("__all__").alias("o_orderpriority"),
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_custs"),
+                F.lit(None).cast("long").alias("exact_custs"),
+            )
+        )
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+SELECT c_mktsegment, modal_nation, n_custs
+FROM (
+  SELECT c_mktsegment, c_nationkey AS modal_nation, count(*) AS n_custs,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY count(*) DESC, c_nationkey ASC) AS rn
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey
+)
+WHERE rn = 1
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group, tie-broken deterministically.
+
+    Built-in mode() is nondeterministic on ties (both in Spark and DuckDB,
+    and differently so) — the portable formulation is count + ranking
+    window with an explicit tie-break, which also generalizes to top-N
+    modes. Two-phase: the groupBy pre-aggregates (map-side combine), the
+    window only sees |segments|x|nations| rows.
+    """
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n_custs").desc(), F.col("c_nationkey").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("modal_nation"),
+            "n_custs",
+        )
     )

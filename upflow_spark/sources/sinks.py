@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.parity import r4
 from upflow_spark.registry import query
 
 
@@ -53,4 +54,42 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "join_dpp",
+    oracle="""
+SELECT p.p_brand, count(*) AS n_parts,
+       floor((sum(p.p_retailprice)) * 10000 + 0.5) / 10000 AS sum_price
+FROM part p
+JOIN (SELECT DISTINCT p_brand FROM part WHERE p_size <= 2) hot
+  ON p.p_brand = hot.p_brand
+GROUP BY p.p_brand
+""",
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a brand-partitioned fact joined to a dim
+    whose qualifying keys are only known at RUNTIME (brands that carry size<=2 parts). Catalyst turns the broadcast dim into a dynamicpruning#N subquery
+    inside the fact scan's PartitionFilters, so non-qualifying partition
+    DIRECTORIES are skipped — static pruning can't do this (the filter isn't
+    a literal), and at 100 TB it's the difference between scanning 3 brands
+    and scanning all of them.
+    """
+    p = load(spark, sf_dir, "part")
+    out = tempfile.mkdtemp(prefix="upflow_dpp_") + "/part"
+    p.write.mode("overwrite").partitionBy("p_brand").parquet(out)
+    fact = spark.read.parquet(out)
+    hot = (
+        p.filter(F.col("p_size") <= 2)
+        .select(F.col("p_brand").alias("hot_brand"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(hot), fact.p_brand == F.col("hot_brand"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            r4(F.sum("p_retailprice")).alias("sum_price"),
+        )
     )
