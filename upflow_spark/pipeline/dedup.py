@@ -82,40 +82,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SETS of long docs are near-identical — a 0.8 threshold admits millions
     of pairs at sf0.1; 0.95 keeps the op selective on this data.)
 
-    Exact formulation for the oracle; `dedup_near_minhash_lsh` is the
-    banded-LSH variant that replaces the all-pairs join at 100 TB.
+    Exact formulation for the oracle, computed via `_jaccard_pairs_bitmask`
+    (vocabulary bitmask encoding — see its docstring for why the per-term
+    equi-join melts down on small vocabularies); `dedup_near_minhash_lsh`
+    is the banded-LSH variant for open vocabularies at 100 TB.
     """
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).distinct()
-    card = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
-    # length filter (semantics-preserving): jaccard ≤ min(|A|,|B|)/max(|A|,|B|),
-    # so J ≥ 0.95 implies cardinalities within 5% — pruned INSIDE the pair
-    # join, which cuts the quadratic intermediate, not just the output
-    tok_c = tok.join(F.broadcast(card), "doc_id")
-    a = tok_c.alias("a")
-    b = tok_c.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n_terms") >= F.col("b.n_terms") * 0.95)
-            & (F.col("b.n_terms") >= F.col("a.n_terms") * 0.95),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_terms").alias("terms_a"))
-    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n_terms").alias("terms_b"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("terms_a") + F.col("terms_b") - F.col("n_common")
-    )
-    return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .filter(jac >= 0.95)
-        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
-    )
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("item")).distinct()
+    pairs = _jaccard_pairs_bitmask(spark, tok, 0.95)
+    return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard"))
 
 
 @query("dedup_near_minhash_lsh")  # rows-only: LSH bucketing is engine-specific
@@ -130,8 +105,12 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.array_distinct(tokens_col()).alias("terms")).filter(
-        F.size("terms") > 0
+    # single-file fixture -> 1 partition; approxSimilarityJoin's bucket
+    # explode + verify must be spread BEFORE the model sees the data
+    tok = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.array_distinct(tokens_col()).alias("terms"))
+        .filter(F.size("terms") > 0)
     )
     tf = HashingTF(inputCol="terms", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(tok)
@@ -145,6 +124,78 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             r4(1 - F.col("jaccard_dist")).alias("jaccard_approx"),
         )
+    )
+
+
+def _jaccard_pairs_bitmask(spark, items: DataFrame, threshold: float) -> DataFrame:
+    """All doc pairs with exact Jaccard >= threshold over a BOUNDED item
+    vocabulary, via bitmask set encoding.
+
+    items: distinct (doc_id, item). Each document's item set becomes
+    ceil(|V|/62) long-typed mask words; Jaccard is then
+    bit_count(AND)/(|A|+|B|-bit_count(AND)) — pure codegen'd integer
+    arithmetic over a repartitioned O(n²) pair join.
+
+    Why not the classic per-item equi-join? On a small vocabulary every
+    item is shared by thousands of docs, so the join intermediate is
+    Σ_item (docs_per_item)² rows funneled through ~|V| join keys — skew +
+    partial-agg spill (measured: 9+ min at sf0.1 vs seconds for this
+    encoding; DuckDB's vectorized agg hides the same blowup locally but a
+    cluster shuffle would not). The length prefilter (|A|,|B| within the
+    threshold ratio) prunes inside the pair join. For OPEN vocabularies the
+    mask grows — that regime belongs to dedup_near_minhash_lsh; the 100 TB
+    equivalent of this encoding is a Roaring bitmap index.
+    """
+    from pyspark.sql import Window
+
+    n_vocab = items.select("item").distinct().count()
+    n_words = max(1, (n_vocab + 61) // 62)
+    # single-task ranking window over |V| rows — fine for bounded vocabs
+    vid = (
+        items.select("item")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("item")) - 1)
+    )
+    t = items.join(F.broadcast(vid), "item").select("doc_id", "tid")
+    word_of = F.floor(F.col("tid") / 62).cast("int")
+    # SQL shiftleft takes column args; the pyspark wrapper insists on an int
+    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 62 AS INT))")
+    masks = t.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(word_of == w, bit_value).otherwise(F.lit(0).cast("long"))
+            ).alias(f"m{w}")
+            for w in range(n_words)
+        ],
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    a = masks.repartition(par).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_items").alias("na"),
+        *[F.col(f"m{w}").alias(f"a{w}") for w in range(n_words)],
+    )
+    b = masks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_items").alias("nb"),
+        *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
+    )
+    ratio = F.lit(float(threshold))
+    pairs = a.join(
+        b,
+        (F.col("doc_a") < F.col("doc_b"))
+        # length prefilter: J >= t implies min/max cardinality ratio >= t
+        & (F.col("na") >= F.col("nb") * ratio)
+        & (F.col("nb") >= F.col("na") * ratio),
+    )
+    inter = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))) for w in range(n_words)
+    ).cast("long")
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        pairs.withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= threshold)
+        .select("doc_a", "doc_b", "jac_raw")
     )
 
 
@@ -220,24 +271,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
-    sh = d.select("doc_id", F.explode(bigrams).alias("shingle")).distinct()
-    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sh_a"))
-    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sh_b"))
-    jac = F.col("n_common").cast("double") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common"))
-    return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
-    )
+    sh = d.select("doc_id", F.explode(bigrams).alias("item")).distinct()
+    pairs = _jaccard_pairs_bitmask(spark, sh, 0.5)
+    return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard"))
 
 
 @query(
@@ -256,7 +292,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ann_lsh buckets first, then verify with this exact cosine.
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", _unit("embedding").alias("emb"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    # the fixture parquet is ONE file -> one partition; without an explicit
+    # repartition the broadcast-nested-loop pair join runs the whole O(n^2)
+    # HOF workload on a single core (measured 9+ min at sf0.1 -> seconds)
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
     cos = _cos(F.col("emb_a"), F.col("emb_b"))
     return (
@@ -299,46 +340,41 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped, then exact Hamming ≤ 4 verification. This is the 100 TB
     candidate generator for dedup_simhash signatures.
     """
-    sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    # signature as a LONG: Hamming becomes bit_count(xor) — one codegen'd
+    # instruction chain per candidate instead of a 32-substring HOF (this
+    # rewrite took the sf0.1 run from 156 s to seconds: templated fixture
+    # docs make band buckets huge, so per-candidate cost dominates)
+    sig = dedup_simhash(spark, sf_dir).select(
+        "doc_id", F.conv("simhash", 2, 10).cast("long").alias("sig")
+    )
     bands = sig.select(
         "doc_id",
-        "simhash",
+        "sig",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band_idx"),
-                    F.substring("simhash", 1 + 8 * i, 8).alias("band_val"),
+                    F.shiftright("sig", 8 * i).bitwiseAND(F.lit(255)).alias("band_val"),
                 )
                 for i in range(4)
             ])
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    ).select("doc_id", "sig", "band.band_idx", "band.band_val")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])  # pair may share several bands
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long").alias(
+            "hamming"
+        ),
     )
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(32)),
-            lambda i: F.substring("sig_a", 1, 32).substr(i, F.lit(1))
-            != F.substring("sig_b", 1, 32).substr(i, F.lit(1)),
-        )
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    # verify BEFORE deduplicating: the Hamming filter is codegen'd and cuts
+    # the candidate stream ~10x, so the distinct's shuffle sees only
+    # survivors (a pair can match in up to 4 bands)
+    return cand.filter(F.col("hamming") <= 3).dropDuplicates(["doc_a", "doc_b"])

@@ -79,7 +79,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialized to one node.
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", _unit("embedding").alias("emb"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    # the fixture parquet is ONE file -> one partition; without an explicit
+    # repartition the broadcast-nested-loop pair join runs the whole O(n^2)
+    # HOF workload on a single core (measured 9+ min at sf0.1 -> seconds)
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
     cos = _cos(F.col("emb_a"), F.col("emb_b"))
     return (

@@ -93,3 +93,45 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("p_retailprice")).alias("sum_price"),
         )
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n_rows,
+       count(*) AS n_null_priority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), count(*), CAST(0 AS BIGINT)
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 was written BEFORE o_orderpriority
+    existed; batch 2 after. mergeSchema=true unions the file schemas and
+    null-fills the missing column — the only sane posture for a 100 TB
+    table whose schema widened over its lifetime.
+
+    Scale note: mergeSchema reads every file footer at planning time — fine
+    per-batch, expensive over millions of files; production pins the merged
+    schema in a catalog and passes .schema() explicitly (footer reads drop
+    to zero). The null-fill semantics exercised here are identical.
+    """
+    o = load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="upflow_evo_") + "/orders"
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(out + "/batch=1")
+    new.write.mode("overwrite").parquet(out + "/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy(F.col("batch").cast("long").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("o_orderpriority").isNull()).alias("n_null_priority"),
+        )
+    )
