@@ -93,30 +93,37 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         load(spark, sf_dir, "embeddings")
+        # single-file fixture -> 1 partition; the per-row K x dim dot-product
+        # expression is the hot loop, spread it across cores before persist
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", _unit("embedding").alias("emb"))
         .persist()
     )
 
-    def lit_vec(vals):  # noqa: ANN001, ANN202
-        return F.array(*[F.lit(float(v)) for v in vals])
-
     def best_cell(cents):  # noqa: ANN001, ANN202
-        # argmax over K dot products; struct array_max = (score, cell) max,
-        # deterministic on score ties via the cell field
-        scored = F.array(*[
-            F.named_struct(
-                F.lit("s"),
-                F.aggregate(
-                    F.zip_with(F.col("emb"), lit_vec(c), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda s, v: s + v,
-                ),
-                F.lit("cell"),
-                F.lit(k),
-            )
-            for k, c in enumerate(cents)
-        ])
-        return F.array_max(scored).getField("cell")
+        # argmax over K dot products as ONE Arrow-batched matmul. The
+        # expression-tree alternative (K named_structs of zip_with/aggregate
+        # HOFs over dim literals) forces a full codegen recompile every
+        # iteration because the centroid literals change — measured ~2 s
+        # compile x 4 passes; the pandas UDF is compile-free and the
+        # (batch x dim) @ (dim x K) product is exactly what BLAS is for.
+        # NESTED function on purpose: module-level callables cloudpickle by
+        # reference and break when the driver cwd isn't the repo.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import IntegerType
+
+        C = np.asarray(cents, dtype=np.float64).T  # dim x K
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them and pyspark's hint inference rejects the strings
+        @pandas_udf(IntegerType())
+        def _assign(emb):  # noqa: ANN001, ANN202
+            M = np.vstack(emb.to_numpy())  # batch x dim
+            return pd.Series((M @ C).argmax(axis=1).astype("int32"))
+
+        return _assign("emb")
 
     # deterministic seeding: the first K vectors by vec_id
     cents = [
@@ -158,6 +165,7 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", _unit("embedding").alias("emb"))
         .withColumn("cell", best_cell(cents).cast("long"))
         .filter(F.col("cell").isin([int(k) for k in probed]) & (F.col("vec_id") != 0))

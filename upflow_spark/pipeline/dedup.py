@@ -98,7 +98,7 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH near-dup candidates — the 100 TB path.
 
     Token sets → sparse vectors (HashingTF) → MinHashLSH approxSimilarityJoin
-    at Jaccard distance ≤ 0.2. Banding means candidate generation is
+    at Jaccard distance ≤ 0.05 (the exact key's 0.95 threshold). Banding means candidate generation is
     bucket-local (no all-pairs shuffle). Rows-only: hash buckets aren't
     SQL-reproducible; tests/test_ops.py cross-checks against the exact key.
     """
@@ -116,7 +116,7 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(tok)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feats, feats, 0.05, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(

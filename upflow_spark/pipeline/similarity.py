@@ -247,7 +247,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load(spark, sf_dir, "embeddings")
+    # single-file fixture -> 1 partition; spread BEFORE fit/join or the
+    # bucket explode + pair verify runs on one core
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     feats = e.select(
         "vec_id", array_to_vector(_dbl("embedding")).alias("features")
     )
