@@ -1,0 +1,174 @@
+"""End-to-end training-data curation surfaces: the composed funnel a
+pretraining pipeline actually runs (filter → dedup → split), plus embedding
+quantization — each stage already exists as a standalone key; these prove
+the COMPOSITION matches the oracle too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.pipeline.cluster import _PAIRS_CTE, dedup_cluster_cc
+from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
+from upflow_spark.registry import query
+
+_SQL_QUALITY = f"""floor((least(CAST(n_chars AS DOUBLE) / 300.0, 1.0) * 0.4
+  + (1.0 - CAST(len(list_filter({SQL_TOKENS}, t -> len(t) <= 2)) AS DOUBLE)
+          / len({SQL_TOKENS})) * 0.3
+  + CAST(len(list_distinct({SQL_TOKENS})) AS DOUBLE) / len({SQL_TOKENS}) * 0.3)
+  * 10000 + 0.5) / 10000"""
+
+
+@query(
+    "pipeline_curation_funnel",
+    oracle=f"""
+WITH RECURSIVE
+{_PAIRS_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT r.n, e.v AS m FROM reach r JOIN edges e ON e.u = r.m
+),
+cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+losers AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+s1 AS (SELECT * FROM documents),
+s2 AS (SELECT * FROM s1
+       QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+s4 AS (SELECT * FROM s3 WHERE {_SQL_QUALITY} >= 0.55),
+s5 AS (SELECT * FROM s4
+       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 7))
+                  AS BIGINT) % 10 < 8)
+SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage, count(*) AS n_docs FROM s1
+UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup', count(*) FROM s2
+UNION ALL SELECT CAST(3 AS BIGINT), 'near_dedup', count(*) FROM s3
+UNION ALL SELECT CAST(4 AS BIGINT), 'quality', count(*) FROM s4
+UNION ALL SELECT CAST(5 AS BIGINT), 'train_split', count(*) FROM s5
+""",
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as one plan: per-stage survivor counts for
+    raw → exact-dedup (min doc_id per identical text) → near-dedup (SimHash
+    CC canonical only) → quality floor (≥ 0.55) → train split (hash bucket
+    < 8).
+
+    Stage order matters and is the production order: dedup BEFORE the
+    quality/split stages so identical content can't straddle splits. Each
+    narrowing reuses the previous stage's DataFrame, so Spark plans one
+    lineage with five count branches — the corpus is scanned, not
+    re-derived, per stage; only the tiny CC loser set is broadcast.
+    """
+    d0 = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    d1 = d0.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    losers = dedup_cluster_cc(spark, sf_dir).filter(~F.col("is_canonical")).select("doc_id")
+    d2 = d1.join(F.broadcast(losers), "doc_id", "left_anti")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    len_score = F.least(F.col("n_chars").cast("double") / 300.0, F.lit(1.0))
+    short_ratio = F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / n_tokens
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quality = len_score * 0.4 + (1.0 - short_ratio) * 0.3 + diversity * 0.3
+    d3 = d2.filter(r4(quality) >= 0.55)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 7),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    d4 = d3.filter(bucket < 8)
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).cast("long").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(1, "raw", d0)
+        .unionAll(stage(2, "exact_dedup", d1))
+        .unionAll(stage(3, "near_dedup", d2))
+        .unionAll(stage(4, "quality", d3))
+        .unionAll(stage(5, "train_split", d4))
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+SELECT vec_id, n_dims,
+       floor((scale) * 10000 + 0.5) / 10000 AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       floor((sqrt(list_sum([pow(emb_d[i] - q[i] * scale, 2)
+                             for i in range(1, len(emb_d) + 1)])))
+             * 10000 + 0.5) / 10000 AS recon_err
+FROM (
+  SELECT vec_id, emb_d, scale, CAST(len(emb_d) AS BIGINT) AS n_dims,
+         list_transform(emb_d,
+           v -> greatest(-127.0, least(127.0, floor(v / scale + 0.5)))) AS q
+  FROM (
+    SELECT vec_id, emb_d,
+           CASE WHEN list_max(list_transform(emb_d, v -> abs(v))) = 0 THEN 1.0
+                ELSE list_max(list_transform(emb_d, v -> abs(v))) / 127.0 END AS scale
+    FROM (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+      FROM embeddings
+    )
+  )
+)
+""",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the standard 4× storage/bandwidth cut before ANN indexing at scale.
+
+    scale = max|x| / 127; q_i = clamp(floor(x_i/scale + 0.5), ±127). The
+    half-up floor formulation (not round()) is engine-portable: Spark
+    HALF_UP and DuckDB HALF_EVEN disagree at .5 boundaries, floor(x+0.5)
+    is the same everywhere. Output is scalars (dims, scale, q checksum,
+    reconstruction error) — the quantized array itself stays distributed;
+    map-only, no shuffle at any width.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb_d")
+    )
+    amax = F.array_max(F.transform("emb_d", F.abs))
+    e = e.withColumn("scale", F.when(amax == 0, F.lit(1.0)).otherwise(amax / 127.0))
+    q = F.transform(
+        "emb_d",
+        lambda v: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(v / F.col("scale") + F.lit(0.5)).cast("double"),
+            ),
+        ),
+    )
+    e = e.withColumn("q", q)
+    err_terms = F.zip_with(
+        "emb_d", "q", lambda v, qq: F.pow(v - qq * F.col("scale"), F.lit(2.0))
+    )
+    # err is projected BEFORE the select that aliases the r4-rounded value
+    # as "scale": Spark's lateral-column-alias resolution would otherwise
+    # bind err_terms' F.col("scale") to the ROUNDED sibling alias and
+    # silently inflate the reconstruction error ~4x
+    e = e.withColumn(
+        "err_raw", F.sqrt(F.aggregate(err_terms, F.lit(0.0), lambda s, x: s + x))
+    )
+    return e.select(
+        "vec_id",
+        F.size("emb_d").cast("long").alias("n_dims"),
+        r4(F.col("scale")).alias("scale"),
+        F.aggregate("q", F.lit(0.0), lambda s, v: s + v).cast("long").alias("q_sum"),
+        r4(F.col("err_raw")).alias("recon_err"),
+    )

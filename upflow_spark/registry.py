@@ -66,6 +66,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.windows  # noqa: F401
     import upflow_spark.pipeline.ann_ivf  # noqa: F401
     import upflow_spark.pipeline.cluster  # noqa: F401
+    import upflow_spark.pipeline.curation  # noqa: F401
     import upflow_spark.pipeline.dedup  # noqa: F401
     import upflow_spark.pipeline.sampling  # noqa: F401
     import upflow_spark.pipeline.similarity  # noqa: F401

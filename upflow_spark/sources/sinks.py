@@ -135,3 +135,55 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("o_orderpriority").isNull()).alias("n_null_priority"),
         )
     )
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+SELECT 'small' AS phase, count(*) AS n_rows FROM orders
+UNION ALL
+SELECT 'compacted', count(*) FROM orders
+""",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the maintenance op every long-lived 100 TB
+    table needs. A fragmented write (64 splinter files here; in production,
+    thousands of per-micro-batch or per-task files) is rewritten to
+    size-targeted files with one coalesce pass.
+
+    coalesce(), not repartition(): compaction must not shuffle — it only
+    merges read splits, so the rewrite cost is one scan + one write. The
+    target file count is ceil(bytes / 128 MB); a real deployment drives
+    this from file-listing stats exactly as done here (and compacts only
+    partitions whose file count exceeds a threshold, rather than the whole
+    table). Row-count identity across the rewrite is the oracle check;
+    tests assert the file count actually dropped.
+    """
+    import math
+    import os
+
+    o = load(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="upflow_compact_")
+    small_dir = base + "/small"
+    compact_dir = base + "/compacted"
+    o.repartition(64).write.mode("overwrite").parquet(small_dir)
+
+    def parquet_files(d: str) -> list[str]:
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(small_dir, f)) for f in parquet_files(small_dir)
+    )
+    target = max(1, math.ceil(total_bytes / (128 << 20)))
+    small = spark.read.parquet(small_dir)
+    small.coalesce(target).write.mode("overwrite").parquet(compact_dir)
+    n_small = len(parquet_files(small_dir))
+    n_compact = len(parquet_files(compact_dir))
+    assert n_compact <= target < n_small
+    back_small = spark.read.parquet(small_dir).agg(
+        F.lit("small").alias("phase"), F.count(F.lit(1)).alias("n_rows")
+    )
+    back_compact = spark.read.parquet(compact_dir).agg(
+        F.lit("compacted").alias("phase"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return back_small.unionAll(back_compact)
