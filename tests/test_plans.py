@@ -128,3 +128,28 @@ def test_dpp_partition_filter_injected(spark):
     PartitionFilters — the runtime analogue of static partition pruning."""
     plan = plan_of(spark, "join_dpp")
     assert "dynamicpruningexpression" in plan, "DPP not injected"
+
+
+def test_q6_every_predicate_pushed(spark):
+    plan = plan_of(spark, "q_forecast_revenue_change")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quant"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_tax" not in read
+
+
+def test_q19_disjunction_factored_to_both_scans(spark):
+    """Catalyst must split the OR-of-conjunctions: quantity hull on the
+    lineitem scan, brand/size disjunction on the part scan — the classic
+    Q19 optimizer behavior."""
+    plan = plan_of(spark, "q_disjunctive_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    fact = [ln for ln in pushed if "l_quantity" in ln]
+    dim = [ln for ln in pushed if "p_brand" in ln]
+    assert fact and "Or(" in fact[0], f"quantity hull not pushed: {pushed}"
+    assert dim and "Or(" in dim[0], f"brand/size disjunction not pushed: {pushed}"
+
+
+def test_quantize_is_map_only(spark):
+    assert n_exchanges(plan_of(spark, "emb_quantize_int8")) == 0

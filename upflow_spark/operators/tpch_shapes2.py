@@ -495,9 +495,10 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt/commit dates in this schema).
 
     EXISTS -> left_semi on (orderkey, suppkey<>) ; NOT EXISTS -> left_anti
-    against the late subset. Both probes reuse the same orderkey-keyed
-    shuffle layout as the driving join, so AQE coalesces them into one
-    exchange lineage rather than three independent scans."""
+    against the late subset. All three probes key on l_orderkey: at fixture
+    scale the filtered probe sides broadcast; at 100 TB they degrade
+    gracefully to sort-merge probes sharing the driving join's orderkey
+    shuffle layout instead of three independent scans."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
