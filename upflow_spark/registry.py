@@ -47,6 +47,7 @@ def load_all_modules() -> None:
     import upflow_spark.functions.datetime  # noqa: F401
     import upflow_spark.functions.json_props  # noqa: F401
     import upflow_spark.functions.math  # noqa: F401
+    import upflow_spark.functions.modern  # noqa: F401
     import upflow_spark.functions.scalar_ext  # noqa: F401
     import upflow_spark.functions.strings  # noqa: F401
     import upflow_spark.operators.aggregates  # noqa: F401
