@@ -44,6 +44,9 @@ def load_all_modules() -> None:
     """Import every operator module so registration side effects run."""
     # local import to avoid cycles at package import time
     import upflow_spark.functions.arrays  # noqa: F401
+    import upflow_spark.functions.breadth  # noqa: F401
+    import upflow_spark.functions.breadth2  # noqa: F401
+    import upflow_spark.functions.breadth3  # noqa: F401
     import upflow_spark.functions.datetime  # noqa: F401
     import upflow_spark.functions.json_props  # noqa: F401
     import upflow_spark.functions.math  # noqa: F401
