@@ -53,3 +53,41 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_linenumber", "measure", r4("value_raw").alias("value")
         )
     )
+
+
+@query(
+    "reshape_transpose",
+    oracle="""
+SELECT 'sum_qty' AS key,
+       floor((sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)) * 10000 + 0.5) / 10000 AS A,
+       floor((sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)) * 10000 + 0.5) / 10000 AS N,
+       floor((sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)) * 10000 + 0.5) / 10000 AS R
+FROM lineitem
+UNION ALL
+SELECT 'sum_rev',
+       floor((sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END)) * 10000 + 0.5) / 10000,
+       floor((sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END)) * 10000 + 0.5) / 10000,
+       floor((sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END)) * 10000 + 0.5) / 10000
+FROM lineitem
+""",
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.transpose (Spark 4): flip a small aggregate so measures become rows
+    and group values become columns.
+
+    Transpose collects the frame to the driver by design — ONLY legal after
+    aggregation has reduced it to grouped-summary size (here 3 flags x 2
+    measures); never transpose raw data at scale. The oracle spells the same
+    flip as conditional aggregates.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum(rev)).alias("sum_rev"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return agg.transpose()

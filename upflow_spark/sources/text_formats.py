@@ -130,3 +130,42 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum("value")).alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS total_price,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+WHERE o_totalprice > 300000.0
+GROUP BY o_orderstatus
+""",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → XML → schema'd read-back → aggregate == original's oracle.
+
+    XML is built into Spark 4 (the former spark-xml package): rowTag framing,
+    schema-directed parse, same partition-parallel scan as csv/json. Doubles
+    survive the text round-trip via shortest-precise repr, like CSV.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    out = tempfile.mkdtemp(prefix="upflow_xml_") + "/orders"
+    o.write.format("xml").option("rootTag", "orders").option("rowTag", "order").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(o.schema)
+        .load(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r4(F.sum("o_totalprice")).alias("total_price"),
+        F.min("o_orderkey").alias("first_key"),
+    )
