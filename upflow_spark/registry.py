@@ -73,6 +73,7 @@ def load_all_modules() -> None:
     import upflow_spark.pipeline.cluster  # noqa: F401
     import upflow_spark.pipeline.curation  # noqa: F401
     import upflow_spark.pipeline.dedup  # noqa: F401
+    import upflow_spark.pipeline.llmprep  # noqa: F401
     import upflow_spark.pipeline.sampling  # noqa: F401
     import upflow_spark.pipeline.similarity  # noqa: F401
     import upflow_spark.pipeline.multimodal  # noqa: F401
@@ -83,5 +84,6 @@ def load_all_modules() -> None:
     import upflow_spark.sources.scans  # noqa: F401
     import upflow_spark.sources.text_formats  # noqa: F401
     import upflow_spark.sources.sinks  # noqa: F401
+    import upflow_spark.streaming.py_stream_source  # noqa: F401
     import upflow_spark.streaming.stateful  # noqa: F401
     import upflow_spark.streaming.streams  # noqa: F401
