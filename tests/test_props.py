@@ -90,3 +90,59 @@ def test_cosine_self_similarity_is_one(spark, vec):
     df = spark.createDataFrame([(vec,)], "emb array<float>")
     got = df.select(_cos(_unit("emb"), _unit("emb")).alias("c")).collect()[0]["c"]
     assert abs(got - 1.0) < 1e-9
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 <= char entropy <= ln(distinct chars) for every document."""
+    import math
+
+    from upflow_spark import QUERIES
+
+    rows = QUERIES["text_char_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["char_entropy"] <= math.log(r["n_distinct_chars"]) + 1e-6, r
+
+
+def test_temperature_weights_normalize(spark, sf_dir):
+    """Sampling weights are a distribution and order languages by volume."""
+    from upflow_spark import QUERIES
+
+    rows = QUERIES["sample_temperature_weights"](spark, sf_dir).collect()
+    assert abs(sum(r["sample_weight"] for r in rows) - 1.0) < 5e-4  # r4 rounding
+    by_tokens = sorted(rows, key=lambda r: r["lang_tokens"])
+    by_weight = sorted(rows, key=lambda r: r["sample_weight"])
+    assert [r["lang"] for r in by_tokens] == [r["lang"] for r in by_weight]
+
+
+def test_pack_bins_are_budgeted(spark, sf_dir):
+    """Every bin except a language's last holds < 2048 + one-doc overflow."""
+    from upflow_spark import QUERIES
+
+    rows = QUERIES["pack_token_bins"](spark, sf_dir).collect()
+    assert rows
+    last_bin = {}
+    for r in rows:
+        last_bin[r["lang"]] = max(last_bin.get(r["lang"], -1), r["bin_id"])
+    bins_of = {}
+    for r in rows:
+        bins_of.setdefault(r["lang"], set()).add(r["bin_id"])
+    for lang, bins in bins_of.items():
+        # bin ids are contiguous from 0 (cumsum-derived, no gaps)
+        assert bins == set(range(last_bin[lang] + 1)), (lang, sorted(bins))
+    # bin b's docs occupy cumsum range [first-start, next bin's first-start):
+    # a bin underflows 2048 only by the previous bin's overflow and overflows
+    # only by its own last doc — both bounded by one document's tokens
+    max_doc = 2048  # corpus docs are well under one budget
+    for r in rows:
+        if r["bin_id"] < last_bin[r["lang"]]:
+            assert 2048 - max_doc < r["bin_tokens"] < 2048 + max_doc, r
+
+
+def test_decontaminate_counts_are_consistent(spark, sf_dir):
+    from upflow_spark import QUERIES
+
+    rows = QUERIES["curation_decontaminate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_contaminated"] + r["n_kept"] == r["n_docs"], r

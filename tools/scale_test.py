@@ -1,0 +1,126 @@
+"""Empirical scaling probe: run representative operators at sf0.1 and at a
+synthesized 10x replica (sf≈1) and record wall-clock ratios → SCALE.md.
+
+The sf1 tables are built by stacking 10 key-offset replicas of sf0.1, with
+JOIN KEYS offset consistently across table pairs (orderkey in orders+lineitem,
+custkey in customer+orders, user_id/event_id in events) so per-group and
+per-join-key cardinalities stay constant — i.e. the data grows 10x the way a
+real workload grows (more entities), not by inflating hot keys. A
+near-linear time ratio (~10x work on 32 cores ⇒ well under 10x wall) is the
+evidence that the plan shapes hold at scale; a super-linear blowup flags a
+shuffle or skew problem.
+
+Run: python tools/scale_test.py   (writes /tmp/upflow_sf1 once, then SCALE.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/upflow_sf1"
+REPLICAS = 10
+
+# key columns to offset per table: col -> stride (max key + headroom)
+OFFSETS = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+}
+
+PROBE_KEYS = [
+    # key, tables it reads (for context in SCALE.md)
+    ("agg_groupby", "lineitem"),
+    ("join_shuffle_equi", "orders ⋈ lineitem"),
+    ("win_row_number_topk", "orders (per-customer windows)"),
+    ("dedup_keep_latest", "events"),
+    ("text_tokenize_wordcount", "documents (10x replicated rows)"),
+    ("sim_centroid_per_label", "embeddings (10x replicated rows)"),
+]
+
+# documents/embeddings have no cross-table joins in the probe keys — replicate
+# rows with offset ids only
+SIMPLE_OFFSETS = {
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+
+
+def build_sf1(spark) -> None:
+    from upflow_spark.io import TABLES, load
+
+    os.makedirs(SF1, exist_ok=True)
+    for t in TABLES:
+        dst = f"{SF1}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = load(spark, SF01, t)
+        offs = {**OFFSETS, **SIMPLE_OFFSETS}.get(t)
+        if t == "events":
+            # write back raw nanos so the sf1 dir round-trips through load()
+            df = df.drop("ts").withColumnRenamed("ts_ns", "ts")
+        if offs is None:
+            out = df  # dims (region/nation/part/supplier) stay as-is
+        else:
+            parts = []
+            for r in range(REPLICAS):
+                p = df
+                for col, stride in offs.items():
+                    p = p.withColumn(col, F.col(col) + F.lit(r * stride))
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"built {dst}", flush=True)
+
+
+def time_key(spark, key: str, sf_dir: str) -> float:
+    from upflow_spark import QUERIES
+
+    QUERIES[key](spark, sf_dir).collect()  # warm
+    t0 = time.perf_counter()
+    QUERIES[key](spark, sf_dir).collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from upflow_spark.session import get_spark
+
+    spark = get_spark("upflow-scale")
+    build_sf1(spark)
+
+    lines = [
+        "# SCALE — measured 10x scaling ratios",
+        "",
+        "sf0.1 vs a 10x key-offset replica (see tools/scale_test.py for the",
+        "construction — per-key cardinalities held constant). local[32], warm",
+        "(2nd run). Near-linear ratios (≤ ~10x, usually far less while cores",
+        "are idle at sf0.1) mean the plan shape holds; super-linear flags a",
+        "shuffle/skew problem.",
+        "",
+        "| key | reads | sf0.1 s | sf1 s | ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for key, reads in PROBE_KEYS:
+        t_small = time_key(spark, key, SF01)
+        t_big = time_key(spark, key, SF1)
+        ratio = t_big / t_small if t_small > 0 else float("nan")
+        lines.append(
+            f"| {key} | {reads} | {t_small:.3f} | {t_big:.3f} | {ratio:.1f}x |"
+        )
+        print(lines[-1], flush=True)
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
