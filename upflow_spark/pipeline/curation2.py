@@ -1,0 +1,280 @@
+"""LLM-curation wave 2 (§2-K extension): Gopher-style quality rules,
+repetition detection, n-gram benchmark decontamination, and PII redaction.
+
+These mirror the standard web-corpus curation recipes (Gopher / RefinedWeb /
+Dolma rule filters; n-gram decontamination as in GPT-3 appendix C): each is
+a map-only expression or a token-explode + re-agg, so the corpus scan stays
+one pass and every shuffle keys on high-cardinality (doc_id, term) pairs.
+
+Reference: n/a (ref empty — SURVEY.md §0); semantics from public curation
+literature (PAPERS.md) re-expressed as Catalyst-native DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import R4, r4
+from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
+from upflow_spark.registry import query
+
+# Tiny fixed stopword list present in the synthetic corpus vocabulary.
+STOPWORDS = ("the", "a", "value", "row")
+SQL_STOPWORDS = "('the', 'a', 'value', 'row')"
+
+
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         len(toks) AS n_words,
+         list_avg(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) AS mean_word_len,
+         len(list_filter(toks, t -> t IN {SQL_STOPWORDS})) / CAST(len(toks) AS DOUBLE)
+           AS stop_frac,
+         len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))
+           / CAST(len(toks) AS DOUBLE) AS alpha_frac
+  FROM (SELECT lang, {SQL_TOKENS} AS toks FROM documents)
+  WHERE len(toks) > 0
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE n_words BETWEEN 20 AND 1000) AS BIGINT) AS pass_words,
+       CAST(count(*) FILTER (WHERE mean_word_len BETWEEN 2 AND 12) AS BIGINT) AS pass_wordlen,
+       CAST(count(*) FILTER (WHERE stop_frac >= 0.01) AS BIGINT) AS pass_stop,
+       CAST(count(*) FILTER (WHERE alpha_frac >= 0.8) AS BIGINT) AS pass_alpha,
+       CAST(count(*) FILTER (WHERE n_words BETWEEN 20 AND 1000
+                               AND mean_word_len BETWEEN 2 AND 12
+                               AND stop_frac >= 0.01
+                               AND alpha_frac >= 0.8) AS BIGINT) AS pass_all,
+       {R4("avg(mean_word_len)")} AS avg_word_len
+FROM scored
+GROUP BY lang
+""",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter: word-count band, mean word length band,
+    minimum stopword fraction, minimum alphabetic-token fraction.
+
+    Map-only per-doc scoring via higher-order functions (no explode, no
+    UDF) followed by one low-cardinality groupBy(lang) — at 100 TB this is
+    a single corpus pass with partial aggregation; the only shuffle carries
+    five rows per partition.
+    """
+    toks = tokens_col()
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.size(toks).alias("n_words"),
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("len_sum"),
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+            F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).alias("n_alpha"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            "lang",
+            "n_words",
+            (F.col("len_sum") / F.col("n_words")).alias("mean_word_len"),
+            (F.col("n_stop") / F.col("n_words")).alias("stop_frac"),
+            (F.col("n_alpha") / F.col("n_words")).alias("alpha_frac"),
+        )
+    )
+    p_words = F.col("n_words").between(20, 1000)
+    p_wordlen = F.col("mean_word_len").between(2, 12)
+    p_stop = F.col("stop_frac") >= 0.01
+    p_alpha = F.col("alpha_frac") >= 0.8
+    cnt = lambda p, name: F.count(F.when(p, 1)).alias(name)  # noqa: E731
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(p_words, "pass_words"),
+        cnt(p_wordlen, "pass_wordlen"),
+        cnt(p_stop, "pass_stop"),
+        cnt(p_alpha, "pass_alpha"),
+        cnt(p_words & p_wordlen & p_stop & p_alpha, "pass_all"),
+        r4(F.avg("mean_word_len")).alias("avg_word_len"),
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({SQL_TOKENS}) AS w
+  FROM documents
+),
+per_tok AS (
+  SELECT doc_id, lang, w, count(*) AS c FROM tok GROUP BY doc_id, lang, w
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         max(c) / CAST(sum(c) AS DOUBLE) AS top_tok_frac,
+         1.0 - count(*) / CAST(sum(c) AS DOUBLE) AS dup_frac
+  FROM per_tok GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {R4("avg(top_tok_frac)")} AS avg_top_tok_frac,
+       {R4("avg(dup_frac)")} AS avg_dup_frac,
+       CAST(count(*) FILTER (WHERE top_tok_frac > 0.1) AS BIGINT) AS n_repetitive
+FROM per_doc
+GROUP BY lang
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (Gopher §A1.1 analogue): per-doc most-frequent-
+    token fraction and duplicate-token fraction, aggregated per language.
+
+    explode → two-level agg keyed on (doc_id, token) then (doc_id): both
+    shuffles are high-cardinality and partial-aggregated; the final
+    groupBy(lang) is 5 rows. No UDFs, no driver loops.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(tokens_col()).alias("w")
+    )
+    per_tok = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id", "lang").agg(
+        (F.max("c") / F.sum("c").cast("double")).alias("top_tok_frac"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c").cast("double")).alias("dup_frac"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(F.avg("top_tok_frac")).alias("avg_top_tok_frac"),
+        r4(F.avg("dup_frac")).alias("avg_dup_frac"),
+        F.count(F.when(F.col("top_tok_frac") > 0.1, 1)).alias("n_repetitive"),
+    )
+
+
+@query(
+    "curation_ngram_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents
+),
+eval_grams AS (
+  SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, len(toks) - 3)) AS u(i)
+  WHERE doc_id % 97 = 0 AND len(toks) >= 5
+),
+corpus AS (SELECT doc_id, lang, toks FROM toks WHERE doc_id % 97 <> 0),
+flagged AS (
+  SELECT DISTINCT c.doc_id
+  FROM corpus c, unnest(range(1, len(c.toks) - 3)) AS u(i)
+  WHERE len(c.toks) >= 5
+    AND array_to_string(c.toks[i:i+4], ' ') IN (SELECT g FROM eval_grams)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM flagged)) AS BIGINT)
+         AS n_flagged,
+       CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM flagged)) AS BIGINT)
+         AS n_clean
+FROM corpus
+GROUP BY lang
+""",
+)
+def curation_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram benchmark decontamination (GPT-3 appendix-C style): flag any
+    training doc sharing a 5-token shingle with the held-out eval slice
+    (simulated as doc_id % 97 == 0).
+
+    Shingles are built with slice+concat (codegen'd, no lambda-HOF in the
+    hot path), the eval-gram set is distinct-reduced BEFORE the join, and
+    the flag join is a left_semi on the gram string — at 100 TB the eval
+    set is small (broadcastable) while the corpus explode stays spread over
+    (doc_id, position).
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens_col().alias("toks")
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        n = F.size("toks")
+        # positions 1..n-4 (1-based), each gram = 5 consecutive tokens
+        return (
+            df.where(n >= 5)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), n - 4)).alias("i"),
+                "toks",
+            )
+            .select(
+                "doc_id",
+                F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(5))).alias("g"),
+            )
+        )
+
+    eval_grams = grams(toks.where(F.col("doc_id") % 97 == 0)).select("g").distinct()
+    corpus = toks.where(F.col("doc_id") % 97 != 0)
+    flagged = (
+        grams(corpus)
+        .join(eval_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_flagged", F.lit(True))
+    )
+    return (
+        corpus.join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("is_flagged"), 1)).alias("n_flagged"),
+            F.count(F.when(F.col("is_flagged").isNull(), 1)).alias("n_clean"),
+        )
+    )
+
+
+@query(
+    "pii_mask_redact",
+    oracle="""
+WITH synth AS (
+  SELECT c_custkey,
+         c_mktsegment,
+         lower(replace(c_name, '#', '.')) || '@example.com' AS email,
+         '+1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS phone,
+         'user id ' || CAST(c_custkey AS VARCHAR) || ' wrote this' AS note
+  FROM customer WHERE c_custkey < 500
+)
+SELECT c_custkey,
+       regexp_replace(email, '[a-z0-9.]+@[a-z.]+', '<EMAIL>', 'g') AS email_redacted,
+       regexp_replace(phone, '\\+?[0-9][0-9-]{4,}', '<PHONE>', 'g') AS phone_redacted,
+       regexp_replace(note, 'id [0-9]+', 'id <NUM>', 'g') AS note_redacted,
+       CAST(length(email) - length(replace(email, '@', '')) AS INT) AS n_at
+FROM synth
+""",
+)
+def pii_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: regex-replace emails / phone numbers / numeric
+    ids with typed placeholder tokens.
+
+    The corpus has no real PII, so deterministic fakes are synthesized from
+    customer columns identically in both engines; the graded surface is the
+    regexp_replace masking itself. Map-only — at 100 TB this fuses into the
+    scan with zero shuffles.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    email = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit("+1-555-"), F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")
+    )
+    note = F.concat(
+        F.lit("user id "), F.col("c_custkey").cast("string"), F.lit(" wrote this")
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(email, "[a-z0-9.]+@[a-z.]+", "<EMAIL>").alias("email_redacted"),
+        F.regexp_replace(phone, r"\+?[0-9][0-9-]{4,}", "<PHONE>").alias("phone_redacted"),
+        F.regexp_replace(note, "id [0-9]+", "id <NUM>").alias("note_redacted"),
+        (F.length(email) - F.length(F.replace(email, F.lit("@"), F.lit(""))))
+        .cast("int")
+        .alias("n_at"),
+    )

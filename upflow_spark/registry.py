@@ -48,6 +48,7 @@ def load_all_modules() -> None:
     import upflow_spark.functions.breadth2  # noqa: F401
     import upflow_spark.functions.breadth3  # noqa: F401
     import upflow_spark.functions.breadth4  # noqa: F401
+    import upflow_spark.functions.breadth5  # noqa: F401
     import upflow_spark.functions.datetime  # noqa: F401
     import upflow_spark.functions.json_props  # noqa: F401
     import upflow_spark.functions.math  # noqa: F401
@@ -55,6 +56,8 @@ def load_all_modules() -> None:
     import upflow_spark.functions.scalar_ext  # noqa: F401
     import upflow_spark.functions.strings  # noqa: F401
     import upflow_spark.operators.aggregates  # noqa: F401
+    import upflow_spark.operators.timeseries2  # noqa: F401
+    import upflow_spark.pipeline.curation2  # noqa: F401
     import upflow_spark.operators.analytics  # noqa: F401
     import upflow_spark.operators.grouped_pandas  # noqa: F401
     import upflow_spark.operators.grouping_ext  # noqa: F401
