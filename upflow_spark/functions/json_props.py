@@ -46,18 +46,31 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("map_from_json")  # rows-only: map rendering is engine-specific
+@query(
+    "map_from_json",
+    oracle="""
+SELECT event_id,
+       '{"k":' || CAST(props->>'k' AS INTEGER) || '}' AS props_json,
+       'k' AS keys_joined,
+       CAST(props->>'k' AS INTEGER) AS k_val
+FROM events
+""",
+)
 def map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json into MapType + map_keys/element_at lookup.
 
-    Rows-only (SURVEY §2-H): the engine-side test asserts element_at equals
-    the scalar-extracted value; cross-engine map equality is not hashable.
+    The map/array intermediates stay typed inside the plan; the *output*
+    columns are flattened to scalars (to_json, array_join) so the driver's
+    pandas canonicalizer can sort/hash them — raw map or array columns are
+    unhashable there (round-1 driver failure). The testdata props column is
+    single-key ``{"k": <int>}``, which makes the rendered JSON and joined
+    key list engine-portable.
     """
     ev = load(spark, sf_dir, "events")
     m = F.from_json("props", MapType(StringType(), IntegerType()))
     return ev.select(
         "event_id",
-        m.alias("props_map"),
-        F.map_keys(m).alias("keys"),
+        F.to_json(m).alias("props_json"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_joined"),
         F.element_at(m, "k").alias("k_val"),
     )

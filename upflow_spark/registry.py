@@ -56,8 +56,6 @@ def load_all_modules() -> None:
     import upflow_spark.functions.scalar_ext  # noqa: F401
     import upflow_spark.functions.strings  # noqa: F401
     import upflow_spark.operators.aggregates  # noqa: F401
-    import upflow_spark.operators.timeseries2  # noqa: F401
-    import upflow_spark.pipeline.curation2  # noqa: F401
     import upflow_spark.operators.analytics  # noqa: F401
     import upflow_spark.operators.grouped_pandas  # noqa: F401
     import upflow_spark.operators.grouping_ext  # noqa: F401
@@ -69,6 +67,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.setops  # noqa: F401
     import upflow_spark.operators.sortlimit  # noqa: F401
     import upflow_spark.operators.sql_surfaces  # noqa: F401
+    import upflow_spark.operators.timeseries2  # noqa: F401
     import upflow_spark.operators.tpch_shapes  # noqa: F401
     import upflow_spark.operators.tpch_shapes2  # noqa: F401
     import upflow_spark.operators.upsert  # noqa: F401
@@ -76,18 +75,19 @@ def load_all_modules() -> None:
     import upflow_spark.pipeline.ann_ivf  # noqa: F401
     import upflow_spark.pipeline.cluster  # noqa: F401
     import upflow_spark.pipeline.curation  # noqa: F401
+    import upflow_spark.pipeline.curation2  # noqa: F401
     import upflow_spark.pipeline.dedup  # noqa: F401
     import upflow_spark.pipeline.llmprep  # noqa: F401
+    import upflow_spark.pipeline.multimodal  # noqa: F401
     import upflow_spark.pipeline.sampling  # noqa: F401
     import upflow_spark.pipeline.similarity  # noqa: F401
-    import upflow_spark.pipeline.multimodal  # noqa: F401
     import upflow_spark.pipeline.text  # noqa: F401
     import upflow_spark.pipeline.textstats  # noqa: F401
     import upflow_spark.sources.bucketed  # noqa: F401
     import upflow_spark.sources.python_ds  # noqa: F401
     import upflow_spark.sources.scans  # noqa: F401
-    import upflow_spark.sources.text_formats  # noqa: F401
     import upflow_spark.sources.sinks  # noqa: F401
+    import upflow_spark.sources.text_formats  # noqa: F401
     import upflow_spark.streaming.py_stream_source  # noqa: F401
     import upflow_spark.streaming.stateful  # noqa: F401
     import upflow_spark.streaming.streams  # noqa: F401
