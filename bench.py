@@ -32,7 +32,8 @@ def main() -> None:
         "q1_agg": "agg_groupby",
         "q3_join3": "join_multiway",
         "window_rank": "win_row_number_topk",
-        "events_agg": "agg_pivot",
+        "events_agg": "agg_events_topk",
+        "agg_pivot": "agg_pivot",
         "scan_parquet": "scan_parquet",
         "join_shuffle_equi": "join_shuffle_equi",
         "join_asof": "join_asof",

@@ -1,14 +1,17 @@
 """Table loaders over the driver-generated parquet fixtures.
 
-All queries go through :func:`load` so the two cross-engine landmines are
+All queries go through :func:`load` so the cross-engine timestamp landmine is
 handled in exactly one place (FIXTURES.md):
 
-- ``events.ts`` is parquet ``TIMESTAMP(NANOS)``; Spark (with the legacy flag
-  set by :func:`upflow_spark.session.ensure_conf`) reads it as LongType
-  nanoseconds. We normalize to a ``timestamp_ntz`` column truncated to
-  microseconds via **integer** division (``ts div 1000`` — double division
-  loses ULPs at 1.7e18 and can round across a microsecond boundary), which is
-  bit-identical to DuckDB's ns→µs truncation on read.
+- ``events.ts`` layout varies by fixture generation. Older drops stored
+  parquet ``TIMESTAMP(NANOS)`` (Spark reads LongType nanoseconds under the
+  legacy flag set by :func:`upflow_spark.session.ensure_conf`); current drops
+  store ``timestamp[us]`` which Spark reads directly as ``timestamp_ntz``.
+  :func:`load` inspects the read schema and normalizes BOTH layouts to the
+  same shape: canonical ``ts`` = ``timestamp_ntz`` µs wall clock (matching
+  DuckDB's read of the same file) plus ``ts_ns`` = epoch-nanosecond BIGINT.
+  The ns→µs path uses **integer** division (``ts div 1000`` — double division
+  loses ULPs at 1.7e18 and can round across a microsecond boundary).
 - timestamps elsewhere (orders, lineitem) already read as ``timestamp_ntz``.
 
 Scale note: loaders return plain DataFrames (no caching/collect) so Catalyst
@@ -45,10 +48,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_conf(spark)
     df = spark.read.parquet(path_of(sf_dir, name))
     if name == "events":
-        # keep raw nanos as ts_ns; canonical ts = µs-truncated wall clock (UTC)
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # legacy nanos layout: keep raw nanos as ts_ns; canonical ts =
+            # µs-truncated wall clock (UTC)
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        else:
+            # µs layout: ts already timestamp_ntz; derive ts_ns for callers
+            # that want integer nanos (session tz pinned UTC so the ntz→ltz
+            # cast is wall-clock identity)
+            df = df.withColumn(
+                "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

