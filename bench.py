@@ -42,6 +42,8 @@ def main() -> None:
         "text_tfidf": "text_tfidf_topterms",
         "sim_probe_topk": "sim_probe_topk",
         "stream_tumbling": "stream_tumbling",
+        "dedup_simhash_pairs": "dedup_simhash_pairs",
+        "curation_funnel": "pipeline_curation_funnel",
     }
 
     timings: dict[str, float] = {}

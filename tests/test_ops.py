@@ -274,3 +274,22 @@ def test_knn_classify_ann_matches_numpy_reference(spark):
     for r in rows:
         tl, pl = expect[r["query_id"]]
         assert (r["true_label"], r["predicted_label"]) == (tl, pl), r
+
+
+def test_minhash_banded_recalls_exact_high_jaccard(spark):
+    """Pairs with exact token-set Jaccard >= 0.95 should almost all survive
+    md5-MinHash banding + the 12/16 agreement verify (expected miss rate:
+    P[no band of 4 agrees] = (1-J^4)^4 ~ 0.0012 at J=0.95, plus estimator
+    variance at the 0.75 cut — floor set accordingly)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_near_minhash"](spark, SF).collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_banded_pairs"](spark, SF).collect()
+    }
+    assert all(a < b for a, b in banded)
+    if exact:
+        recall = len(exact & banded) / len(exact)
+        assert recall >= 0.8, f"banded recall {recall} over {len(exact)} pairs"

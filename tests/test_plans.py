@@ -186,3 +186,40 @@ def test_lateral_decorrelates_to_window(spark):
 def test_incremental_merge_reuses_rollup(spark):
     plan = plan_of(spark, "rollup_incremental_merge")
     assert n_scans(plan) == 1, "merge must consume the month rollup, not rescan"
+
+
+def test_tfidf_doc_count_rides_as_broadcast_not_second_scan(spark):
+    """VERDICT r1 item 7: n_docs must enter the plan as a broadcast 1-row
+    aggregate, not an eager .count() (a second full corpus pass at 100 TB).
+    The count-side scan must read ZERO columns (parquet footer row counts);
+    only the tokenization scan reads text."""
+    plan = plan_of(spark, "text_tfidf_topterms")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cross join
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    empty_reads = [ln for ln in reads if "struct<>" in ln]
+    assert len(empty_reads) >= 1, reads  # count-star scan prunes all columns
+
+
+def test_curation_funnel_single_corpus_pass(spark):
+    """The funnel's five stage counts must come from ONE aggregate over one
+    flagged lineage (VERDICT r1 item 5: five union branches re-derived the
+    window + quality expressions per stage)."""
+    plan = plan_of(spark, "pipeline_curation_funnel")
+    assert "Union" not in plan
+    # one count_if aggregate pair (partial+final), exploded to 5 rows
+    assert plan.count("Generate") >= 1
+
+
+def test_sessionize_reuses_window_partitioning(spark):
+    """lag-mark window, running-sum window, and the session groupBy all key
+    on user_id — Spark must plan ONE shuffle, not three."""
+    plan = plan_of(spark, "sessionize_gap")
+    assert n_exchanges(plan) == 1, plan[:2000]
+
+
+def test_minhash_banded_join_is_equi(spark):
+    """Banded candidate generation must be a hash equi-join on the band
+    structs — never a nested-loop over all signature pairs."""
+    plan = plan_of(spark, "dedup_minhash_banded_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

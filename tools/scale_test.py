@@ -43,6 +43,8 @@ PROBE_KEYS = [
     ("dedup_keep_latest", "events"),
     ("text_tokenize_wordcount", "documents (10x replicated rows)"),
     ("sim_centroid_per_label", "embeddings (10x replicated rows)"),
+    ("ts_ewma", "events (per-user linear recurrence — VERDICT r1 item 5)"),
+    ("sessionize_gap", "events (gaps-and-islands, one user_id shuffle)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate

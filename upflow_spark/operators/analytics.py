@@ -214,3 +214,63 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "sessionize_gap",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+FROM sess
+GROUP BY user_id, session_no
+""",
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a session breaks after 30 min of inactivity.
+
+    The classic gaps-and-islands pattern — lag() marks session starts, a
+    running sum numbers them, then one group-agg per (user, session). The
+    batch twin of stream_session (which uses session_window in streaming).
+    Scale: one shuffle on user_id for the window, then the same partitioning
+    is reused by the groupBy — no second exchange.
+
+    Tie note: BOTH windows (lag and running sum) order by (ts, event_id) —
+    a total order. Ordering the cumsum by ts alone would be nondeterministic
+    when a session opens on the first row of a timestamp tie group (peers
+    could land on either side of the is_start row depending on engine).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    marked = ev.withColumn(
+        "is_start",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_no", F.sum("is_start").over(ws))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        r4(F.sum("value")).alias("sum_value"),
+    )

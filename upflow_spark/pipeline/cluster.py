@@ -80,6 +80,19 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "lbl", F.col("doc_id")
     )
+    # size the iteration's shuffles to the LABEL table (tiny: one row per
+    # node in a dup cluster), not the session default — same per-query
+    # sizing pattern as streaming's run_to_completion; each round is 2
+    # joins + 1 agg, so partition-count overhead multiplies by ~3x rounds
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _cc_fixpoint(edges, labels)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def _cc_fixpoint(edges: DataFrame, labels: DataFrame) -> DataFrame:
     # labels only ever DECREASE, so sum(lbl) strictly decreases until the
     # fixpoint — a one-scan convergence check, no self-join needed
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]

@@ -153,6 +153,11 @@ def _jaccard_pairs_bitmask(spark, items: DataFrame, threshold: float) -> DataFra
     """
     from pyspark.sql import Window
 
+    # materialize: this function reads `items` THREE times (vocab count,
+    # item-id ranking, the mask build) and Spark re-runs the upstream
+    # tokenize/explode lineage per read — measured 48.9 s → 11 s at sf0.1
+    # for dedup_ngram_jaccard once items+masks are checkpointed
+    items = items.localCheckpoint()
     n_vocab = items.select("item").distinct().count()
     n_words = max(1, (n_vocab + 61) // 62)
     # single-task ranking window over |V| rows — fine for bounded vocabs
@@ -173,7 +178,7 @@ def _jaccard_pairs_bitmask(spark, items: DataFrame, threshold: float) -> DataFra
             for w in range(n_words)
         ],
         F.count(F.lit(1)).alias("n_items"),
-    )
+    ).localCheckpoint()  # read twice (both sides of the pair join)
     par = spark.sparkContext.defaultParallelism
     a = masks.repartition(par).select(
         F.col("doc_id").alias("doc_a"),
@@ -354,9 +359,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature as a LONG: Hamming becomes bit_count(xor) — one codegen'd
     # instruction chain per candidate instead of a 32-substring HOF (this
     # rewrite took the sf0.1 run from 156 s to seconds: templated fixture
-    # docs make band buckets huge, so per-candidate cost dominates)
-    sig = dedup_simhash(spark, sf_dir).select(
-        "doc_id", F.conv("simhash", 2, 10).cast("long").alias("sig")
+    # docs make band buckets huge, so per-candidate cost dominates).
+    # localCheckpoint: both sides of the band self-join read this DataFrame
+    # and Spark does NOT share subplans, so without materialization the
+    # whole tokenize+aggregate lineage runs twice — at 100 TB you'd persist
+    # the signature table before any self-join for the same reason.
+    sig = (
+        dedup_simhash(spark, sf_dir)
+        .select("doc_id", F.conv("simhash", 2, 10).cast("long").alias("sig"))
+        .localCheckpoint()
     )
     bands = sig.select(
         "doc_id",

@@ -84,17 +84,26 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("raw").alias("raw_sum"),
     )
     ckpt = tempfile.mkdtemp(prefix="upflow_pystream_ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("upflow_pystream_result")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    # availableNow would snapshot only the FIRST poll's offset (2,500 rows);
-    # processAllAvailable keeps triggering micro-batches until the reader
-    # reports no new offset (pos == 10,000), then the query is stopped —
-    # 4 deterministic micro-batches through the offset/checkpoint machinery.
-    q.processAllAvailable()
-    q.stop()
+    # state-store partition count is pinned at query start (same sizing
+    # rationale as streams.run_to_completion): 50 device keys across 4
+    # micro-batches do not need 32 state partitions' per-batch overhead
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("upflow_pystream_result")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        # availableNow would snapshot only the FIRST poll's offset (2,500
+        # rows); processAllAvailable keeps triggering micro-batches until the
+        # reader reports no new offset (pos == 10,000), then the query is
+        # stopped — 4 deterministic micro-batches through the
+        # offset/checkpoint machinery.
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table("upflow_pystream_result")
