@@ -293,3 +293,16 @@ def test_minhash_banded_recalls_exact_high_jaccard(spark):
     if exact:
         recall = len(exact & banded) / len(exact)
         assert recall >= 0.8, f"banded recall {recall} over {len(exact)} pairs"
+
+
+def test_cms_overestimates_within_bound(spark):
+    """CMS guarantee: est >= exact always; est <= exact + ceil(e/w * N)
+    w.h.p. (w=512, d=4 — bound loose enough to be deterministic here)."""
+    rows = QUERIES["agg_cms_freq"](spark, SF).collect()
+    assert rows, "no sampled users"
+    from upflow_spark.io import load
+    n_stream = load(spark, SF, "events").count()
+    bound = 2.718 / 512 * n_stream
+    for r in rows:
+        assert r["est_n"] >= r["exact_n"], r
+        assert r["est_n"] <= r["exact_n"] + bound, (r, bound)

@@ -273,3 +273,77 @@ def agg_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), F.col("user_id").asc(), F.col("event_type").asc())
         .limit(20)
     )
+
+
+@query(
+    "agg_cms_freq",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, unnest([0, 1, 2, 3]) AS i FROM events
+),
+cells AS (
+  SELECT i,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS bucket,
+         count(*) AS cnt
+  FROM pts GROUP BY i, bucket
+),
+qs AS (
+  SELECT user_id, count(*) AS exact_n FROM events
+  WHERE user_id % 100 = 0 GROUP BY user_id
+),
+qpts AS (
+  SELECT user_id, exact_n, unnest([0, 1, 2, 3]) AS i FROM qs
+)
+SELECT q.user_id, q.exact_n, min(c.cnt) AS est_n
+FROM qpts q
+JOIN cells c
+  ON c.i = q.i
+ AND c.bucket = CAST(('0x' || substr(md5(CAST(q.i AS VARCHAR) || ':' || CAST(q.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512
+GROUP BY q.user_id, q.exact_n
+""",
+)
+def agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimation, built from DataFrame ops so
+    BOTH engines compute the identical sketch (d=4 md5-derived hash rows x
+    w=512 buckets) — the estimate is exactly reproducible, unlike opaque
+    binary sketch aggregates. Estimates min-over-rows for the sampled users
+    (user_id % 100 = 0) next to their exact counts; the CMS guarantee
+    est >= exact (and est <= exact + eN w.h.p.) is asserted in tests.
+
+    Scale: the sketch is a 2048-cell table (one groupBy of the 4x-exploded
+    stream with map-side combine); estimation is a broadcast join of query
+    coordinates — the stream is never re-shuffled per query.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id")
+    pts = ev.select(
+        "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    )
+
+    def bucket_of(i_col, key_col):  # noqa: ANN001, ANN202
+        h = F.md5(
+            F.concat(
+                i_col.cast("string"), F.lit(":"), key_col.cast("string")
+            )
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 512
+
+    cells = (
+        pts.select("i", bucket_of(F.col("i"), F.col("user_id")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qs = (
+        ev.filter(F.col("user_id") % 100 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    qpts = qs.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    ).withColumn("bucket", bucket_of(F.col("i"), F.col("user_id")))
+    return (
+        qpts.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )

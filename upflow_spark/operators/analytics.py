@@ -274,3 +274,197 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         r4(F.sum("value")).alias("sum_value"),
     )
+
+
+@query(
+    "ts_interp_linear",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, avg(value) AS value
+  FROM events WHERE user_id % 100 = 0 GROUP BY user_id, ts
+),
+b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM b
+),
+u AS (
+  SELECT user_id, ts, value, 0 AS src FROM ev
+  UNION ALL
+  SELECT user_id, ts, NULL, 1 FROM grid
+),
+w AS (
+  SELECT user_id, ts, src,
+    last_value(value IGNORE NULLS) OVER wp AS prev_val,
+    last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS prev_ts,
+    first_value(value IGNORE NULLS) OVER wf AS next_val,
+    first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wf AS next_ts
+  FROM u
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, src
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts, src
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts AS grid_ts,
+       floor((prev_val + (next_val - prev_val)
+              * (CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+                 / (epoch_us(next_ts) - epoch_us(prev_ts))))
+             * 10000 + 0.5) / 10000 AS value_interp
+FROM w
+WHERE src = 1 AND prev_ts IS NOT NULL AND next_ts IS NOT NULL
+""",
+)
+def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of each sampled user's event values onto an
+    hourly grid — the resampling primitive ffill (ts_gapfill_ffill) can't
+    express. Grid rows interleave with observations in ONE (user, ts, src)
+    window pass: running last/first IGNORE-NULLS give the bracketing
+    observations, then the time-fraction blend. Grid points at an exact
+    observation collapse to that value (fraction 0 — src orders the
+    observation first at timestamp ties); points before the first / after
+    the last observation are dropped on both engines.
+
+    Scale: the grid is generated per user from its own [min, max] span
+    (sequence + explode, no driver loop); one shuffle on user_id.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 100 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    b = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = b.select(
+        "user_id", F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("ts")
+    )
+    u = ev.withColumn("src", F.lit(0)).unionByName(
+        grid.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("src"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("value").isNotNull(), F.col("ts"))
+    w = u.select(
+        "user_id",
+        "ts",
+        "src",
+        F.last("value", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(obs_ts, ignorenulls=True).over(wp).alias("prev_ts"),
+        F.first("value", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(obs_ts, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    frac = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+    ).cast("double") / (
+        F.unix_micros(F.col("next_ts").cast("timestamp"))
+        - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+    )
+    interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+    return (
+        w.filter(
+            (F.col("src") == 1)
+            & F.col("prev_ts").isNotNull()
+            & F.col("next_ts").isNotNull()
+        )
+        .select("user_id", F.col("ts").alias("grid_ts"), r4(interp).alias("value_interp"))
+    )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(DISTINCT a.l_orderkey) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING count(DISTINCT a.l_orderkey) >= 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+""",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥2
+    orders, top-20. Self-join on the order key — safe at any scale because
+    basket size is bounded (≤7 lines/order in this schema), so the pair
+    blowup per order is ≤ 21 rows; the join shuffles both sides on
+    l_orderkey once and the pair agg is map-side combinable.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "win_streak_islands",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grp AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM marked
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS streak_len FROM grp
+  GROUP BY user_id, island
+)
+SELECT user_id, max(streak_len) AS max_streak
+FROM streaks GROUP BY user_id
+""",
+)
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing value streak per user — the second
+    gaps-and-islands shape (sessionize_gap is the time-gap variant; this one
+    breaks on a VALUE predicate). lag marks breaks, running sum numbers the
+    islands, two cheap aggs on top; all four steps reuse the single user_id
+    shuffle. First row of each user is its own break (lag NULL ⇒ brk=1), so
+    island ids start at 1 on both engines.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "brk",
+        F.when(F.col("value") > F.lag("value").over(w), 0).otherwise(1),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = marked.withColumn("island", F.sum("brk").over(ws))
+    return (
+        grp.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+        .groupBy("user_id")
+        .agg(F.max("streak_len").alias("max_streak"))
+    )

@@ -87,7 +87,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join melts down on small vocabularies); `dedup_near_minhash_lsh`
     is the banded-LSH variant for open vocabularies at 100 TB.
     """
-    d = load(spark, sf_dir, "documents")
+    # single-file fixture -> 1 partition; spread BEFORE the tokenize/explode
+    # or the whole shingling pass runs on one core
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tok = d.select("doc_id", F.explode(tokens_col()).alias("item")).distinct()
     pairs = _jaccard_pairs_bitmask(spark, tok, 0.95)
     return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard"))
@@ -236,7 +240,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrings of the signature to find candidates without an all-pairs
     join. Frequency-weighted (explode keeps duplicate tokens).
     """
-    d = load(spark, sf_dir, "documents")
+    # spread the single-file scan before tokenize (see dedup_near_minhash)
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
     bits = []
     for j in range(32):
@@ -275,7 +282,9 @@ WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by bigram-shingle Jaccard ≥ 0.5 (order-sensitive:
     catches token reorderings that unigram Jaccard scores as identical)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens_col()
     sh = (
         d.select("doc_id", F.explode(bigram_struct_col(toks)).alias("p"))

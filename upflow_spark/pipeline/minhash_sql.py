@@ -56,7 +56,10 @@ sig AS (
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # single-file fixture -> 1 partition; spread before the per-term md5 work
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).distinct()
     # project the two digests BEFORE the aggregate so each md5 is computed
     # once per (doc, term) row, not once per min() expression reading it
