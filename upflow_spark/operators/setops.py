@@ -134,3 +134,41 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("latest_ts"),
         )
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: each priority value keeps
+    min(count_left, count_right) copies (the DISTINCT variant collapses to
+    ≤5 rows; ALL preserves multiplicity, which is what dataset-balance
+    arithmetic needs). Spark plans it as a counted left-semi aggregate, not
+    a row-pairing join.
+    """
+    o = load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    right = o.filter(F.col("o_totalprice") > 150000).select("o_orderpriority")
+    return left.intersectAll(right)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: each value keeps
+    max(count_left − count_right, 0) copies."""
+    o = load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    right = o.filter(F.col("o_totalprice") > 150000).select("o_orderpriority")
+    return left.exceptAll(right)
