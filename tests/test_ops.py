@@ -306,3 +306,13 @@ def test_cms_overestimates_within_bound(spark):
     for r in rows:
         assert r["est_n"] >= r["exact_n"], r
         assert r["est_n"] <= r["exact_n"] + bound, (r, bound)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom guarantee: every truly-purchasing sampled user must be a
+    member (false positives allowed, false negatives never)."""
+    rows = QUERIES["agg_bloom_membership"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["purchased"]:
+            assert r["bloom_member"], r

@@ -347,3 +347,83 @@ def agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_n")
         .agg(F.min("cnt").alias("est_n"))
     )
+
+
+@query(
+    "agg_bloom_membership",
+    oracle="""
+WITH purch AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS pos
+  FROM (SELECT user_id, unnest([0, 1, 2]) AS i FROM purch)
+),
+qs AS (SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0),
+qpos AS (
+  SELECT user_id, i,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS pos
+  FROM (SELECT user_id, unnest([0, 1, 2]) AS i FROM qs)
+),
+mem AS (
+  SELECT q.user_id, count(*) FILTER (WHERE b.pos IS NOT NULL) AS n_hit
+  FROM qpos q LEFT JOIN bits b ON q.pos = b.pos
+  GROUP BY q.user_id
+)
+SELECT m.user_id,
+       (p.user_id IS NOT NULL) AS purchased,
+       m.n_hit = 3 AS bloom_member
+FROM mem m LEFT JOIN purch p ON m.user_id = p.user_id
+""",
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, built from DataFrame ops so BOTH engines
+    compute the identical filter (k=3 md5-derived hashes, m=4096 bits,
+    stored as the distinct set-bit positions): for each sampled user
+    (user_id % 50 = 0), exact purchased flag next to the Bloom answer.
+    Completes the sketch family (HLL distincts, CMS frequencies, Bloom
+    membership); no false negatives — asserted in tests.
+
+    Scale: the bit table is ≤4096 rows (broadcast); building it is one
+    distinct + explode over the keyed stream with map-side combine; queries
+    never re-shuffle the stream.
+    """
+    ev = load(spark, sf_dir, "events")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+
+    def pos_of(i_col, key_col):  # noqa: ANN001, ANN202
+        h = F.md5(
+            F.concat(i_col.cast("string"), F.lit(":"), key_col.cast("string"))
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 4096
+
+    ks = F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("i")
+    bits = (
+        purch.select("user_id", ks)
+        .select(pos_of(F.col("i"), F.col("user_id")).alias("pos"))
+        .distinct()
+    )
+    qs = ev.filter(F.col("user_id") % 50 == 0).select("user_id").distinct()
+    qpos = qs.select("user_id", ks).withColumn(
+        "pos", pos_of(F.col("i"), F.col("user_id"))
+    )
+    mem = (
+        qpos.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("user_id")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    return (
+        mem.join(
+            F.broadcast(purch.withColumn("purchased", F.lit(True))),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            F.coalesce("purchased", F.lit(False)).alias("purchased"),
+            (F.col("n_hit") == 3).alias("bloom_member"),
+        )
+    )
