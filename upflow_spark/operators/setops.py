@@ -139,36 +139,52 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_intersect_all",
     oracle="""
-SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+SELECT o_custkey % 200 AS cust_bucket FROM orders WHERE o_orderkey % 2 = 0
 INTERSECT ALL
-SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+SELECT o_custkey % 200 AS cust_bucket FROM orders WHERE o_orderkey % 2 = 1
 """,
 )
 def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL — multiset semantics: each priority value keeps
+    """INTERSECT ALL — multiset semantics: each bucket value keeps
     min(count_left, count_right) copies (the DISTINCT variant collapses to
-    ≤5 rows; ALL preserves multiplicity, which is what dataset-balance
+    ≤200 rows; ALL preserves multiplicity, which is what dataset-balance
     arithmetic needs). Spark plans it as a counted left-semi aggregate, not
     a row-pairing join.
+
+    Predicate design (round-4 advisor fix): the two sides are the even/odd
+    o_orderkey halves projected to a 200-ary customer bucket — equal
+    selectivity, so per-bucket ordering flips by Binomial noise at EVERY
+    scale factor. Roughly half the buckets have l>r and half l<r (verified
+    sf0.001/0.01/0.1), so min(l,r) genuinely varies; the earlier
+    status/totalprice predicates were one-sided for all values (min == left
+    everywhere — vacuous). tests/test_ops.py asserts non-vacuity.
     """
     o = load(spark, sf_dir, "orders")
-    left = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
-    right = o.filter(F.col("o_totalprice") > 150000).select("o_orderpriority")
+    bkt = (F.col("o_custkey") % 200).alias("cust_bucket")
+    left = o.filter(F.col("o_orderkey") % 2 == 0).select(bkt)
+    right = o.filter(F.col("o_orderkey") % 2 == 1).select(bkt)
     return left.intersectAll(right)
 
 
 @query(
     "set_except_all",
     oracle="""
-SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+SELECT o_custkey % 200 AS cust_bucket FROM orders WHERE o_orderkey % 2 = 0
 EXCEPT ALL
-SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+SELECT o_custkey % 200 AS cust_bucket FROM orders WHERE o_orderkey % 2 = 1
 """,
 )
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL — multiset difference: each value keeps
-    max(count_left − count_right, 0) copies."""
+    max(count_left − count_right, 0) copies.
+
+    Same equal-selectivity parity-split design as set_intersect_all: both
+    max(l−r,0) > 0 buckets and clamped-to-0 buckets occur at every scale
+    factor, so the multiset subtraction (including the clamp) is genuinely
+    exercised — the earlier predicates yielded 0 rows at every fixture SF.
+    """
     o = load(spark, sf_dir, "orders")
-    left = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
-    right = o.filter(F.col("o_totalprice") > 150000).select("o_orderpriority")
+    bkt = (F.col("o_custkey") % 200).alias("cust_bucket")
+    left = o.filter(F.col("o_orderkey") % 2 == 0).select(bkt)
+    right = o.filter(F.col("o_orderkey") % 2 == 1).select(bkt)
     return left.exceptAll(right)

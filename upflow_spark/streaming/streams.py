@@ -28,7 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from upflow_spark.io import path_of
+from upflow_spark.io import load, path_of
 from upflow_spark.parity import r4
 from upflow_spark.registry import query
 from upflow_spark.session import ensure_conf
@@ -85,21 +85,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Drain an availableNow query into a memory sink; return the result.
 
     State-store partition count == shuffle partitions AT QUERY START and is
     then pinned into the checkpoint. 32 partitions x 2-sided join state is
     pure per-microbatch overhead at fixture scale (measured: stream-stream
-    join 8.0s -> 2.7s at 8 partitions, identical rows). Real deployments
-    size this to state volume / executor count the same way — per query,
-    not per session — so the temporary override below IS the scale pattern.
+    join 8.0s -> 2.7s at 8 partitions, identical rows; simple window aggs
+    are another ~8% faster at 4 — measured r4 on stream_tumbling). Real
+    deployments size this to state volume / executor count the same way —
+    per query, not per session — so the temporary override below IS the
+    scale pattern.
     """
     spark = stream_df.sparkSession
     name = f"upflow_stream_{uuid.uuid4().hex[:10]}"
     ckpt = tempfile.mkdtemp(prefix="upflow_ckpt_")
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -130,11 +134,16 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling window counts/sums by event_type (streaming).
 
     Epoch-aligned window starts make the batch-SQL oracle exact.
+
+    No watermark: complete mode retains all window state regardless, so a
+    watermark only adds event-time tracking overhead here (r4 fix for the
+    r3 +13% bench regression: watermark dropped + 4 state partitions →
+    ~1.28 s stable at sf0.1, from 1.47 s). The watermarked/append
+    finalization path is exercised by stream_watermark_late.
     """
     ev = read_events_stream(spark, sf_dir)
     agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             r4(F.sum("value")).alias("sum_value"),
@@ -146,7 +155,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_completion(agg, "complete")
+    return run_to_completion(agg, "complete", state_partitions=4)
 
 
 @query(
@@ -240,9 +249,40 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays as ONE availableNow micro-batch: the final watermark is
     max(ts) − 1 min and exactly the windows whose end precedes it are
     finalized — verified empirically against both boundary conventions
-    before registering. tests/test_streaming.py additionally asserts the
+    before registering. tests/test_ops.py additionally asserts the
     append ⊆ complete invariant, which stays valid under any batch split.
+
+    Fixture-drift guards (ADVICE r3): the oracle equivalence rests on two
+    layout-dependent properties, asserted here so a regenerated fixture
+    fails FAST with a diagnosis instead of a silent hash divergence:
+    (1) single-batch replay — a multi-file events drop could split across
+        micro-batches and drop mid-stream late rows the oracle keeps;
+    (2) no window end exactly at max(ts) − 1 min — the inclusive/exclusive
+        finalization convention would then decide membership, and the two
+        engines need not agree.
     """
+    src = pathlib.Path(path_of(sf_dir, "events"))
+    if src.is_dir():
+        n_files = len([p for p in src.rglob("*.parquet") if p.is_file()])
+        if n_files != 1:
+            raise AssertionError(
+                f"stream_watermark_late oracle assumes a single-file events "
+                f"fixture (one availableNow micro-batch); found {n_files} "
+                f"part files under {src}. Re-derive the append-mode oracle "
+                f"or force one batch via maxFilesPerTrigger >= {n_files}."
+            )
+    mx_us = (
+        load(spark, sf_dir, "events")
+        .agg(F.unix_micros(F.max("ts").cast("timestamp")).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if (mx_us - 60_000_000) % 300_000_000 == 0:
+        raise AssertionError(
+            "stream_watermark_late: max(ts) - 1 min lands exactly on a "
+            "5-minute window boundary; append-mode membership of that window "
+            "depends on the engine's inclusive/exclusive convention. "
+            "Re-check the oracle's <= against Spark's emitted set."
+        )
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 minute")
