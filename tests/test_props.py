@@ -146,3 +146,106 @@ def test_decontaminate_counts_are_consistent(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["n_contaminated"] + r["n_kept"] == r["n_docs"], r
+
+
+def _union_find_labels(edges):
+    """Reference CC: plain union-find, label = min of component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def _star_cc(spark, edges):
+    from upflow_spark.pipeline.cluster import _cc_star_fixpoint
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in _cc_star_fixpoint(df).collect()
+    }
+    want = _union_find_labels(edges)
+    assert set(got) == set(want)
+    for n, lbl in want.items():
+        assert got[n] == (lbl, n == lbl), (n, got[n], lbl)
+
+
+def test_star_cc_adversarial_chain(spark):
+    """256-node path graph: diameter 255 — min-label propagation's worst
+    case. Star alternation must still resolve every node to min label 0,
+    and do it in O(log² n) rounds (bounded directly below)."""
+    edges = [(i, i + 1) for i in range(255)]
+    _star_cc(spark, edges)
+
+
+def test_star_cc_round_bound_on_chain(spark):
+    """The alternation itself (not the wrapper) stabilizes a 256-node chain
+    within c·log²(n) double-rounds — the Kiveris et al. bound with slack;
+    a linear-diameter algorithm would need ~255."""
+    from pyspark.sql import functions as F
+
+    from upflow_spark.pipeline.cluster import _large_star, _small_star
+
+    e = spark.createDataFrame(
+        [(i + 1, i) for i in range(255)], "u long, v long"
+    ).localCheckpoint()
+    rounds = 0
+    for _ in range(40):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
+        if e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
+            break
+        e = e2
+    assert rounds <= 16, rounds  # log2(256)=8; paper bound O(log^2 n), c small
+    # fixpoint is the min-centered star: every node links straight to 0
+    assert {(r["u"], r["v"]) for r in e2.collect()} == {(i, 0) for i in range(1, 256)}
+
+
+def test_star_cc_random_graphs(spark):
+    """Random sparse graphs (mixed cliques, chains, isolated pairs) against
+    the union-find reference."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = []
+        # a chain segment
+        edges += [(i, i + 1) for i in range(0, 12)]
+        # a clique on [20, 26)
+        edges += [(a, b) for a in range(20, 26) for b in range(a + 1, 26)]
+        # random edges among [30, 60)
+        for _ in range(25):
+            a, b = rng.randrange(30, n), rng.randrange(30, n)
+            if a != b:
+                edges.append((a, b))
+        rng.shuffle(edges)
+        _star_cc(spark, edges)
+
+
+def test_star_cc_matches_production_fixpoint(spark, sf_dir):
+    """Both CC implementations agree label-for-label on the real SimHash
+    pair graph — the alternation is a drop-in behind the same contract."""
+    from upflow_spark.pipeline.cluster import _cc_star_fixpoint, dedup_cluster_cc
+    from upflow_spark.pipeline.dedup import dedup_simhash_pairs
+
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    star = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in _cc_star_fixpoint(pairs).collect()
+    }
+    prod = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in dedup_cluster_cc(spark, sf_dir).collect()
+    }
+    assert star == prod

@@ -68,9 +68,14 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     — window rank for exact-dedup, broadcast-joined CC loser set for
     near-dedup, quality and split-bucket expressions on top — and a single
     aggregate takes five `count_if`s; the 5-row output shape is rebuilt by
-    exploding the 1-row aggregate. The corpus is scanned ONCE (measured
-    6.49 s → ~1.8 s at sf0.1, identical hash); only the tiny CC loser set
-    is broadcast.
+    exploding the 1-row aggregate. The corpus is scanned ONCE; only the
+    tiny CC loser set is broadcast. The expensive input — the SimHash pair
+    stage and its CC label fixpoint — is materialized once per
+    (application, sf_dir) and shared with dedup_cluster_cc /
+    dedup_apply_canonical (see cluster.py), so this key's marginal cost is
+    the single corpus pass (measured ~1.3 s warm at sf0.1 on the
+    regenerated 411k-pair fixtures; a cold run pays the shared ~10 s
+    pair+CC stage once).
     """
     d0 = load(spark, sf_dir, "documents")
     losers = (

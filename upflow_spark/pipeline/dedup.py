@@ -92,7 +92,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tok = d.select("doc_id", F.explode(tokens_col()).alias("item")).distinct()
+    # array_distinct BEFORE the explode: per-doc dedup is map-side, so the
+    # (doc_id, item) stream is born distinct and the old post-explode
+    # .distinct() shuffle disappears entirely
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("item")
+    )
     pairs = _jaccard_pairs_bitmask(spark, tok, 0.95)
     return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard"))
 
@@ -162,14 +167,18 @@ def _jaccard_pairs_bitmask(spark, items: DataFrame, threshold: float) -> DataFra
     # tokenize/explode lineage per read — measured 48.9 s → 11 s at sf0.1
     # for dedup_ngram_jaccard once items+masks are checkpointed
     items = items.localCheckpoint()
-    n_vocab = items.select("item").distinct().count()
-    n_words = max(1, (n_vocab + 61) // 62)
-    # single-task ranking window over |V| rows — fine for bounded vocabs
+    # one distinct pass serves both the vocabulary count and the stable
+    # item-id ranking (single-task window over |V| rows — fine for bounded
+    # vocabs); checkpointing it makes the count read the materialization
+    # instead of re-running the distinct
     vid = (
         items.select("item")
         .distinct()
         .withColumn("tid", F.row_number().over(Window.orderBy("item")) - 1)
+        .localCheckpoint()
     )
+    n_vocab = vid.count()
+    n_words = max(1, (n_vocab + 61) // 62)
     t = items.join(F.broadcast(vid), "item").select("doc_id", "tid")
     word_of = F.floor(F.col("tid") / 62).cast("int")
     # SQL shiftleft takes column args; the pyspark wrapper insists on an int
@@ -195,8 +204,15 @@ def _jaccard_pairs_bitmask(spark, items: DataFrame, threshold: float) -> DataFra
         *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
     )
     ratio = F.lit(float(threshold))
+    # explicit broadcast of the build side: without the hint Catalyst plans
+    # this non-equi join as CartesianProduct and AQE's replanned version can
+    # run the whole O(n²) pair workload in ONE task (measured 58 s vs 3 s at
+    # sf0.1). BroadcastNestedLoopJoin streams the repartitioned a-side, so
+    # parallelism = `par` by construction — and at cluster scale the mask
+    # table (one row per doc, a few long words) is exactly the side you'd
+    # broadcast.
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("doc_a") < F.col("doc_b"))
         # length prefilter: J >= t implies min/max cardinality ratio >= t
         & (F.col("na") >= F.col("nb") * ratio)
@@ -286,11 +302,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = tokens_col()
-    sh = (
-        d.select("doc_id", F.explode(bigram_struct_col(toks)).alias("p"))
-        .select("doc_id", F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("item"))
-        .distinct()
+    # shingle → per-doc array_distinct → explode: the (doc_id, shingle)
+    # stream is distinct by construction, so no post-explode shuffle. The
+    # concat lambda runs interpreted but over only ~50 bigrams/doc — the
+    # codegen'd slice+zip builder still produces the pairs (r4: measured
+    # this variant at 0.4 s vs 1.9 s for explode+concat+distinct at sf0.1)
+    bigrams = F.transform(
+        bigram_struct_col(toks), lambda s: F.concat_ws(" ", s.a, s.b)
     )
+    sh = d.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("item"))
     pairs = _jaccard_pairs_bitmask(spark, sh, 0.5)
     return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard"))
 

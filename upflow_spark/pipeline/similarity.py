@@ -204,8 +204,18 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties broken toward the smaller label on both sides. Brute-force kNN is
     the exactness baseline; swap the pair join for sim_ann_lsh buckets at
     scale.
+
+    Plan shape (r4 fix for the 2.2–4.6 s variance): the corpus side is
+    repartitioned off the single-file scan and the tiny probe set is
+    explicitly broadcast, so the nested-loop join is a map-side pass over
+    ≥32 corpus partitions instead of the whole 40×2000 cosine workload
+    landing on one core whenever AQE coalesced the probe side. This is the
+    100 TB shape too: probes broadcast, corpus streams, top-k per query via
+    one small (query_id)-keyed shuffle.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id", "label", _unit("embedding").alias("emb")
     )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
@@ -216,7 +226,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _cos(F.col("q_emb"), F.col("emb"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
     pairs = (
-        q.join(e, F.col("vec_id") != F.col("query_id"))
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "true_label", "vec_id", F.col("label").alias("neigh_label"), cos.alias("cos_raw"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
