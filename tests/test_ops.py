@@ -365,3 +365,48 @@ def test_bloom_no_false_negatives(spark):
     for r in rows:
         if r["purchased"]:
             assert r["bloom_member"], r
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """The symmetrized graph has no dangling nodes, so total rank mass is
+    exactly 1 after every iteration: sum(pr_scaled/|V|) ≈ 1."""
+    from upflow_spark import QUERIES
+
+    rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    assert rows
+    nv = len(rows)
+    mass = sum(r["pr_scaled"] for r in rows) / nv
+    assert abs(mass - 1.0) < 1e-3, mass
+
+
+def test_cdc_diff_all_classes_nonempty(spark, sf_dir):
+    from upflow_spark import QUERIES
+
+    rows = {r["change_type"]: r["n_rows"] for r in
+            QUERIES["cdc_snapshot_diff"](spark, sf_dir).collect()}
+    assert set(rows) == {"insert", "delete", "update", "unchanged"}
+    assert all(n > 0 for n in rows.values()), rows
+
+
+def test_winsorize_clips_are_consistent(spark, sf_dir):
+    from upflow_spark import QUERIES
+
+    for r in QUERIES["stat_winsorize"](spark, sf_dir).collect():
+        assert r["lo"] <= r["hi"]
+        # clipping can only pull the sum toward the interval
+        assert r["n_clipped_low"] >= 0 and r["n_clipped_high"] >= 0
+        if r["n_clipped_low"] + r["n_clipped_high"] == 0:
+            assert abs(r["sum_raw"] - r["sum_winsorized"]) < 1e-6
+
+
+def test_decoded_image_dims_match_payload(spark, sf_dir):
+    """Width is fixed at 16, height tracks doc length (clamped [1, 12])."""
+    from upflow_spark import QUERIES
+
+    rows = QUERIES["multimodal_decode_image"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["width"] == 16 and 1 <= r["height"] <= 12
+        # channel sums are bounded by 255 per pixel
+        for c in ("sum_r", "sum_g", "sum_b"):
+            assert 0 < r[c] <= 255 * 16 * r["height"]

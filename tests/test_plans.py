@@ -223,3 +223,32 @@ def test_minhash_banded_join_is_equi(spark):
     plan = plan_of(spark, "dedup_minhash_banded_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_single_scan_takeordered(spark):
+    """BM25: per-doc tf is map-side (no explode), corpus stats ride as a
+    broadcast 1-row aggregate, top-k compiles to TakeOrderedAndProject —
+    exactly one documents scan feeds both the stats agg and the scorer."""
+    plan = plan_of(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "Generate" not in plan  # no explode in the scoring path
+    # stats agg + scored pass = 2 scan NODES (each listed once in the tree
+    # and once in the detail section of formatted explain)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2
+
+
+def test_jaccard_pair_join_is_parallel_broadcast(spark):
+    """The bitmask pair join must broadcast the build side explicitly:
+    planned as CartesianProduct, AQE can funnel the whole O(n^2) workload
+    through ONE task (measured 58 s vs 3 s at sf0.1 — r4 fix)."""
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_knn_broadcasts_probe_side(spark):
+    """knn_classify streams the corpus and broadcasts the 40-row probe set
+    (r4 fix for the one-core nested-loop variance)."""
+    plan = plan_of(spark, "knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan

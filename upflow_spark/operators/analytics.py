@@ -468,3 +468,52 @@ def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("streak_len").alias("max_streak"))
     )
+
+
+@query(
+    "stat_winsorize",
+    oracle="""
+WITH cuts AS (
+  SELECT c_mktsegment,
+         percentile_disc(0.1) WITHIN GROUP (ORDER BY c_acctbal) AS lo,
+         percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS hi
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment, cuts.lo, cuts.hi,
+       floor((sum(c.c_acctbal)) * 10000 + 0.5) / 10000 AS sum_raw,
+       floor((sum(greatest(cuts.lo, least(cuts.hi, c.c_acctbal)))) * 10000 + 0.5) / 10000
+         AS sum_winsorized,
+       CAST(count(*) FILTER (c.c_acctbal < cuts.lo) AS BIGINT) AS n_clipped_low,
+       CAST(count(*) FILTER (c.c_acctbal > cuts.hi) AS BIGINT) AS n_clipped_high
+FROM customer c JOIN cuts ON c.c_mktsegment = cuts.c_mktsegment
+GROUP BY c.c_mktsegment, cuts.lo, cuts.hi
+""",
+)
+def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorization at [p10, p90]: clip outlier balances and
+    report raw vs clipped sums + clip counts — the standard robust-stats
+    pre-step before training on heavy-tailed numeric features.
+
+    percentile_disc (actual data points, identical both engines) computed
+    per segment, broadcast back onto the fact scan, one grouped pass.
+    Sums, not means: balances are 2-decimal money, and integer-exact sums
+    can't land on a 4dp rounding boundary the way sum/n quotients can
+    (parity.py). Scale: the cut table is |segments| rows — broadcast;
+    the corpus shuffles once on the groupBy key it already joined on.
+    """
+    c = load(spark, sf_dir, "customer")
+    cuts = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY c_acctbal)").alias("lo"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)").alias("hi"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("c_acctbal")))
+    return (
+        c.join(F.broadcast(cuts), "c_mktsegment")
+        .groupBy("c_mktsegment", "lo", "hi")
+        .agg(
+            r4(F.sum("c_acctbal")).alias("sum_raw"),
+            r4(F.sum(clipped)).alias("sum_winsorized"),
+            F.count_if(F.col("c_acctbal") < F.col("lo")).alias("n_clipped_low"),
+            F.count_if(F.col("c_acctbal") > F.col("hi")).alias("n_clipped_high"),
+        )
+    )

@@ -119,3 +119,76 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         r4("o_totalprice").alias("attr_price"),
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN floor((o_totalprice * 1.1) * 100 + 0.5) / 100
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 50000000, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+diff AS (
+  SELECT CASE WHEN old.k IS NULL THEN 'insert'
+              WHEN new.k IS NULL THEN 'delete'
+              WHEN old.price <> new.price THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(new.price, old.price) AS price
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT change_type, count(*) AS n_rows,
+       floor((sum(price)) * 10000 + 0.5) / 10000 AS sum_price
+FROM diff GROUP BY change_type
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture snapshot diff: classify every key across two
+    snapshots as insert / delete / update / unchanged in ONE full-outer
+    join, and aggregate per class.
+
+    The "new" snapshot is a deterministic mutation of orders (every 97th
+    key deleted, every 5th repriced +10% at 2dp, every 101st cloned to a
+    fresh key) so all four classes are non-empty at every fixture sf. This
+    is the batch primitive behind incremental-pipeline reconciliation:
+    at 100 TB both snapshots shuffle once on the join key and the output
+    is 4 rows — no per-row state ever reaches the driver.
+    """
+    old = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price_old")
+    )
+    base = load(spark, sf_dir, "orders")
+    mutated = base.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_new"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 50_000_000).alias("k"),
+        F.col("o_totalprice").alias("price_new"),
+    )
+    new = mutated.unionByName(inserts)
+    diff = old.join(new, "k", "full_outer").select(
+        F.when(F.col("price_old").isNull(), "insert")
+        .when(F.col("price_new").isNull(), "delete")
+        .when(F.col("price_old") != F.col("price_new"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("price_new", "price_old").alias("price"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("price")).alias("sum_price"),
+    )

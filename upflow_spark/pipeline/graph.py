@@ -1,0 +1,87 @@
+"""Graph analytics over the near-duplicate pair graph: PageRank.
+
+Complements connected components (cluster.py): CC answers "which docs are
+the same", PageRank answers "which docs are the most central templates" —
+a real curation signal (high-rank nodes are the canonical/boilerplate
+sources their near-dups orbit). Same distributed-iteration machinery as
+the CC fixpoint: per round one edge⋈rank shuffle + one aggregation,
+lineage cut with localCheckpoint, shuffles sized to the (small) node set.
+
+Determinism: fixed 6 power iterations (no convergence test — iteration
+count IS the contract, so both engines run the identical computation);
+ranks are reported scaled by |V| (≈1.0-sized values) so the shared 4dp
+parity rounding keeps signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.parity import r4
+from upflow_spark.pipeline.cluster import _PAIRS_CTE, _cc_edges
+from upflow_spark.registry import query
+
+N_ITER = 6
+DAMPING = 0.85
+
+
+def _oracle_sql() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        steps.append(
+            f"r{i} AS (SELECT e.v AS n, 0.15 / (SELECT nv FROM nv) "
+            f"+ {DAMPING} * sum({prev}.r / deg.d) AS r "
+            f"FROM {prev} JOIN deg ON deg.n = {prev}.n "
+            f"JOIN edges e ON e.u = {prev}.n GROUP BY e.v)"
+        )
+        prev = f"r{i}"
+    return f"""
+WITH {_PAIRS_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u AS n, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY u),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM deg),
+r0 AS (SELECT n, 1.0 / (SELECT nv FROM nv) AS r FROM deg),
+{", ".join(steps)}
+SELECT n AS doc_id,
+       floor((r * (SELECT nv FROM nv)) * 10000 + 0.5) / 10000 AS pr_scaled
+FROM {prev}
+"""
+
+
+@query("graph_pagerank", oracle=_oracle_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (6 iterations, d=0.85) over the symmetrized SimHash
+    near-dup graph; output (doc_id, rank·|V| @4dp) per in-graph doc.
+
+    The graph is symmetric so every node has out-degree ≥ 1 — no dangling
+    mass; rank conservation is exact. Edge list reuses the per-application
+    materialization shared with the CC keys (cluster._cc_edges).
+    """
+    edges = _cc_edges(spark, sf_dir)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        deg = edges.groupBy("u").agg(
+            F.count(F.lit(1)).cast("double").alias("d")
+        ).withColumnRenamed("u", "n").localCheckpoint()
+        nv = float(deg.count())  # bounded driver scalar: one row per graph node
+        ranks = deg.select("n", F.lit(1.0 / nv).alias("r"))
+        for _ in range(N_ITER):
+            contrib = (
+                ranks.join(deg, "n")
+                .join(edges, ranks.n == edges.u)
+                .select(F.col("v").alias("n"), (F.col("r") / F.col("d")).alias("c"))
+            )
+            ranks = (
+                contrib.groupBy("n")
+                .agg((F.lit(0.15 / nv) + DAMPING * F.sum("c")).alias("r"))
+                .localCheckpoint()
+            )
+        return ranks.select(
+            F.col("n").alias("doc_id"), r4(F.col("r") * nv).alias("pr_scaled")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

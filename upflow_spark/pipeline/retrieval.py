@@ -1,0 +1,110 @@
+"""Text retrieval scoring over the documents corpus: BM25 search.
+
+The classic lexical-retrieval primitive a training-data pipeline uses for
+eval-set mining and quality probes. Spark-first shape: per-doc term
+frequencies are MAP-SIDE array ops (no explode, no shuffle), corpus
+statistics (N, avgdl, per-term document frequencies) are one 1-row
+aggregate broadcast back, scoring is map-only, and the top-k compiles to
+TakeOrderedAndProject — at 100 TB the corpus is scanned once and nothing
+but k rows ever converges.
+
+Float parity: the score is an EXPLICIT fixed-order sum over the (constant)
+query terms — no join-order-dependent aggregation — so Spark and DuckDB
+evaluate the identical IEEE expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
+from upflow_spark.registry import query
+
+QUERY_TERMS = ("join", "filter", "scan")
+K1 = 1.2
+B = 0.75
+
+
+def _sql_tf(term: str) -> str:
+    return f"len(list_filter({SQL_TOKENS}, t -> t = '{term}'))"
+
+
+def _sql_score() -> str:
+    parts = []
+    for t in QUERY_TERMS:
+        parts.append(
+            f"ln((stats.n_docs - stats.df_{t} + 0.5) / (stats.df_{t} + 0.5) + 1.0)"
+            f" * (tf.tf_{t} * {K1 + 1.0}) / "
+            f"(tf.tf_{t} + {K1} * (1.0 - {B} + {B} * tf.dl / stats.avgdl))"
+        )
+    return " + ".join(parts)
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len({SQL_TOKENS}) AS DOUBLE) AS dl,
+         {", ".join(f"CAST({_sql_tf(t)} AS DOUBLE) AS tf_{t}" for t in QUERY_TERMS)}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+         {", ".join(f"CAST(count(*) FILTER (tf_{t} > 0) AS DOUBLE) AS df_{t}" for t in QUERY_TERMS)}
+  FROM tf
+)
+SELECT doc_id, floor(({_sql_score()}) * 10000 + 0.5) / 10000 AS bm25
+FROM tf CROSS JOIN stats
+ORDER BY ({_sql_score()}) DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (k1=1.2, b=0.75, Lucene idf) for the fixed
+    query {join, filter, scan}.
+
+    Per-doc tf via size(filter(tokens)) — map-side, no explode; corpus
+    stats via one 1-row aggregate broadcast back (the
+    q_parts_above_avg_price pattern); ranking via orderBy+limit →
+    TakeOrderedAndProject. One corpus scan end to end.
+    """
+    toks = tokens_col()
+
+    def _tf(term: str):  # noqa: ANN202  (closure, NOT a default arg: a
+        # 2-arg HOF lambda would be read by pyspark as (element, index))
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[_tf(t).cast("double").alias(f"tf_{t}") for t in QUERY_TERMS],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).cast("double").alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    score = None
+    for t in QUERY_TERMS:  # fixed-order sum — identical FP sequence to the SQL
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+            + 1.0
+        )
+        part = idf * (F.col(f"tf_{t}") * (K1 + 1.0)) / (
+            F.col(f"tf_{t}") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.withColumn("score_raw", score)
+        .orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", r4(F.col("score_raw")).alias("bm25"))
+    )
