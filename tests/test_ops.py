@@ -410,3 +410,55 @@ def test_decoded_image_dims_match_payload(spark, sf_dir):
         # channel sums are bounded by 255 per pixel
         for c in ("sum_r", "sum_g", "sum_b"):
             assert 0 < r[c] <= 255 * 16 * r["height"]
+
+
+def test_entity_match_every_probe_matches_self(spark, sf_dir):
+    """Every dirty record's origin shares its block and is within lev 1, so
+    n_matches >= 1 for all probes and the self key is always a candidate."""
+    from upflow_spark import QUERIES
+
+    rows = QUERIES["entity_match_blocked"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_matches"] >= 1 for r in rows)
+    assert all(r["best_match_key"] <= r["query_key"] for r in rows)
+    # ambiguity exists but must be the minority on 1500+ distinct keys
+    ambiguous = sum(1 for r in rows if not r["matched_self"])
+    assert ambiguous < len(rows) * 0.5, ambiguous
+
+
+def test_interval_merge_bounds(spark, sf_dir):
+    """Merged coverage per user is bounded below by the longest single
+    interval and above by the sum of interval lengths."""
+    from pyspark.sql import functions as F
+
+    from upflow_spark import QUERIES
+    from upflow_spark.io import load
+
+    got = {r["user_id"]: r for r in
+           QUERIES["interval_overlap_merge"](spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", (F.floor(F.col("value") * 60).cast("long") * 1_000_000).alias("len")
+    ).groupBy("user_id").agg(
+        F.sum("len").alias("total"), F.max("len").alias("longest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in ev.collect():
+        g = got[r["user_id"]]
+        assert g["n_intervals"] == r["n"]
+        assert r["longest"] <= g["covered_us"] <= r["total"], (g, r)
+
+
+def test_cumulative_users_monotone(spark, sf_dir):
+    from collections import defaultdict
+
+    from upflow_spark import QUERIES
+
+    rows = QUERIES["win_cumulative_users"](spark, sf_dir).collect()
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        series[r["event_type"]].append((r["new_users"], r["cumulative_users"]))
+    for etype, pts in series.items():
+        run = 0
+        for new, cum in pts:
+            run += new
+            assert cum == run, (etype, new, cum, run)

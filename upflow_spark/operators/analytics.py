@@ -517,3 +517,123 @@ def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("c_acctbal") > F.col("hi")).alias("n_clipped_high"),
         )
     )
+
+
+@query(
+    "interval_overlap_merge",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= s THEN 0 ELSE 1 END AS is_new
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+per_island AS (
+  SELECT user_id, island, count(*) AS cnt, max(e) - min(s) AS len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cnt) AS BIGINT) AS n_intervals,
+       CAST(sum(len) AS BIGINT) AS covered_us
+FROM per_island
+GROUP BY user_id
+""",
+)
+def interval_overlap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals per user: each event spans [ts, ts + value
+    minutes]; overlapping spans merge (gaps-and-islands with a RUNNING MAX
+    boundary, the variant sessionize's fixed-gap rule can't express), and
+    the output is per-user merged-interval count + exact covered
+    microseconds.
+
+    All arithmetic is integer µs — no float parity surface. One user_id
+    shuffle feeds the two windows and the final aggregate.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.floor(F.col("value") * 60)).cast("long") * 1_000_000
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "is_new", F.when(prev_max >= F.col("s"), 0).otherwise(1)
+    )
+    isl = marked.withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.max("e") - F.min("s")).alias("len"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("cnt").alias("n_intervals"),
+        F.sum("len").alias("covered_us"),
+    )
+
+
+@query(
+    "win_cumulative_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT event_type, user_id, min(date_trunc('day', ts)) AS d
+  FROM events GROUP BY event_type, user_id
+),
+daily_new AS (
+  SELECT event_type, d, count(*) AS new_users
+  FROM first_seen GROUP BY event_type, d
+)
+SELECT event_type, d AS day, new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM daily_new
+""",
+)
+def win_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event_type by day — computed the
+    scale-RIGHT way: distinct-over-running-window is re-expressed as
+    first-seen-day per (type, user) + a plain running SUM of daily news.
+    A naive size(collect_set() OVER ...) holds every user id in window
+    state; this shape shuffles each key once and streams. (The sketch
+    variant for approximate cumulative distincts is agg_hll_sketch.)
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy(
+        "event_type", "user_id"
+    ).agg(F.min(F.date_trunc("day", "ts")).alias("d"))
+    daily_new = first_seen.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily_new.select(
+        "event_type",
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

@@ -409,3 +409,47 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("lc.ts")).alias("last_click_ts"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+WITH left_side AS (
+  SELECT event_id, nullif(CAST(floor(value / 50) AS BIGINT), 5) AS bucket
+  FROM events
+),
+right_side AS (
+  SELECT unnest(range(0, 10)) AS bucket, 'b' || unnest(range(0, 10)) AS label
+  UNION ALL SELECT NULL, 'b_null'
+)
+SELECT r.label, count(*) AS n_events
+FROM left_side l JOIN right_side r ON l.bucket IS NOT DISTINCT FROM r.bucket
+GROUP BY r.label
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): bucket 5 is mapped
+    to NULL on the probe side and must still match the dimension's explicit
+    NULL row — the lookup-with-unknown-bucket pattern plain equality
+    silently drops.
+
+    Catalyst plans EqualNullSafe as a HASH join key (nulls hash like any
+    value under null-safe semantics), so this stays a shuffled/broadcast
+    hash join at scale — not a nested loop.
+    """
+    ev = load(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id",
+        F.nullif(F.floor(F.col("value") / 50).cast("long"), F.lit(5)).alias("bucket"),
+    )
+    right = spark.range(0, 10).select(
+        F.col("id").alias("bucket"), F.concat(F.lit("b"), F.col("id")).alias("label")
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(None).cast("long").alias("bucket"), F.lit("b_null").alias("label")
+        )
+    )
+    joined = left.join(
+        F.broadcast(right), left.bucket.eqNullSafe(right.bucket)
+    )
+    return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n_events"))

@@ -78,6 +78,7 @@ def load_all_modules() -> None:
     import upflow_spark.pipeline.curation  # noqa: F401
     import upflow_spark.pipeline.curation2  # noqa: F401
     import upflow_spark.pipeline.dedup  # noqa: F401
+    import upflow_spark.pipeline.entity  # noqa: F401
     import upflow_spark.pipeline.graph  # noqa: F401
     import upflow_spark.pipeline.llmprep  # noqa: F401
     import upflow_spark.pipeline.retrieval  # noqa: F401
