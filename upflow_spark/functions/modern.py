@@ -142,3 +142,33 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), float(m["total_price"]), int(m["n_open"]))],
         "n_rows bigint, total_price double, n_open bigint",
     ).select("n_rows", r4(F.col("total_price")).alias("total_price"), "n_open")
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4 bitmap aggregates — the
+    mergeable-bitmap pattern (Roaring-style): user ids bucket into 32k-bit
+    bitmaps per (group, bucket), partial-aggregated map-side, then bit
+    counts sum per group. Unlike HLL this is exact, unlike
+    count(DISTINCT) it never reshuffles raw ids — at 100 TB the shuffle
+    carries one bitmap per (group, bucket), not one row per id.
+    DuckDB verifies against plain count(DISTINCT).
+    """
+    from upflow_spark.io import load
+
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )

@@ -637,3 +637,45 @@ def win_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@query(
+    "seq_pattern_detect",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         lag(event_type) OVER w AS prev_type,
+         lag(epoch_us(ts)) OVER w AS prev_t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_purchases,
+       count(*) FILTER (WHERE prev_type = 'click'
+                          AND t - prev_t <= 600000000) AS n_click_then_buy
+FROM seq WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection (MATCH_RECOGNIZE-lite): purchases whose
+    IMMEDIATELY preceding event for the user was a click at most 10 minutes
+    earlier. One lag window over the (user, time) order, then a grouped
+    conditional count — a single user_id shuffle at any scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        t.alias("t"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag(t).over(w).alias("prev_t"),
+    ).filter(F.col("event_type") == "purchase")
+    matched = (F.col("prev_type") == "click") & (
+        F.col("t") - F.col("prev_t") <= 600_000_000
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_if(matched).alias("n_click_then_buy"),
+    )

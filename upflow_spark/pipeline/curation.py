@@ -197,3 +197,40 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("q", F.lit(0.0), lambda s, v: s + v).cast("long").alias("q_sum"),
         r4(F.col("err_raw")).alias("recon_err"),
     )
+
+
+@query(
+    "emb_truncate_renorm",
+    oracle="""
+SELECT vec_id,
+       floor((sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000 + 0.5)
+         / 10000 AS norm_full,
+       floor((sqrt(list_sum(list_transform(embedding[1:16],
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                   / list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000 + 0.5)
+         / 10000 AS cos_trunc16
+FROM embeddings
+""",
+)
+def emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation audit: cosine between the full
+    unit vector and its renormalized 16-dim prefix — which collapses to
+    sqrt(prefix_energy / total_energy), so the whole audit is one map-only
+    HOF pass (the number that tells you whether serving can ship 4× fewer
+    dims). No shuffle at any width.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    total = sq(F.col("embedding"))
+    prefix = sq(F.slice(F.col("embedding"), 1, 16))
+    return e.select(
+        "vec_id",
+        r4(F.sqrt(total)).alias("norm_full"),
+        r4(F.sqrt(prefix / total)).alias("cos_trunc16"),
+    )

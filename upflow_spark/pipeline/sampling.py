@@ -10,7 +10,7 @@ engine-specific by nature (rows-only + statistical test).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
@@ -128,3 +128,35 @@ def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+@query(
+    "sample_topk_hashrank",
+    oracle="""
+SELECT doc_id, lang, rk
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                     doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 3
+""",
+)
+def sample_topk_hashrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group subsample: rank every doc inside its language
+    by a content hash and keep the top 3 — reservoir-sampling semantics
+    with a reproducible, engine-portable order (md5), no RNG state. The
+    pattern behind balanced eval-set carving: same inputs → same sample on
+    any engine, any partitioning, any day.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "lang", "rk")
+    )
