@@ -57,6 +57,7 @@ def load_all_modules() -> None:
     import upflow_spark.functions.strings  # noqa: F401
     import upflow_spark.operators.aggregates  # noqa: F401
     import upflow_spark.operators.analytics  # noqa: F401
+    import upflow_spark.operators.geo  # noqa: F401
     import upflow_spark.operators.grouped_pandas  # noqa: F401
     import upflow_spark.operators.grouping_ext  # noqa: F401
     import upflow_spark.operators.joins  # noqa: F401
