@@ -172,3 +172,93 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).alias("n_users")
     )
+
+
+@query(
+    "grouped_apply_arrow",
+    oracle="""
+SELECT c_mktsegment, c_custkey,
+       floor((CASE WHEN mx = mn THEN 0.5
+              ELSE (c_acctbal - mn) / (mx - mn) END) * 10000 + 0.5) / 10000
+         AS balance_norm
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         min(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mn,
+         max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mx
+  FROM customer
+)
+""",
+)
+def grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment min-max normalization via applyInArrow — the 5th and
+    lowest-overhead Python execution surface (grouped pyarrow RecordBatch,
+    zero pandas conversion; complements mapInPandas / applyInPandas /
+    applyInPandasWithState / mapInArrow already covered). pyarrow.compute
+    kernels only; DuckDB verifies via the window formulation.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from upflow_spark.io import load
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+
+    def normalize(tbl: pa.Table) -> pa.Table:
+        bal = tbl.column("c_acctbal")
+        mn = pc.min(bal).as_py()
+        mx = pc.max(bal).as_py()
+        if mx == mn:
+            norm = pa.array([0.5] * len(tbl), type=pa.float64())
+        else:
+            norm = pc.divide(pc.subtract(bal, mn), mx - mn)
+        return pa.table(
+            {
+                "c_mktsegment": tbl.column("c_mktsegment"),
+                "c_custkey": tbl.column("c_custkey"),
+                "balance_norm": norm,
+            }
+        )
+
+    out = c.groupBy("c_mktsegment").applyInArrow(
+        normalize, "c_mktsegment string, c_custkey long, balance_norm double"
+    )
+    return out.select("c_mktsegment", "c_custkey", r4(F.col("balance_norm")).alias("balance_norm"))
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit grouping_id()/grouping() — the metadata that
+    lets one hierarchical result set distinguish 'the NULL group' from
+    'the subtotal row' (consumers route on gid, not on NULL-ness).
+    Both engines compute the identical bitmask."""
+    from upflow_spark.io import load
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "g_status",
+            "n_orders",
+        )
+    )

@@ -189,3 +189,41 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_custs",
         )
     )
+
+
+@query(
+    "pivot_multi_agg",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_n,
+       floor((coalesce(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 0.0))
+             * 10000 + 0.5) / 10000 AS urgent_total,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low_n,
+       floor((coalesce(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 0.0))
+             * 10000 + 0.5) / 10000 AS low_total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted value (count + sum):
+    Spark names the columns `{value}_{alias}`, so aliases are chosen to
+    line up with the oracle's conditional-aggregation formulation. One
+    grouped pass, Expand-free (fixed value list keeps it a single agg)."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .na.fill({"1-URGENT_n": 0, "5-LOW_n": 0, "1-URGENT_total": 0.0, "5-LOW_total": 0.0})
+    )
+    return piv.select(
+        "o_orderstatus",
+        F.col("`1-URGENT_n`").alias("urgent_n"),
+        r4(F.col("`1-URGENT_total`")).alias("urgent_total"),
+        F.col("`5-LOW_n`").alias("low_n"),
+        r4(F.col("`5-LOW_total`")).alias("low_total"),
+    )

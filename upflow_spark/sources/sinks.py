@@ -187,3 +187,53 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("compacted").alias("phase"), F.count(F.lit(1)).alias("n_rows")
     )
     return back_small.unionAll(back_compact)
+
+
+@query(
+    "sink_overwrite_dynamic_partition",
+    oracle="""
+WITH base AS (SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders),
+patch AS (
+  SELECT o_orderstatus, o_orderkey,
+         floor((o_totalprice * 0.5) * 100 + 0.5) / 100 AS o_totalprice
+  FROM orders WHERE o_orderstatus = 'F'
+),
+final AS (
+  SELECT * FROM base WHERE o_orderstatus <> 'F'
+  UNION ALL SELECT * FROM patch
+)
+SELECT o_orderstatus, count(*) AS n_rows,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+FROM final GROUP BY o_orderstatus
+""",
+)
+def sink_overwrite_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: write orders partitioned by status,
+    then overwrite ONLY the 'F' partition with repriced rows
+    (partitionOverwriteMode=dynamic — sibling partitions survive, the
+    classic incremental-backfill contract; STATIC mode would wipe them).
+    Read-back aggregate proves exactly one partition changed.
+    """
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    out = tempfile.mkdtemp(prefix="upflow_dynpart_") + "/orders"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    patch = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.floor(F.col("o_totalprice") * 0.5 * 100 + 0.5) / 100
+    )
+    spark.conf.set(key, "dynamic")
+    try:
+        patch.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("o_totalprice")).alias("sum_price"),
+    )

@@ -155,3 +155,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id")
     return run_to_completion(joined, "append")
+
+
+# NOTE: Spark 4's transformWithStateInPandas (the successor to
+# applyInPandasWithState, with typed ValueState/ListState/MapState handles
+# and timers) was evaluated here but its Python worker requires
+# google.protobuf (state protocol), which this container does not ship —
+# it fails at runner init with ImportError, not at logic level. The
+# arbitrary-state surface is covered by stream_custom_state above; swap it
+# to the new API on environments with protobuf installed.
