@@ -253,3 +253,34 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """).select(
         "user_id", "event_id", "ts", r4(F.col("val_raw")).alias("val_1h")
     )
+
+
+@query(
+    "win_range_numeric_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       floor((o_totalprice) * 10000 + 0.5) / 10000 AS price,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                           RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_within_50k
+FROM orders
+""",
+)
+def win_range_numeric_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame (value-based, not row-based): for each order,
+    how many of the customer's orders cost within 50k below it. RANGE
+    frames bound by VALUE distance are the frame type ROWS can't emulate
+    when peers tie; complements win_time_range_frame (INTERVAL ranges).
+    One o_custkey shuffle, sorted once."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r4(F.col("o_totalprice")).alias("price"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_within_50k"),
+    )
