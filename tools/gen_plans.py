@@ -48,6 +48,12 @@ SHOWCASE = [
     ("dedup_minhash_banded_pairs", "banded candidates via hash equi-join on band structs over a materialized signature table — no all-pairs nested loop"),
     ("text_tfidf_topterms", "corpus doc-count rides as a broadcast 1-row aggregate (count-star scan reads ZERO columns) — no second full corpus pass"),
     ("pipeline_curation_funnel", "five stage counts from ONE flagged lineage + one count_if aggregate — no Union re-deriving the corpus per stage"),
+    ("bm25_search", "map-side tf (no explode), corpus stats as broadcast 1-row agg, TakeOrderedAndProject top-k — one scored pass"),
+    ("dedup_ngram_jaccard", "bitmask pair join as BroadcastNestedLoopJoin streaming the repartitioned side (r4: plain CartesianProduct let AQE run the O(n²) workload in ONE task)"),
+    ("knn_classify", "corpus streams over >=32 partitions, 40-row probe set broadcast (r4: kills the one-core nested-loop variance)"),
+    ("geo_radius_join", "grid-blocked spatial join: build side replicated into 3×3 cells, hash equi-join on cell id + exact haversine verify — bounded fanout, no all-pairs"),
+    ("sql_exists_correlated", "correlated EXISTS/NOT EXISTS decorrelated to left-semi + left-anti hash joins — no per-row subquery execution"),
+    ("agg_bitmap_distinct", "two-level bitmap aggregation: partial bitmap_construct per (group, bucket) map-side, bit-count merge after — raw ids never reshuffled"),
 ]
 
 
