@@ -44,6 +44,9 @@ def main() -> None:
         "stream_tumbling": "stream_tumbling",
         "dedup_simhash_pairs": "dedup_simhash_pairs",
         "curation_funnel": "pipeline_curation_funnel",
+        "bm25_search": "bm25_search",
+        "graph_pagerank": "graph_pagerank",
+        "geo_radius_join": "geo_radius_join",
     }
 
     timings: dict[str, float] = {}
