@@ -65,6 +65,29 @@ def main() -> int:
                 bad += 1
             else:
                 print(f"ok    {table}.{col}: {t}")
+    # content-drift probe (r4 lesson: schemas held but the documents corpus
+    # got 2x more duplicate-heavy, repricing every near-dup key AND the
+    # DuckDB recursive-CTE oracles — the funnel oracle went to 13 min at
+    # sf0.1). Estimate the SimHash pair density at sf0.001 so a blowup is a
+    # printed WARNING at round start, not a mystery timeout mid-run.
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        n_docs, n_distinct = con.execute(
+            "SELECT count(*), count(DISTINCT md5(text)) FROM documents"
+        ).fetchone()
+        print(f"docs  sf0.001: {n_docs} rows, {n_distinct} distinct texts")
+        if n_docs and n_distinct < n_docs * 0.5:
+            print(
+                "WARN  documents >50% exact-duplicate — expect near-dup pair "
+                "counts (and CC/funnel oracle runtimes) to balloon at sf0.1"
+            )
+    except Exception as exc:  # probe only — never fail the round on it
+        print(f"note  dup-density probe skipped: {exc}")
     print("ROUNDCHECK:", "CLEAN" if bad == 0 else f"{bad} SCHEMA SURPRISES")
     return 1 if bad else 0
 

@@ -45,6 +45,8 @@ PROBE_KEYS = [
     ("sim_centroid_per_label", "embeddings (10x replicated rows)"),
     ("ts_ewma", "events (per-user linear recurrence — VERDICT r1 item 5)"),
     ("sessionize_gap", "events (gaps-and-islands, one user_id shuffle)"),
+    ("bm25_search", "documents 10x (map-side tf + broadcast stats + top-k)"),
+    ("agg_bitmap_distinct", "events 10x (mergeable bitmap distinct)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate

@@ -679,3 +679,42 @@ def seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.count_if(matched).alias("n_click_then_buy"),
     )
+
+
+@query(
+    "agg_histogram_equi_depth",
+    oracle="""
+SELECT tile, count(*) AS n_orders,
+       floor((min(o_totalprice)) * 10000 + 0.5) / 10000 AS lo,
+       floor((max(o_totalprice)) * 10000 + 0.5) / 10000 AS hi
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+  FROM orders
+)
+GROUP BY tile
+""",
+)
+def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 equal-count buckets with their value
+    boundaries) — the other histogram an optimizer keeps (hist_bins is the
+    equi-WIDTH one). ntile over a (value, key) total order makes bucket
+    assignment deterministic under price ties on both engines.
+
+    Scale note: a global ntile is a single-partition sort — fine for
+    boundary COMPUTATION on a sample, which is how query optimizers build
+    these; the full-data formulation at 100 TB is approx_percentile
+    boundaries + one grouped pass (agg_percentile_approx covers that
+    regime).
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.min("o_totalprice")).alias("lo"),
+            r4(F.max("o_totalprice")).alias("hi"),
+        )
+    )
