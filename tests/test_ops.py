@@ -462,3 +462,65 @@ def test_cumulative_users_monotone(spark, sf_dir):
         for new, cum in pts:
             run += new
             assert cum == run, (etype, new, cum, run)
+
+
+def test_bm25_scores_positive_and_ranked(spark, sf_dir):
+    from upflow_spark import QUERIES
+
+    rows = QUERIES["bm25_search"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_equi_depth_histogram_properties(spark, sf_dir):
+    """Buckets are contiguous, counts within 1 of each other, boundaries
+    non-decreasing across tiles."""
+    from upflow_spark import QUERIES
+
+    rows = sorted(
+        QUERIES["agg_histogram_equi_depth"](spark, sf_dir).collect(),
+        key=lambda r: r["tile"],
+    )
+    assert [r["tile"] for r in rows] == list(range(1, 11))
+    counts = [r["n_orders"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_audio_energy_frame_coverage(spark, sf_dir):
+    """Per-doc frames tile the payload exactly: sum of n_samples == doc
+    length, frame indexes contiguous from 0."""
+    from collections import defaultdict
+
+    from upflow_spark import QUERIES
+    from upflow_spark.io import load
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["multimodal_audio_energy"](spark, sf_dir).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    lens = {
+        r["doc_id"]: r["L"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("L"))
+        .collect()
+    }
+    for doc, frames in by_doc.items():
+        frames.sort(key=lambda r: r["frame_idx"])
+        assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
+        assert sum(f["n_samples"] for f in frames) == lens[doc]
+
+
+def test_geo_radius_join_is_symmetric_and_bounded(spark, sf_dir):
+    from upflow_spark import QUERIES
+    from upflow_spark.operators.geo import RADIUS_KM
+
+    rows = QUERIES["geo_radius_join"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["pid_a"] < r["pid_b"]
+        assert 0 <= r["dist_km"] <= RADIUS_KM + 1e-9
