@@ -718,3 +718,82 @@ def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.max("o_totalprice")).alias("hi"),
         )
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       floor((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS slope,
+       floor((regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS intercept,
+       floor((regr_r2(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS r2,
+       floor((regr_avgx(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS avg_x
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI linear-regression aggregates (regr_slope/intercept/r2/avgx/
+    count) per return flag — the in-database OLS both engines implement to
+    the same SQL:2003 definition. One grouped pass; all five statistics
+    partial-aggregate as (n, Σx, Σy, Σxy, Σx², Σy²) map-side, so the
+    shuffle carries six doubles per group at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        r4(F.regr_slope(y, x)).alias("slope"),
+        r4(F.regr_intercept(y, x)).alias("intercept"),
+        r4(F.regr_r2(y, x)).alias("r2"),
+        r4(F.regr_avgx(y, x)).alias("avg_x"),
+    )
+
+
+@query(
+    "agg_distribution_entropy",
+    oracle="""
+WITH cnt AS (
+  SELECT c_mktsegment AS seg, e.event_type, count(*) AS n
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY seg, e.event_type
+),
+tot AS (SELECT seg, sum(n) AS total FROM cnt GROUP BY seg)
+SELECT cnt.seg,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       floor((-sum((CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total)))
+             * 10000 + 0.5) / 10000 AS entropy,
+       floor((1.0 - sum(pow(CAST(n AS DOUBLE) / total, 2))) * 10000 + 0.5) / 10000
+         AS gini_impurity
+FROM cnt JOIN tot ON cnt.seg = tot.seg
+GROUP BY cnt.seg
+""",
+)
+def agg_distribution_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-distribution health per segment: Shannon entropy + Gini
+    impurity of the event-type mix — the class-balance audit a training
+    pipeline runs before sampling decisions. Two grouped passes over
+    (segment, class) counts; the per-class table is tiny, so the second
+    agg is broadcast-scale regardless of corpus size.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("seg")
+    )
+    cnt = (
+        ev.join(c, "user_id")
+        .groupBy("seg", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("seg").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        cnt.join(F.broadcast(tot), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            r4(-F.sum(p * F.log(p))).alias("entropy"),
+            r4(F.lit(1.0) - F.sum(F.pow(p, F.lit(2.0)))).alias("gini_impurity"),
+        )
+    )
