@@ -133,9 +133,23 @@ def test_simhash_closer_for_similar_docs(spark):
 
 
 def test_percentile_approx_error_bounded(spark):
+    """The graded key now emits rank-bound booleans (r4 oracle-able shape);
+    this test keeps the raw VALUE-space check by recomputing the GK sketch
+    inline against the exact key."""
+    from pyspark.sql import functions as F
+    from upflow_spark.io import load
+
+    rows = QUERIES["agg_percentile_approx"](spark, SF).collect()
+    assert rows and all(r["sketch_within_rank_bounds"] for r in rows)
+    o = load(spark, SF, "orders")
     approx = {
-        r["o_orderpriority"]: (r["median_approx"], r["p90_approx"])
-        for r in QUERIES["agg_percentile_approx"](spark, SF).collect()
+        r["o_orderpriority"]: (r["am"], r["ap"])
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("am"),
+            F.percentile_approx("o_totalprice", 0.9, 1000).alias("ap"),
+        )
+        .collect()
     }
     exact = {
         r["o_orderpriority"]: (r["median_price"], r["p90_price"])
@@ -217,10 +231,17 @@ def test_hll_sketch_error_bound_and_merge(spark):
     from upflow_spark.io import load
 
     rows = {r["o_orderpriority"]: r for r in QUERIES["agg_hll_sketch"](spark, SF).collect()}
-    union_est = rows.pop("__all__")["est_custs"]
-    for pri, r in rows.items():
-        assert abs(r["est_custs"] - r["exact_custs"]) / r["exact_custs"] < 0.05, (pri, r)
+    assert all(r["est_within_bounds"] for r in rows.values()), rows
+    assert "__all__" in rows
     o = load(spark, SF, "orders")
+    # raw estimate + mergeability checks, recomputed inline (the graded key
+    # now emits exact counts + bound booleans — the r4 oracle-able shape)
+    union_est = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
     direct = o.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e"),
         F.count_distinct("o_custkey").alias("x"),

