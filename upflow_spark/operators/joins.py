@@ -453,3 +453,137 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(right), left.bucket.eqNullSafe(right.bucket)
     )
     return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       (SELECT c.event_id FROM c
+        WHERE c.user_id = p.user_id
+          AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 3600000000
+        ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts, c.event_id
+        LIMIT 1) AS nearest_click_id
+FROM p
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (merge_asof(direction='nearest')):
+    each purchase takes the closest click within ±1 h; ties break toward
+    the EARLIER click, then the smaller click id.
+
+    Composition of two linear passes over one user_id shuffle domain — a
+    backward carry (latest click ≤ t) and a forward carry (earliest click
+    ≥ t) — then a deterministic argmin of the two candidate distances.
+    Still no pair explosion: each pass is the union+last() formulation of
+    join_asof, so the whole nearest join is O(n log n) per user at any
+    scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", t_us.alias("t"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", t_us.alias("t"), F.col("event_id").alias("purchase_id")
+    )
+    timeline = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    # among equal-ts clicks the ORACLE keeps the smallest id; ordering
+    # click_id DESC makes last() land on exactly that row
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.col("purchase_id").isNotNull(), F.col("click_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("t").desc(),
+            F.col("purchase_id").isNotNull(),
+            F.col("click_id").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(
+        F.col("click_id").isNotNull(), F.struct("t", "click_id")
+    )
+    back = F.last(click_struct, ignorenulls=True).over(wb)
+    fwd = F.last(click_struct, ignorenulls=True).over(wf)
+    tol = 3_600_000_000
+    db = F.col("t") - F.col("b.t")
+    df_ = F.col("f.t") - F.col("t")
+    b_ok = F.col("b").isNotNull() & (db <= tol)
+    f_ok = F.col("f").isNotNull() & (df_ <= tol)
+    nearest = (
+        F.when(b_ok & (~f_ok | (db <= df_)), F.col("b.click_id"))
+        .when(f_ok, F.col("f.click_id"))
+    )
+    return (
+        timeline.withColumn("b", back)
+        .withColumn("f", fwd)
+        .filter(F.col("purchase_id").isNotNull())
+        .select("purchase_id", "user_id", nearest.alias("nearest_click_id"))
+    )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+WITH dim AS (
+  SELECT o_custkey, o_orderkey AS version_key, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+),
+fact AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 50 = 0
+)
+SELECT f.l_orderkey, f.l_linenumber, d.version_key
+FROM fact f LEFT JOIN dim d
+  ON f.o_custkey = d.o_custkey
+ AND f.l_shipdate >= d.valid_from
+ AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+""",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: each fact row picks the dim
+    VERSION that was valid at its own timestamp — SCD2 validity windows
+    (built inline with one lead() window) interval-joined on
+    (business key, from ≤ ts < to).
+
+    Scale shape: equi-join on the business key carries the fanout
+    (versions per key, bounded), the validity predicate is a residual —
+    never a time-range cross join. This is the lookup every training
+    pipeline needs to avoid feature leakage from future dim versions.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    dim = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    # rename the fact's key: both sides derive from `orders`, and a shared
+    # attribute id would make the equality predicate trivially true
+    fact = li.join(
+        o.select("o_orderkey", F.col("o_custkey").alias("f_custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "f_custkey")
+    cond = (
+        (F.col("f_custkey") == dim.o_custkey)
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to")))
+    )
+    return fact.join(dim, cond, "left_outer").select(
+        "l_orderkey", "l_linenumber", "version_key"
+    )

@@ -8,7 +8,7 @@ pay that, and these plans don't (verified via explain in tests/test_plans.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
@@ -92,4 +92,40 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .offset(20)
         .limit(20)
+    )
+
+
+@query(
+    "topk_two_level",
+    oracle="""
+SELECT l_partkey,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+         AS revenue
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_partkey ASC
+LIMIT 20
+""",
+)
+def topk_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 parts by revenue via TWO-LEVEL top-k: per-bucket
+    ranked pruning (32 hash buckets, each keeps its local top 20) feeds a
+    tiny 640-row global TakeOrdered. Identical result to the direct
+    orderBy+limit — that IS the point: global top-k ⊆ ∪ bucket top-ks, so
+    at 100 TB the final single-reducer step sees buckets×k candidate rows
+    instead of every group, while the oracle proves the pruning lost
+    nothing.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = li.groupBy("l_partkey").agg(rev.alias("rev_raw"))
+    bucket = F.pmod(F.hash("l_partkey"), F.lit(32))
+    w = Window.partitionBy(bucket).orderBy(
+        F.col("rev_raw").desc(), F.col("l_partkey").asc()
+    )
+    pruned = agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    return (
+        pruned.orderBy(F.col("rev_raw").desc(), F.col("l_partkey").asc())
+        .limit(20)
+        .select("l_partkey", r4(F.col("rev_raw")).alias("revenue"))
     )
