@@ -59,15 +59,20 @@ def test_minhash_lsh_recalls_exact_near_dups(spark):
         (r["doc_a"], r["doc_b"])
         for r in QUERIES["dedup_near_minhash"](spark, SF).collect()
     }
+    from upflow_spark.pipeline.dedup import minhash_lsh_pairs
+
     approx = {
         (r["doc_a"], r["doc_b"])
-        for r in QUERIES["dedup_near_minhash_lsh"](spark, SF).collect()
+        for r in minhash_lsh_pairs(spark, SF).collect()
     }
     if exact:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} exact pairs"
     # no self-pairs, orientation invariant holds
     assert all(a < b for a, b in approx)
+    # the graded summary key must agree with the pair-level surface
+    summ = QUERIES["dedup_near_minhash_lsh"](spark, SF).collect()
+    assert len(summ) == 1 and summ[0]["n_pairs"] == len(approx)
 
 
 def test_ann_lsh_sane(spark):

