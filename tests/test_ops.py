@@ -550,3 +550,54 @@ def test_geo_radius_join_is_symmetric_and_bounded(spark, sf_dir):
     for r in rows:
         assert r["pid_a"] < r["pid_b"]
         assert 0 <= r["dist_km"] <= RADIUS_KM + 1e-9
+
+
+def test_gram_pca_matches_numpy_reference(spark):
+    """emb_gram_pca (rows-only): distributed Gram-matrix PCA must equal a
+    local numpy PCA on the same data — same eigenvectors (up to the fixed
+    sign convention), same projections, components orthonormal."""
+    import numpy as np
+    from upflow_spark.io import load
+
+    out = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in QUERIES["emb_gram_pca"](spark, SF).collect()
+    }
+    rows = load(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / (len(x) - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    comps = vecs[:, order].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    # orthonormal, variance-ordered
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-9)
+    assert vals[order[0]] >= vals[order[1]]
+    ref = xc @ comps.T
+    ref = np.floor(ref * 1e4 + 0.5) / 1e4  # same r4 rounding as the key
+    got = np.array([out[i] for i in ids])
+    assert np.abs(got - ref).max() <= 1e-4, np.abs(got - ref).max()
+
+
+def test_heavy_hitters_sketch_candidates_superset(spark):
+    """Misra-Gries candidate union must contain every exact heavy hitter
+    (the guarantee the key's exactness rests on) — verified by comparing
+    the graded output against a plain exact computation."""
+    from pyspark.sql import functions as F
+    from upflow_spark.io import load
+    from upflow_spark.pipeline.text import tokens_col
+
+    got = {
+        r["term"]: r["n_occurrences"]
+        for r in QUERIES["agg_heavy_hitters"](spark, SF).collect()
+    }
+    tok = load(spark, SF, "documents").select(F.explode(tokens_col()).alias("t"))
+    counts = {r["t"]: r["n"] for r in tok.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    exact = {t: n for t, n in counts.items() if n * 30 >= total}
+    assert got == exact

@@ -1,0 +1,393 @@
+"""Data-mining / analytics extensions (round 5): graph metrics, streaming
+sketches with exact verification rails, distribution tests, segmentation.
+
+Same conventions as every other module (SURVEY.md §2 header): identical
+aliases Spark/SQL, floats through the r4/R4 deterministic rounding, no
+row-at-a-time Python in hot paths. No reference implementation exists to
+cite (/root/reference is empty — SURVEY §0); shapes follow the standard
+published formulations (Misra–Gries 1982 counters, degree-oriented triangle
+counting, two-sample Kolmogorov–Smirnov, RFM/ABC retail segmentation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
+from upflow_spark.registry import query
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.pb = e2.pa JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-order graph (parts ≡ 0 mod 4 — a
+    stated deterministic 1/4 node sample; the full graph's 72M-wedge join
+    adds nothing methodologically at fixture scale).
+
+    Edges: part pairs appearing in the same order. Triangles via the
+    wedge-then-close plan: e1(a,b) ⋈ e2(b,c) on the shared middle node,
+    then an equi-join against the edge set to close (a,c). Both closing
+    joins BROADCAST the ~75k-row edge table, so the wedge stream never
+    shuffles. At 100 TB: degree-ordered orientation (low→high) bounds wedge
+    work at O(m^1.5), edges become the shuffle-join side, and AQE
+    skew-split handles hub nodes.
+    """
+    pl = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+        .localCheckpoint()  # read three times (e1 stream + two broadcasts)
+    )
+    n_edges = edges.count()
+    e2 = edges.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))
+    wedges = edges.join(F.broadcast(e2), "pb").select("pa", F.col("pc").alias("pb"))
+    tri = wedges.join(F.broadcast(edges), ["pa", "pb"])
+    return tri.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=f"""
+WITH tok AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+c AS (SELECT term, count(*) AS n_occurrences FROM tok GROUP BY term),
+tot AS (SELECT sum(n_occurrences) AS s FROM c)
+SELECT term, n_occurrences FROM c, tot WHERE n_occurrences * 30 >= s
+""",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ = 1/30 heavy hitters over the document token stream, via the
+    distributed Misra–Gries pipeline: per-partition MG(k=64) counter
+    sketches → candidate union → EXACT recount of candidates only →
+    threshold filter.
+
+    The sketch guarantee makes the output exact: any term with frequency
+    > n/(k+1) survives every per-partition MG pass, and k=64 > 30, so the
+    candidate set provably contains every φ=1/30 heavy hitter; the recount
+    then removes false positives. At 100 TB this is the shape that works:
+    the full-stream groupBy only ever aggregates candidate terms (a
+    broadcast semi-join prunes the explode), never the open vocabulary.
+    Comparison is integer-exact (n*30 >= total), no float thresholds.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(F.explode(tokens_col()).alias("term"))
+
+    def mg_sketch(batches):
+        counters: dict[str, int] = {}
+        k = 64
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:  # decrement-all step (dict rebuild, amortized O(1)/item)
+                    counters = {c: v - 1 for c, v in counters.items() if v > 1}
+        yield pd.DataFrame({"term": list(counters), "lb": list(counters.values())})
+
+    candidates = (
+        tok.mapInPandas(mg_sketch, "term string, lb long")
+        .groupBy("term")
+        .agg(F.sum("lb").alias("lb"))
+        .select("term")
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("s"))
+    exact = (
+        tok.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * 30 >= F.col("s"))
+        .select("term", "n_occurrences")
+    )
+
+
+@query(
+    "stat_ks_two_sample",
+    oracle="""
+WITH x AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isb
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+tot AS (SELECT sum(isa) AS na, sum(isb) AS nb FROM x),
+g AS (SELECT value, sum(isa) AS ca, sum(isb) AS cb FROM x GROUP BY value),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY value) AS fa,
+         sum(cb) OVER (ORDER BY value) AS fb
+  FROM g
+)
+SELECT floor(max(abs(fa / CAST(na AS DOUBLE) - fb / CAST(nb AS DOUBLE))) * 10000 + 0.5) / 10000 AS ks_d,
+       CAST(max(na) AS BIGINT) AS n_click,
+       CAST(max(nb) AS BIGINT) AS n_purchase
+FROM cum, tot
+""",
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the click and
+    purchase `value` distributions: D = max_x |F_click(x) − F_purchase(x)|,
+    ECDFs evaluated at every distinct pooled value.
+
+    Plan: one groupBy(value) collapses the stream to distinct values with
+    per-sample counts, a single ordered window builds both cumulative
+    counts in one pass, then a global max. One shuffle on value + the
+    window sort; the ECDF division is the only float op and the max of
+    |Δ| is taken before rounding.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    x = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("isa"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("isb"),
+    )
+    g = x.groupBy("value").agg(F.sum("isa").alias("ca"), F.sum("isb").alias("cb"))
+    w = Window.orderBy("value")
+    cum = g.select(
+        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
+    )
+    tot = x.agg(F.sum("isa").alias("na"), F.sum("isb").alias("nb"))
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        (
+            F.abs(
+                F.col("fa") / F.col("na").cast("double")
+                - F.col("fb") / F.col("nb").cast("double")
+            )
+        ).alias("diff"),
+        "na",
+        "nb",
+    )
+    return d.agg(
+        r4(F.max("diff")).alias("ks_d"),
+        F.max("na").alias("n_click"),
+        F.max("nb").alias("n_purchase"),
+    )
+
+
+@query(
+    "seg_rfm_scores",
+    oracle="""
+WITH m AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders,
+         floor(sum(o_totalprice) * 100 + 0.5) AS spend_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY spend_cents, o_custkey) AS BIGINT) AS m_score
+FROM m
+""",
+)
+def seg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile scores per customer for Recency (last
+    order date), Frequency (order count), Monetary (lifetime spend).
+
+    Spend is quantized to integer cents BEFORE ranking — ntile over a raw
+    double sum would let partial-agg addition order flip neighbors whose
+    sums differ only in ULPs; cents + custkey tie-break make every ordering
+    integer-deterministic across engines. Three ntile windows share one
+    aggregated ~15k-row input; global ntile is a single-partition sort at
+    this cardinality — at 100 TB replace with percent_rank bucketing or
+    approx quantile cutpoints (windowless, fully parallel).
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).alias("spend_cents"),
+    )
+    return m.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("n_orders", "o_custkey")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("spend_cents", "o_custkey")).cast("long").alias("m_score"),
+    )
+
+
+@query(
+    "abc_pareto_parts",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey, floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+c AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum,
+         sum(revenue) OVER () AS tot
+  FROM rev
+)
+SELECT l_partkey, revenue,
+       floor(cum / tot * 10000 + 0.5) / 10000 AS cum_share,
+       CASE WHEN floor(cum / tot * 10000 + 0.5) / 10000 <= 0.7 THEN 'A'
+            WHEN floor(cum / tot * 10000 + 0.5) / 10000 <= 0.9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+""",
+)
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by cumulative revenue share
+    (A = first 70% of revenue, B = to 90%, C = tail).
+
+    Revenue is 4dp-rounded BEFORE the cumulative window so both engines
+    accumulate identical addends in identical (revenue DESC, partkey)
+    order; the class cut compares the ROUNDED share, keeping the A/B/C
+    boundary decision integer-deterministic. The global-ordered cumsum is
+    one sort at 20k groups; at 100 TB, pre-aggregate per partition and
+    two-phase the running total (or accept the classic single reducer for
+    a ranking this small — the groupBy upstream did the data-volume work).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "l_partkey")
+    c = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w).alias("cum"),
+        F.sum("revenue").over(Window.partitionBy()).alias("tot"),
+    )
+    share = r4(F.col("cum") / F.col("tot"))
+    return c.select(
+        "l_partkey",
+        "revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias("abc_class"),
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH fc AS (
+  SELECT user_id, min(ts) AS first_click FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+lat AS (
+  SELECT e.user_id,
+         (epoch_us(min(e.ts)) - epoch_us(fc.first_click)) / 1e6 AS latency_s
+  FROM events e JOIN fc ON e.user_id = fc.user_id AND e.ts >= fc.first_click
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id, fc.first_click
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       floor(avg(latency_s) * 10000 + 0.5) / 10000 AS avg_latency_s,
+       floor(quantile_cont(latency_s, 0.5) * 10000 + 0.5) / 10000 AS p50_latency_s,
+       floor(quantile_cont(latency_s, 0.9) * 10000 + 0.5) / 10000 AS p90_latency_s
+FROM lat
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-latency distribution: per user, seconds
+    from first click to the first purchase at-or-after it; then count, mean
+    and exact p50/p90 over converting users.
+
+    Plan: two aggs on one user_id shuffle domain (first click via groupBy,
+    first subsequent purchase via a broadcast-joined filter + groupBy), all
+    latency math in integer µs until the final /1e6. percentile() here is
+    Spark's exact percentile — at 100 TB switch to approx_percentile, the
+    same trade documented on agg_percentile_approx.
+    """
+    ev = load(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    lat = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(fc), "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id", "first_click")
+        .agg(F.min("ts").alias("first_purchase"))
+        .select(
+            (
+                (
+                    F.unix_micros(F.col("first_purchase").cast("timestamp"))
+                    - F.unix_micros(F.col("first_click").cast("timestamp"))
+                )
+                / 1e6
+            ).alias("latency_s")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        r4(F.avg("latency_s")).alias("avg_latency_s"),
+        r4(F.percentile("latency_s", F.lit(0.5))).alias("p50_latency_s"),
+        r4(F.percentile("latency_s", F.lit(0.9))).alias("p90_latency_s"),
+    )
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+WITH tok AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+c AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM c)
+SELECT floor(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))) * 10000 + 0.5) / 10000 AS zipf_slope,
+       floor(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))) * 10000 + 0.5) / 10000 AS fit_r2,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM r
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: OLS slope of
+    ln(freq) on ln(rank) (natural text ≈ −1; this templated corpus is much
+    flatter — the STATISTIC is the point, it's a standard corpus-quality
+    probe for training-data pipelines).
+
+    Map-side tokenize + one groupBy(term); ranking 31 terms is a trivial
+    single-partition window; regr_slope/regr_r2 are native Catalyst
+    aggregates (no UDF).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens_col()).alias("term"))
+    c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    rnk = c.select(
+        "n",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), "term")).alias("rnk"),
+    )
+    lf = F.log(F.col("n").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return rnk.agg(
+        r4(F.regr_slope(lf, lr)).alias("zipf_slope"),
+        r4(F.regr_r2(lf, lr)).alias("fit_r2"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )

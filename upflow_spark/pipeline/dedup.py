@@ -258,9 +258,15 @@ def _doc_bitmasks(spark, items: DataFrame):
     return masks, n_words
 
 
-def _jaccard_pairs_gemm(spark, docs: DataFrame, threshold: float) -> DataFrame:
-    """All doc pairs with exact Jaccard >= threshold over a BOUNDED item
-    vocabulary, via blocked binary-matrix multiplication.
+def _jaccard_pairs_gemm(
+    spark, docs: DataFrame, threshold: float, measure: str = "jaccard"
+) -> DataFrame:
+    """All doc pairs with exact set similarity >= threshold over a BOUNDED
+    item vocabulary, via blocked binary-matrix multiplication.
+
+    measure: "jaccard" (symmetric |A∩B|/|A∪B|, emits a<b pairs) or
+    "containment" (directed |A∩B|/|A|, emits all a≠b ordered pairs —
+    catches subset-duplication that Jaccard under-scores).
 
     docs: (doc_id, terms array<string>) with per-doc distinct terms. Each
     doc becomes a 0/1 row of a dense
@@ -309,6 +315,8 @@ def _jaccard_pairs_gemm(spark, docs: DataFrame, threshold: float) -> DataFrame:
     chunk_sz = 512
     n_chunks = (n_docs + chunk_sz - 1) // chunk_sz
 
+    directed = measure == "containment"
+
     def kernel(batches):
         b_ids, b_packed, width, b_counts = bc.value
         b_mat = np.unpackbits(b_packed, axis=1)[:, :width].astype(np.float32)
@@ -319,15 +327,23 @@ def _jaccard_pairs_gemm(spark, docs: DataFrame, threshold: float) -> DataFrame:
                 a_ids = b_ids[s : s + chunk_sz]
                 a_counts = b_counts[s : s + chunk_sz]
                 inter = (amat @ b_mat.T).astype(np.float64)
-                union = a_counts[:, None] + b_counts[None, :] - inter
-                jac = inter / union
-                keep = (jac >= thr) & (a_ids[:, None] < b_ids[None, :])
+                # empty term sets (e.g. 1-token docs have no bigrams) yield
+                # 0/0 -> nan; nan >= thr is False, matching the oracle which
+                # never emits such docs — silence the harmless warning
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    if directed:
+                        score = inter / a_counts[:, None]
+                        keep = (score >= thr) & (a_ids[:, None] != b_ids[None, :])
+                    else:
+                        union = a_counts[:, None] + b_counts[None, :] - inter
+                        score = inter / union
+                        keep = (score >= thr) & (a_ids[:, None] < b_ids[None, :])
                 ai, bi = np.nonzero(keep)
                 yield pd.DataFrame(
                     {
                         "doc_a": a_ids[ai],
                         "doc_b": b_ids[bi],
-                        "jac_raw": jac[ai, bi],
+                        "jac_raw": score[ai, bi],
                     }
                 )
 
@@ -583,10 +599,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_idx", "band.band_val")
-    a = bands.alias("a")
+    # broadcast the build side: only 4×256 possible (band_idx, band_val)
+    # keys exist, so a shuffle join funnels 15k rows through ≤1024 heavily
+    # skewed partitions (templated docs make a few bands huge) while the
+    # whole band table is a few hundred KB — broadcast-hash keeps
+    # parallelism at the stream side's partitioning (measured 6.7 s → ~3 s
+    # for the full key at sf0.1). Same shape as the LSH key's candidate
+    # join; at open-vocabulary scale the band space grows and the standard
+    # shuffle equi-join + AQE skew-split takes over.
+    par = spark.sparkContext.defaultParallelism
+    a = bands.repartition(par).alias("a")
     b = bands.alias("b")
     cand = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.band_idx") == F.col("b.band_idx"))
         & (F.col("a.band_val") == F.col("b.band_val"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -601,3 +626,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate stream ~10x, so the distinct's shuffle sees only
     # survivors (a pair can match in up to 4 bands)
     return cand.filter(F.col("hamming") <= 3).dropDuplicates(["doc_a", "doc_b"])
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]
+  ) AS shingle
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+),
+card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor((CAST(n_common AS DOUBLE) / ca.n_sh) * 10000 + 0.5) / 10000 AS containment
+FROM inter
+JOIN card ca ON ca.doc_id = doc_a
+WHERE CAST(n_common AS DOUBLE) / ca.n_sh >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-duplicate detection by bigram-shingle containment
+    C(A→B) = |A∩B| / |A| ≥ 0.8: doc_a's shingles are (mostly) a subset of
+    doc_b's. The measure Jaccard systematically under-scores — a paragraph
+    quoted inside a much longer document has high containment but low
+    Jaccard — making this the curation op for excerpt/superset duplication
+    (and the pairwise core of decontamination against a benchmark corpus).
+
+    Same blocked-GEMM kernel as dedup_ngram_jaccard (one matmul per doc
+    block against the bit-packed broadcast matrix), only the denominator
+    and the pair orientation differ; at 100 TB the asymmetric threshold
+    prunes by |A| alone (any small-side length filter keeps recall 1.0).
+    """
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = tokens_col()
+    bigrams = F.transform(
+        bigram_struct_col(toks), lambda s: F.concat_ws(" ", s.a, s.b)
+    )
+    sh = d.select("doc_id", F.array_distinct(bigrams).alias("terms"))
+    pairs = _jaccard_pairs_gemm(spark, sh, 0.8, measure="containment")
+    return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("containment"))

@@ -265,3 +265,73 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames,
         "doc_id long, frame_idx long, frame_energy long, n_samples long",
     )
+
+
+@query(
+    "multimodal_image_ahash",
+    oracle="""
+SELECT doc_id, CAST(h AS BIGINT) AS height,
+       array_to_string(list_transform(range(0, h), y ->
+          CASE WHEN h * list_sum(list_transform(range(y * 48, (y + 1) * 48),
+                         k -> ascii(substr(text, (k % L) + 1, 1))))
+                    >= list_sum(list_transform(range(0, h * 48),
+                         k -> ascii(substr(text, (k % L) + 1, 1))))
+          THEN '1' ELSE '0' END), '') AS ahash
+FROM (
+  SELECT doc_id, text, length(text) AS L,
+         greatest(1, least(12, length(text) // 64)) AS h
+  FROM documents
+)
+""",
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the decoded P6 PPM images (the
+    multimodal dedup primitive): one bit per pixel ROW, set when the row's
+    total intensity is at or above the image mean — i.e. the h-bit
+    row-profile aHash. Near-identical images share the hash, so
+    `GROUP BY ahash` is the perceptual-dedup pass, exactly as
+    dedup_exact_content groups on md5(text).
+
+    All comparisons are INTEGER (h * row_sum >= total_sum — no float mean),
+    so the hash is bit-reproducible across engines and machines; same
+    map-only mapInPandas decode plumbing as multimodal_decode_image, one
+    pass, no shuffle. At 100 TB: 64-bit aHash/dHash per image + band-join
+    on hash bytes for near-dup candidates (the simhash_pairs topology).
+    """
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents")
+    h = F.greatest(F.lit(1), F.least(F.lit(12), (F.col("n_chars") / 64).cast("long")))
+    need = (h * 48).cast("int")
+    reps = F.ceil(need / F.length("text")).cast("int")
+    header = F.concat_ws("", F.lit("P6\n16 "), h.cast("string"), F.lit("\n255\n"))
+    ppm = F.encode(
+        F.concat(header, F.substring(F.repeat(F.col("text"), reps), 1, need)),
+        "utf-8",
+    )
+    m = d.select("doc_id", ppm.alias("payload"))
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "height": [], "ahash": []}
+            for doc_id, pay in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(pay)
+                if buf[:2] != b"P6":
+                    raise ValueError("bad PPM magic")
+                nl1 = buf.index(b"\n")
+                nl2 = buf.index(b"\n", nl1 + 1)
+                nl3 = buf.index(b"\n", nl2 + 1)
+                w, hh = (int(x) for x in buf[nl1 + 1 : nl2].split())
+                pix = np.frombuffer(buf, dtype=np.uint8, offset=nl3 + 1)
+                rows = pix.reshape(hh, w * 3).astype(np.int64)
+                row_sums = rows.sum(axis=1)
+                total = int(row_sums.sum())
+                bits = "".join(
+                    "1" if hh * int(rs) >= total else "0" for rs in row_sums
+                )
+                out["doc_id"].append(doc_id)
+                out["height"].append(hh)
+                out["ahash"].append(bits)
+            yield pd.DataFrame(out)
+
+    return m.mapInPandas(ahash, "doc_id long, height long, ahash string")

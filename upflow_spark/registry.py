@@ -61,6 +61,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.grouped_pandas  # noqa: F401
     import upflow_spark.operators.grouping_ext  # noqa: F401
     import upflow_spark.operators.joins  # noqa: F401
+    import upflow_spark.operators.mining  # noqa: F401
     import upflow_spark.operators.misc_surfaces  # noqa: F401
     import upflow_spark.operators.projection  # noqa: F401
     import upflow_spark.operators.reshape  # noqa: F401
@@ -76,6 +77,7 @@ def load_all_modules() -> None:
     import upflow_spark.pipeline.ann_ivf  # noqa: F401
     import upflow_spark.pipeline.chunking  # noqa: F401
     import upflow_spark.pipeline.cluster  # noqa: F401
+    import upflow_spark.pipeline.pca  # noqa: F401
     import upflow_spark.pipeline.curation  # noqa: F401
     import upflow_spark.pipeline.curation2  # noqa: F401
     import upflow_spark.pipeline.dedup  # noqa: F401
