@@ -238,11 +238,24 @@ def test_bm25_single_scan_takeordered(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2
 
 
-def test_jaccard_pair_join_is_parallel_broadcast(spark):
-    """The bitmask pair join must broadcast the build side explicitly:
-    planned as CartesianProduct, AQE can funnel the whole O(n^2) workload
-    through ONE task (measured 58 s vs 3 s at sf0.1 — r4 fix)."""
+def test_ngram_jaccard_is_blocked_gemm(spark):
+    """r5: the bigram-Jaccard pair workload runs as the blocked-GEMM
+    mapInPandas kernel over chunk indices — the plan must contain the
+    MapInPandas node fed by a chunk-index repartition and NO join operator
+    at all (the all-pairs work happens inside the vectorized kernel against
+    the bit-packed broadcast, never as a row-at-a-time join)."""
     plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_unigram_jaccard_pair_join_is_parallel_broadcast(spark):
+    """The bitmask pair join (unigram exact key) must broadcast the build
+    side explicitly: planned as CartesianProduct, AQE can funnel the whole
+    O(n^2) workload through ONE task (measured 58 s vs 3 s at sf0.1 — r4
+    fix)."""
+    plan = plan_of(spark, "dedup_near_minhash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
 

@@ -32,7 +32,9 @@ SHOWCASE = [
     # broadcast join, which hides the bucket alignment this key exists to
     # show (at 100 TB neither side broadcasts — this IS the at-scale plan)
     ("sink_bucketed_join", "bucket-aligned SortMergeJoin with ZERO shuffle exchanges before the final groupBy (both scans `Bucketed: true`)"),
-    ("dedup_simhash_pairs", "band equi-join (hash-partitioned on band value), never a nested-loop all-pairs"),
+    ("dedup_simhash_pairs", "band equi-join BROADCAST on the few-hundred-KB band table (r5: ≤1024 distinct band keys skew a shuffle join; broadcast-hash keeps stream-side parallelism), never a nested-loop all-pairs"),
+    ("graph_triangle_count", "wedge-then-close triangle plan: BOTH closing joins broadcast the edge table, the wedge stream never shuffles"),
+    ("stat_ks_two_sample", "both ECDFs built in ONE window pass over one shuffle on value"),
     ("win_time_range_frame", "RANGE frame window after one shuffle on user_id"),
     ("reshape_unpivot", "Expand (4x narrow row expansion), no shuffle"),
     ("q_forecast_revenue_change", "every predicate (date range, discount band, quantity cap) pushed to the parquet scan; ReadSchema pruned to the 4 referenced columns"),

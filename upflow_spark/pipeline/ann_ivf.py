@@ -213,23 +213,51 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["emb"]
         for r in e.orderBy("vec_id").limit(K_CELLS).collect()
     ]
+    import numpy as np
+    import pandas as pd
+
+    dim = len(cents[0])
     for _ in range(KMEANS_ITERS):
-        assigned = e.select(best_cell(cents).alias("cell"), F.posexplode("emb"))
-        means = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg("col").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.transform("pm", lambda s: s.getField("m")).alias("c"))
-            .collect()
-        )
-        by_cell = {r["cell"]: r["c"] for r in means}
+        # r5: assign + per-cell partial sums FUSED in one Arrow map pass —
+        # the r4 shape (pandas-UDF assign, posexplode to K x dim rows, two
+        # groupBy shuffles, collect) paid ~1 s of job overhead per
+        # iteration; here each partition emits K tiny (sum-vector, count)
+        # rows and the only traffic is K x partitions x dim doubles. Same
+        # merge-on-driver topology MLlib's KMeans uses (treeAggregate).
+        C = np.asarray(cents, dtype=np.float64).T  # dim x K
+
+        def partials(batches):  # noqa: ANN001, ANN202
+            sums = np.zeros((K_CELLS, dim), dtype=np.float64)
+            ns = np.zeros(K_CELLS, dtype=np.int64)
+            for pdf in batches:
+                m = np.vstack(pdf["emb"].to_numpy())
+                a = (m @ C).argmax(axis=1)
+                for k in np.unique(a):
+                    sel = a == k
+                    sums[k] += m[sel].sum(axis=0)
+                    ns[k] += int(sel.sum())
+            yield pd.DataFrame(
+                {
+                    "cell": list(range(K_CELLS)),
+                    "s": [row.tolist() for row in sums],
+                    "n": ns,
+                }
+            )
+
+        rows = e.select("emb").mapInPandas(
+            partials, "cell int, s array<double>, n long"
+        ).collect()
+        sums = np.zeros((K_CELLS, dim), dtype=np.float64)
+        ns = np.zeros(K_CELLS, dtype=np.int64)
+        for r in rows:
+            sums[r["cell"]] += np.array(r["s"], dtype=np.float64)
+            ns[r["cell"]] += r["n"]
         new = []
         for k in range(K_CELLS):
-            if k in by_cell:  # empty cells keep their old centroid
-                v = by_cell[k]
-                n = sum(x * x for x in v) ** 0.5 or 1.0
-                new.append([x / n for x in v])
+            if ns[k] > 0:  # empty cells keep their old centroid
+                v = sums[k] / ns[k]
+                nrm = float(np.sqrt((v * v).sum())) or 1.0
+                new.append((v / nrm).tolist())
             else:
                 new.append(cents[k])
         cents = new

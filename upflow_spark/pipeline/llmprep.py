@@ -176,7 +176,11 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, well-spread shuffles; entropy itself is exact IEEE double
     arithmetic on count ratios, so both engines agree at 4dp.
     """
-    d = load(spark, sf_dir, "documents")
+    # spread the single-file scan: the ~5M-char explode otherwise runs on
+    # one core before the first shuffle
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     chars = (
         d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
         .filter(F.col("ch") != "")

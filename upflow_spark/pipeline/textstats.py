@@ -136,7 +136,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only, no UDF; at 100 TB combine with banding on the fingerprint for
     near-dup candidate generation.
     """
-    d = load(spark, sf_dir, "documents")
+    # single-file fixture -> 1 partition; this key evaluates ~1000 md5s PER
+    # DOC inside an interpreted HOF lambda (~5M at sf0.1), so spreading the
+    # scan is the whole ballgame (r5: 4.1 s -> ~0.6 s, was the slowest key)
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     norm = F.trim(F.col("text"))
     n_windows = F.greatest(F.length(norm) - 15, F.lit(1))
     window_hashes = F.transform(
