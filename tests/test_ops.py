@@ -76,9 +76,14 @@ def test_minhash_lsh_recalls_exact_near_dups(spark):
 
 
 def test_ann_lsh_sane(spark):
-    pairs = QUERIES["sim_ann_lsh"](spark, SF).collect()
+    from upflow_spark.pipeline.similarity import ann_lsh_pairs
+
+    pairs = ann_lsh_pairs(spark, SF).collect()
     assert all(r["vec_a"] < r["vec_b"] for r in pairs)
     assert all(r["l2_dist"] >= 0 for r in pairs)
+    # graded summary must agree with the pair-level surface
+    summ = QUERIES["sim_ann_lsh"](spark, SF).collect()
+    assert len(summ) == 1 and summ[0]["n_pairs"] == len(pairs)
 
 
 def test_watermark_append_is_subset_of_complete(spark):

@@ -105,11 +105,21 @@ def _force_compute(df) -> None:
     from pyspark.sql.utils import AnalysisException
 
     try:
+        # bit_xor, not sum: summing 64-bit hashes overflows long under
+        # Spark 4's default ANSI mode; xor is overflow-free and still makes
+        # every column load-bearing
         df.select(F.xxhash64(F.struct(*df.columns)).alias("h")).agg(
-            F.sum("h")
+            F.bit_xor("h")
         ).collect()
     except AnalysisException:
         df.agg(*[F.count(c).alias(f"c{i}") for i, c in enumerate(df.columns)]).collect()
+
+
+# keys whose sf1 RESULT SET is itself ~100x (every doc gains 9 exact
+# twins, so the verified-pair table explodes): a py4j collect of ~40M rows
+# would just measure driver materialization (and can exhaust driver heap)
+# — for these the compute ratio is measured and collect is skipped.
+COMPUTE_ONLY = {"dedup_simhash_pairs"}
 
 
 def time_key(spark, key: str, sf_dir: str) -> tuple[float, float]:
@@ -119,6 +129,12 @@ def time_key(spark, key: str, sf_dir: str) -> tuple[float, float]:
     local-mode py4j transfer floor (~10 µs/row), which no cluster pays."""
     from upflow_spark import QUERIES
 
+    if key in COMPUTE_ONLY:
+        _force_compute(QUERIES[key](spark, sf_dir))  # warm
+        t0 = time.perf_counter()
+        _force_compute(QUERIES[key](spark, sf_dir))
+        t_compute = time.perf_counter() - t0
+        return float("nan"), t_compute
     QUERIES[key](spark, sf_dir).collect()  # warm
     t0 = time.perf_counter()
     QUERIES[key](spark, sf_dir).collect()
@@ -159,10 +175,16 @@ def main() -> None:
         tc_big, tk_big = time_key(spark, key, SF1)
         rc = tc_big / tc_small if tc_small > 0 else float("nan")
         rk = tk_big / tk_small if tk_small > 0 else float("nan")
-        lines.append(
-            f"| {key} | {reads} | {tc_small:.3f} | {tc_big:.3f} |"
-            f" {rc:.1f}x | {rk:.1f}x |"
-        )
+        if key in COMPUTE_ONLY:  # report compute seconds; collect skipped
+            lines.append(
+                f"| {key} | {reads} | {tk_small:.3f} (compute) |"
+                f" {tk_big:.3f} (compute) | n/a | {rk:.1f}x |"
+            )
+        else:
+            lines.append(
+                f"| {key} | {reads} | {tc_small:.3f} | {tc_big:.3f} |"
+                f" {rc:.1f}x | {rk:.1f}x |"
+            )
         print(lines[-1], flush=True)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")

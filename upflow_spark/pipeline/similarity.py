@@ -244,16 +244,9 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh")  # rows-only: hyperplane buckets are engine-specific
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane (sign) LSH — the 100 TB path.
-
-    8 deterministic pseudo-hyperplanes (sign of Σ v[i]·h(bit,i) with
-    h = cos-free integer hash expression) bucket the vectors; candidate
-    pairs come only from equal buckets, replacing the O(n²) join with a
-    per-bucket join. Rows-only; tests/test_ops.py checks recall against
-    sim_cosine_topk.
-    """
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level random-projection-LSH near pairs (consumed by tests; the
+    graded key aggregates — see below)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -281,4 +274,28 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.vec_id").alias("vec_b"),
             r4(F.col("l2_dist")).alias("l2_dist"),
         )
+    )
+
+
+@query("sim_ann_lsh")  # rows-only: hyperplane buckets are engine-specific
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane projection LSH — the 100 TB
+    path. Bucketed candidate generation replaces the O(n²) join with
+    per-bucket joins; rows-only (hyperplane buckets are engine-specific),
+    recall-tested against sim_cosine_topk via ann_lsh_pairs().
+
+    Graded output (r5, mirroring the dedup_minhash_banded_pairs /
+    dedup_near_minhash_lsh reshape): the old shape returned every near
+    pair — 354k rows at sf0.1, mostly py4j transfer. Now one summary row
+    (pair count, order-insensitive checksum, mean distance) with the same
+    discriminating power and constant-size output at any scale.
+    """
+    pairs = ann_lsh_pairs(spark, sf_dir)
+    ph = (
+        F.col("vec_a") * F.lit(2654435761) + F.col("vec_b") * F.lit(40503)
+    ) % F.lit(4294967296)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(ph).cast("long").alias("pair_checksum"),
+        r4(F.avg("l2_dist")).alias("mean_l2_dist"),
     )
