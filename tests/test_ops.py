@@ -606,3 +606,50 @@ def test_heavy_hitters_sketch_candidates_superset(spark):
     total = sum(counts.values())
     exact = {t: n for t, n in counts.items() if n * 30 >= total}
     assert got == exact
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    """emb_pq_encode (rows-only): distributed PQ codes + MSE must equal a
+    local numpy re-implementation with the same deterministic codebooks."""
+    import numpy as np
+    from upflow_spark.io import load
+
+    got = {
+        r["vec_id"]: (tuple(r["codes"]), r["recon_mse"])
+        for r in QUERIES["emb_pq_encode"](spark, SF).collect()
+    }
+    rows = load(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    sample = x[order][:256]
+    d = x.shape[1]
+    n_sub, k = 8, 16
+    sub_d = d // n_sub
+    books = []
+    for s in range(n_sub):
+        xs = sample[:, s * sub_d : (s + 1) * sub_d]
+        cents = xs[:k].copy()
+        for _ in range(2):
+            a = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for c in range(k):
+                sel = a == c
+                if sel.any():
+                    cents[c] = xs[sel].mean(axis=0)
+        books.append(cents)
+    mses = []
+    for i, vid in enumerate(ids):
+        codes = []
+        recon = np.empty(d)
+        for s in range(n_sub):
+            xs = x[i, s * sub_d : (s + 1) * sub_d]
+            a = int(((xs[None, :] - books[s]) ** 2).sum(axis=1).argmin())
+            codes.append(a)
+            recon[s * sub_d : (s + 1) * sub_d] = books[s][a]
+        mse = float(((x[i] - recon) ** 2).mean())
+        mses.append(mse)
+        exp_mse = np.floor(mse * 1e4 + 0.5) / 1e4
+        assert got[vid] == (tuple(codes), exp_mse), vid
+    # compression must actually reconstruct: mean MSE well under the
+    # per-dim variance of the raw vectors
+    assert np.mean(mses) < x.var(axis=0).mean()

@@ -797,3 +797,58 @@ def agg_distribution_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.lit(1.0) - F.sum(F.pow(p, F.lit(2.0)))).alias("gini_impurity"),
         )
     )
+
+
+@query(
+    "win_session_window_fn",
+    oracle="""
+WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def win_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase sessions via Spark's NATIVE session_window() table function
+    in a batch aggregation — the engine-level sibling of sessionize_gap's
+    hand-rolled gaps-and-islands (that key proves the window formulation;
+    this one proves the built-in surface, including its exact boundary
+    semantics: a session's end is last_event + gap, end-EXCLUSIVE, so an
+    event landing exactly on the boundary starts a NEW session — the
+    oracle's `>= gap` break condition mirrors that).
+
+    Scale: session_window aggregation is one shuffle on user_id with
+    merge-able session state — the same operator Structured Streaming uses
+    for stream_session, here exercised on a bounded frame.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -391,3 +391,118 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.regr_r2(lf, lr)).alias("fit_r2"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+@query(
+    "stat_chi2_independence",
+    oracle="""
+WITH x AS (
+  SELECT event_type, least(CAST(floor(value / 50) AS BIGINT), 4) AS vbucket
+  FROM events
+),
+o AS (SELECT event_type, vbucket, CAST(count(*) AS DOUBLE) AS obs FROM x GROUP BY 1, 2),
+rt AS (SELECT event_type, sum(obs) AS r FROM o GROUP BY 1),
+ct AS (SELECT vbucket, sum(obs) AS c FROM o GROUP BY 1),
+n AS (SELECT sum(obs) AS total FROM o)
+SELECT floor((sum(pow(obs - rt.r * ct.c / n.total, 2) / (rt.r * ct.c / n.total))) * 10000 + 0.5) / 10000 AS chi2,
+       CAST((count(DISTINCT o.event_type) - 1) * (count(DISTINCT o.vbucket) - 1) AS BIGINT) AS dof,
+       CAST(max(n.total) AS BIGINT) AS n
+FROM o JOIN rt USING (event_type) JOIN ct USING (vbucket), n
+""",
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between event_type and the
+    value-range bucket (floor(value/50), clamped to 5 buckets): observed
+    vs expected contingency counts, χ² = Σ (O−E)²/E with
+    dof = (rows−1)(cols−1).
+
+    Plan: one groupBy builds the contingency table (≤25 cells), margins
+    come from two re-aggregations of that tiny table, and the χ² fold is a
+    single agg over the cells — nothing after the first shuffle touches
+    row-scale data, which is exactly how a 100 TB χ² runs.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(4)).alias("vbucket"),
+    )
+    o = x.groupBy("event_type", "vbucket").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("vbucket").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("total"))
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "vbucket")
+        .crossJoin(F.broadcast(n))
+    )
+    expected = F.col("r") * F.col("c") / F.col("total")
+    return cells.agg(
+        r4(F.sum(F.pow(F.col("obs") - expected, 2) / expected)).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("vbucket") - 1)
+        ).alias("dof"),
+        F.max("total").cast("long").alias("n"),
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+  GROUP BY node
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(max(degree) AS BIGINT) AS max_degree,
+       floor((avg(degree)) * 10000 + 0.5) / 10000 AS avg_degree,
+       floor((quantile_cont(degree, 0.5)) * 10000 + 0.5) / 10000 AS p50_degree,
+       floor((quantile_cont(degree, 0.9)) * 10000 + 0.5) / 10000 AS p90_degree
+FROM deg
+""",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-order graph (same edge set as
+    graph_triangle_count): node count, max/avg degree, exact p50/p90 —
+    the graph-shape profile that decides whether triangle counting /
+    CC need skew handling (a heavy-tailed p90/max gap ⇒ hub nodes ⇒
+    orient-by-degree or salt).
+
+    Edges materialize once; degrees are one unionAll + groupBy(node).
+    """
+    pl = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = pl.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("degree").alias("max_degree"),
+        r4(F.avg("degree")).alias("avg_degree"),
+        r4(F.percentile("degree", F.lit(0.5))).alias("p50_degree"),
+        r4(F.percentile("degree", F.lit(0.9))).alias("p90_degree"),
+    )

@@ -101,3 +101,74 @@ def emb_gram_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = emb.mapInPandas(project, "vec_id long, pc1 double, pc2 double")
     return out.select("vec_id", r4("pc1").alias("pc1"), r4("pc2").alias("pc2"))
+
+
+@query("emb_pq_encode")  # rows-only: codebook training has no SQL oracle
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) encode of every embedding — the memory
+    side of ANN infrastructure: split each 64-dim vector into 8 subvectors
+    of 8 dims, learn a 16-codeword codebook per subspace, store each
+    vector as 8 one-byte codes (64× compression) plus its reconstruction
+    MSE.
+
+    Codebooks are trained deterministically on a BOUNDED sample (first 256
+    vectors by vec_id — a driver-safe limit-collect, the same "model on
+    driver, data on cluster" topology as emb_gram_pca) with 2 Lloyd
+    iterations per subspace in numpy; encoding is a map-only broadcast
+    pass over the distributed rows. Rows-only; tests/test_ops.py
+    exact-matches codes + MSE against a local numpy reference and bounds
+    the reconstruction error.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in emb.orderBy("vec_id").limit(256).collect()
+        ],
+        dtype=np.float64,
+    )
+    d = sample.shape[1]
+    n_sub, k = 8, 16
+    sub_d = d // n_sub
+    books = []
+    for s in range(n_sub):
+        xs = sample[:, s * sub_d : (s + 1) * sub_d]
+        cents = xs[:k].copy()  # deterministic seed: first k sample rows
+        for _ in range(2):  # 2 Lloyd iterations
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                sel = assign == c
+                if sel.any():
+                    cents[c] = xs[sel].mean(axis=0)
+        books.append(cents)
+    bc = spark.sparkContext.broadcast(np.stack(books))  # (n_sub, k, sub_d)
+
+    def encode(batches):
+        cb = bc.value
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.empty((len(x), n_sub), dtype=np.int64)
+            recon = np.empty_like(x)
+            for s in range(n_sub):
+                xs = x[:, s * sub_d : (s + 1) * sub_d]
+                d2 = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                codes[:, s] = a
+                recon[:, s * sub_d : (s + 1) * sub_d] = cb[s][a]
+            mse = ((x - recon) ** 2).mean(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": [row.tolist() for row in codes],
+                    "recon_mse": mse,
+                }
+            )
+
+    out = emb.mapInPandas(
+        encode, "vec_id long, codes array<long>, recon_mse double"
+    )
+    return out.select("vec_id", "codes", r4("recon_mse").alias("recon_mse"))

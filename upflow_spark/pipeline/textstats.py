@@ -153,3 +153,102 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(window_hashes).alias("fingerprint"),
         F.length(norm).cast("long").alias("n_norm_chars"),
     )
+
+
+# DuckDB twin of the bigram list (same construction as dedup_ngram_jaccard)
+_SQL_BIGRAMS = (
+    "[toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]"
+)
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=f"""
+WITH bg AS (
+  SELECT doc_id, unnest(big) AS bigram
+  FROM (SELECT doc_id, {_SQL_BIGRAMS} AS big
+        FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents))
+),
+bgt AS (SELECT doc_id, string_split(bigram, ' ')[1] AS ctx, bigram FROM bg),
+cb AS (SELECT bigram, count(*) AS nb FROM bgt GROUP BY bigram),
+cc AS (SELECT ctx, count(*) AS nc FROM bgt GROUP BY ctx),
+v AS (SELECT count(DISTINCT string_split(bigram, ' ')[2]) AS vocab FROM bgt)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor((avg(-log2((cb.nb + 1.0) / (cc.nc + v.vocab)))) * 10000 + 0.5) / 10000
+         AS avg_neg_log2_prob
+FROM bgt t
+JOIN cb USING (bigram)
+JOIN cc USING (ctx), v
+GROUP BY t.doc_id
+""",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model cross-entropy per document (the perplexity
+    proxy behind LM-based quality filtering): train add-one-smoothed
+    bigram conditionals P(b|a) = (c(a,b)+1)/(c(a)+V) on the corpus itself,
+    then score every document by the mean −log₂ P over its bigram TOKENS
+    (with repetition — frequency-weighted, unlike the set-based dedup
+    keys). Complements text_unigram_logprob with conditional probabilities
+    and smoothing.
+
+    Scale: bigram/context count tables are corpus-bounded aggregates,
+    broadcast to the scoring join; the per-doc pass is map-side + one
+    groupBy(doc_id). At 100 TB train counts on a sample, score the stream.
+    """
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = tokens_col()
+    from upflow_spark.pipeline.text import bigram_struct_col
+
+    bg = d.select(
+        "doc_id", F.explode(bigram_struct_col(toks)).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.a").alias("ctx"),
+        F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("bigram"),
+        F.col("p.b").alias("nxt"),
+    ).localCheckpoint()  # read four times (3 count tables + the scoring pass)
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
+    cc = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("nc"))
+    v = bg.agg(F.countDistinct("nxt").alias("vocab"))
+    scored = (
+        bg.join(F.broadcast(cb), "bigram")
+        .join(F.broadcast(cc), "ctx")
+        .crossJoin(F.broadcast(v))
+    )
+    neg_log = -F.log2((F.col("nb") + 1.0) / (F.col("nc") + F.col("vocab")))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        r4(F.avg(neg_log)).alias("avg_neg_log2_prob"),
+    )
+
+
+@query(
+    "text_prefix_dedup",
+    oracle="""
+SELECT md5(substr(text, 1, 100)) AS prefix_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY md5(substr(text, 1, 100))
+HAVING count(*) > 1
+""",
+)
+def text_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix duplicate groups: documents sharing their first
+    100 characters (the cheap pass that catches template headers, cookie
+    banners, and licence preambles that full-content md5 misses when
+    tails differ). Same one-shuffle digest-groupBy shape as
+    dedup_exact_content, keyed on the prefix digest.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.substring("text", 1, 100)).alias("prefix_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -169,3 +169,39 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum("o_totalprice")).alias("total_price"),
         F.min("o_orderkey").alias("first_key"),
     )
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT text) AS BIGINT) AS distinct_lines
+FROM documents
+""",
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source roundtrip: write every document as one line via
+    the `text` format, read it back with spark.read.text, and aggregate —
+    the line-oriented ingest path (log files, JSONL pre-parse, WET dumps).
+
+    The written corpus must survive the roundtrip exactly: line count,
+    total characters, and distinct-line count are compared against the
+    original table (fixture texts contain no newlines — the format's one
+    constraint, stated). Scale: text write/read is splittable and
+    compression-codec-aware; one narrow column, no schema machinery.
+    """
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"upflow_text_lines_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    d.select("text").coalesce(4).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.countDistinct("value").alias("distinct_lines"),
+    )
