@@ -615,7 +615,10 @@ def test_pq_encode_matches_numpy_reference(spark):
     from upflow_spark.io import load
 
     got = {
-        r["vec_id"]: (tuple(r["codes"]), r["recon_mse"])
+        r["vec_id"]: (
+            tuple(int(c) for c in r["pq_code"].split("-")),
+            r["recon_mse"],
+        )
         for r in QUERIES["emb_pq_encode"](spark, SF).collect()
     }
     rows = load(spark, SF, "embeddings").select("vec_id", "embedding").collect()

@@ -445,10 +445,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    # md5 hoisted into the projection: referencing F.md5("term") inside all
+    # 32 aggregate expressions makes each partial-agg row evaluate the hash
+    # up to 32 times (aggregate exprs don't share subexpressions the way a
+    # single codegen'd Project does) — hashing once per token row is 32x
+    # less digest work on the ~5M-row stream
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).select(
+        "doc_id", F.md5("term").alias("h")
+    )
     bits = []
     for j in range(32):
-        high = F.substring(F.md5("term"), j + 1, 1).isin(
+        high = F.substring("h", j + 1, 1).isin(
             "8", "9", "a", "b", "c", "d", "e", "f"
         )
         bits.append(

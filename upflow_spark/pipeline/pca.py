@@ -171,4 +171,11 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = emb.mapInPandas(
         encode, "vec_id long, codes array<long>, recon_mse double"
     )
-    return out.select("vec_id", "codes", r4("recon_mse").alias("recon_mse"))
+    # codes flattened to a string: driver-hashable-output convention
+    # (tests/test_driver_hashable.py — array cells break the driver's
+    # pandas sort/hash canonicalizer)
+    return out.select(
+        "vec_id",
+        F.array_join("codes", "-").alias("pq_code"),
+        r4("recon_mse").alias("recon_mse"),
+    )
