@@ -24,6 +24,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["SPARK_GRAFT_CPUS"] = cpus
+    # size shuffle partitions to the data scale (SURVEY §6 guidance: ≈8 at
+    # these fixture scales; a 100 TB run would set thousands via the same
+    # env) — AQE still coalesces below this, it just caps the task floor
+    os.environ.setdefault("UPFLOW_SHUFFLE_PARTITIONS", "8")
 
     from upflow_spark import QUERIES
     from upflow_spark.session import get_spark
@@ -50,6 +54,8 @@ def main() -> None:
         "bm25_search": "bm25_search",
         "graph_pagerank": "graph_pagerank",
         "geo_radius_join": "geo_radius_join",
+        "graph_triangle_count": "graph_triangle_count",
+        "dedup_containment": "dedup_containment",
     }
 
     # global JIT/codegen warm-up: drive shuffle + agg + window codepaths a
