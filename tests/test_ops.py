@@ -656,3 +656,43 @@ def test_pq_encode_matches_numpy_reference(spark):
     # compression must actually reconstruct: mean MSE well under the
     # per-dim variance of the raw vectors
     assert np.mean(mses) < x.var(axis=0).mean()
+
+
+def test_update_mode_emits_incremental_updates(spark):
+    """stream_update_mode must actually run MULTIPLE micro-batches: the
+    update-mode sink accumulates one row per (key, batch-with-change), so
+    the emitted row count must exceed the 5-key final state; per-key
+    counts must be monotone up to the batch total."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from upflow_spark.io import load
+    from upflow_spark.streaming.streams import run_to_completion
+
+    final = {
+        r["event_type"]: r["n_events"]
+        for r in QUERIES["stream_update_mode"](spark, SF).collect()
+    }
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"upflow_stream_multi_{os.path.basename(SF.rstrip('/'))}",
+    )
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("event_type", StringType())]
+    )
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dst)
+    counts = raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    emitted = run_to_completion(counts, "update").collect()
+    assert len(emitted) > len(final), "no incremental updates — single batch?"
+    batch = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == batch
+    for r in emitted:
+        assert r["n_events"] <= batch[r["event_type"]]

@@ -506,3 +506,257 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.percentile("degree", F.lit(0.5))).alias("p50_degree"),
         r4(F.percentile("degree", F.lit(0.9))).alias("p90_degree"),
     )
+
+
+@query(
+    "events_markov_transition",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+       floor((CAST(c.n AS DOUBLE) / t.tot) * 10000 + 0.5) / 10000 AS p
+FROM c JOIN t USING (prev_type)
+""",
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: P(next | prev) with counts — the behavioral-sequence model
+    behind next-event prediction and anomaly scoring.
+
+    One window pass (lag over the user_id shuffle domain) + one groupBy on
+    the 25-cell transition space; row-normalization joins the 5-row margin
+    back broadcast. Sequence order is (ts, event_id) — fully deterministic
+    under timestamp ties.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        r4(F.col("n").cast("double") / F.col("tot")).alias("p"),
+    )
+
+
+@query(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+df AS (SELECT term, count(*) AS d FROM dt GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+co AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS dab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT term_a, term_b, CAST(dab AS BIGINT) AS n_docs,
+       floor((log2(CAST(dab AS DOUBLE) * n.nd / (da.d * db.d))) * 10000 + 0.5) / 10000 AS pmi
+FROM co
+JOIN df da ON da.term = term_a
+JOIN df db ON db.term = term_b, n
+WHERE dab >= 5
+""",
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs at the document level:
+    PMI(a,b) = log₂(N·df(a,b) / (df(a)·df(b))), support ≥ 5 docs — the
+    collocation/association signal topic models and phrase mining start
+    from.
+
+    The per-doc pair expansion is bounded by the vocabulary (distinct
+    tokens per doc), not doc length; document frequencies broadcast back
+    onto the pair counts. At open vocabulary, prune by per-term df first
+    (standard frequent-pair mining) — same plan as basket_part_pairs.
+    """
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("term")
+    ).localCheckpoint()  # read three times (df, n, both sides of the pair join)
+    df_ = dt.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
+    nd = dt.agg(F.countDistinct("doc_id").alias("nd"))
+    a = dt.select("doc_id", F.col("term").alias("term_a"))
+    b = dt.select("doc_id", F.col("term").alias("term_b"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("dab"))
+        .filter(F.col("dab") >= 5)
+    )
+    da = df_.select(F.col("term").alias("term_a"), F.col("d").alias("da"))
+    db = df_.select(F.col("term").alias("term_b"), F.col("d").alias("db"))
+    pmi = F.log2(
+        F.col("dab").cast("double") * F.col("nd") / (F.col("da") * F.col("db"))
+    )
+    return (
+        co.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("dab").alias("n_docs"),
+            r4(pmi).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "orders_interarrival_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       floor((avg(gap_days)) * 10000 + 0.5) / 10000 AS avg_gap_days,
+       floor((quantile_cont(gap_days, 0.5)) * 10000 + 0.5) / 10000 AS p50_gap_days,
+       floor((quantile_cont(gap_days, 0.9)) * 10000 + 0.5) / 10000 AS p90_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+""",
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order inter-arrival distribution: days between consecutive
+    orders per customer, summarized (count, mean, exact p50/p90, max) —
+    the survival/repeat-purchase primitive behind churn models.
+
+    One lag window over the o_custkey shuffle domain; the day arithmetic
+    stays integer until the final statistics.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date"),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        r4(F.avg("gap_days")).alias("avg_gap_days"),
+        r4(F.percentile("gap_days", F.lit(0.5))).alias("p50_gap_days"),
+        r4(F.percentile("gap_days", F.lit(0.9))).alias("p90_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
+
+
+@query(
+    "stat_benford_first_digit",
+    oracle="""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       floor((CAST(n AS DOUBLE) / t.tot) * 10000 + 0.5) / 10000 AS share,
+       floor((log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) * 10000 + 0.5) / 10000
+         AS benford_expected
+FROM c, t
+""",
+)
+def stat_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-significant-digit
+    shares vs the log₁₀(1+1/d) expectation — the classic fraud/synthetic-
+    data screen (TPC-H-style uniform prices fail it, visibly and
+    deterministically).
+
+    First digits are extracted through INTEGER cents (floor(x·100+0.5) →
+    BIGINT → string), never by formatting the double — float-to-string is
+    the one cast the two engines render differently.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        r4(F.col("n").cast("double") / F.col("tot")).alias("share"),
+        r4(F.log10(1.0 + 1.0 / F.col("digit").cast("double"))).alias(
+            "benford_expected"
+        ),
+    )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+WITH s AS (
+  SELECT floor(sum(o_totalprice) * 100 + 0.5) AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT spend_cents,
+         row_number() OVER (ORDER BY spend_cents) AS i,
+         count(*) OVER () AS n,
+         sum(spend_cents) OVER () AS tot
+  FROM s
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       floor(((2.0 * sum(i * spend_cents) / (max(n) * max(tot)))
+              - (max(n) + 1.0) / max(n)) * 10000 + 0.5) / 10000 AS gini
+FROM r
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend (revenue concentration):
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted spends — the
+    inequality metric behind whale-customer analysis.
+
+    Spend quantized to integer cents so ranks are engine-deterministic
+    (ties broken by the stable sort on equal cents are rank-sum invariant:
+    equal x values contribute the same Σ i·x for any permutation of their
+    positions). One agg + one global rank window over n_customers rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).alias("spend_cents")
+    )
+    r = s.select(
+        "spend_cents",
+        F.row_number().over(Window.orderBy("spend_cents")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("spend_cents").over(Window.partitionBy()).alias("tot"),
+    )
+    gini = (
+        2.0 * F.sum(F.col("i") * F.col("spend_cents"))
+        / (F.max("n") * F.max("tot"))
+    ) - (F.max("n") + 1.0) / F.max("n")
+    return r.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        r4(gini).alias("gini"),
+    )

@@ -335,3 +335,61 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return m.mapInPandas(ahash, "doc_id long, height long, ahash string")
+
+
+@query(
+    "multimodal_scene_cut",
+    oracle="""
+WITH fr AS (
+  SELECT doc_id, k,
+         list_sum(list_transform(range(1, len(substr(text, k * 64 + 1, 64)) + 1),
+              i -> abs(ascii(substr(substr(text, k * 64 + 1, 64), i, 1)) - 96)))
+           AS e
+  FROM documents,
+       unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(k)
+),
+d AS (
+  SELECT doc_id, e,
+         lag(e) OVER (PARTITION BY doc_id ORDER BY k) AS pe
+  FROM fr
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(*) FILTER (pe IS NOT NULL AND abs(e - pe) > 40) AS BIGINT)
+         AS n_cuts
+FROM d
+GROUP BY doc_id
+""",
+)
+def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' scene-cut detection: frame the payload into 64-sample frames
+    (the multimodal_audio_energy convention), compute per-frame absolute
+    energy, and count cuts — consecutive frames whose energy jumps by more
+    than 40 — the shot-boundary primitive every keyframe sampler builds on.
+
+    Arrow-batched mapInPandas: the whole per-doc pipeline (frame, energy,
+    diff, threshold) is one vectorized numpy pass per payload; map-only, no
+    shuffle. Integer energies keep both engines bit-identical.
+    """
+    import numpy as np
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_cuts": []}
+            for doc_id, pay in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(pay), dtype=np.uint8).astype(np.int64) - 96
+                n = len(samples)
+                n_frames = (n + 63) // 64
+                energies = np.array(
+                    [np.abs(samples[k * 64 : (k + 1) * 64]).sum() for k in range(n_frames)],
+                    dtype=np.int64,
+                )
+                n_cuts = int((np.abs(np.diff(energies)) > 40).sum()) if n_frames > 1 else 0
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_cuts"].append(n_cuts)
+            yield pd.DataFrame(out)
+
+    return m.mapInPandas(cuts, "doc_id long, n_frames long, n_cuts long")

@@ -440,3 +440,58 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@query(
+    "stream_update_mode",
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode over a genuine MULTI-micro-batch replay — the one
+    output mode the other streaming keys don't exercise (complete re-emits
+    everything, append waits for finalization; update emits only the keys
+    whose state changed in each batch).
+
+    The single-file fixture replays as one batch, where update ≡ complete;
+    this key first materializes a 4-file copy of events (range-split on
+    event_id, built once per sf_dir) and streams it with
+    maxFilesPerTrigger=1 → 4 micro-batches, so the memory sink accumulates
+    one updated row per (key, batch-where-it-changed). Per-key counts are
+    MONOTONE across updates, so max() per key recovers the final state —
+    making the graded output exactly the batch groupBy and hence
+    oracle-checkable while the update-mode machinery is genuinely driven.
+    tests/test_ops.py additionally asserts the sink saw more rows than the
+    final state (i.e. real incremental updates happened).
+    """
+    import os
+
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"upflow_stream_multi_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "events")
+            .select("event_id", "event_type")
+            .repartitionByRange(4, "event_id")
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dst)
+    )
+    counts = raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    emitted = run_to_completion(counts, "update")
+    return emitted.groupBy("event_type").agg(F.max("n_events").alias("n_events"))
