@@ -590,3 +590,66 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(dim, cond, "left_outer").select(
         "l_orderkey", "l_linenumber", "version_key"
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       (SELECT c.event_id FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts >= p.ts
+          AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+        ORDER BY c.ts, c.event_id
+        LIMIT 1) AS next_click_id
+FROM p
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD-direction as-of join (merge_asof(direction='forward')): each
+    purchase takes the EARLIEST click at-or-after it within 1 h — the
+    post-event attribution lookup (did the user click again after buying?),
+    completing the backward (join_asof) / nearest (join_asof_nearest)
+    direction family.
+
+    Same union-timeline + single-window formulation as the other
+    directions: one shuffle on user_id, a descending-time forward carry,
+    last() with the DESC id tie-break landing on the smallest click id
+    among equal-timestamp candidates (the join_asof_nearest r5 fix,
+    applied from the start here). No pair explosion at any scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", t_us.alias("t"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", t_us.alias("t"), F.col("event_id").alias("purchase_id")
+    )
+    timeline = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("t").desc(),
+            F.col("purchase_id").isNotNull(),
+            F.col("click_id").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(F.col("click_id").isNotNull(), F.struct("t", "click_id"))
+    fwd = F.last(click_struct, ignorenulls=True).over(wf)
+    tol = 3_600_000_000
+    ok = F.col("f").isNotNull() & (F.col("f.t") - F.col("t") <= tol)
+    return (
+        timeline.withColumn("f", fwd)
+        .filter(F.col("purchase_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.when(ok, F.col("f.click_id")).alias("next_click_id"),
+        )
+    )

@@ -760,3 +760,117 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_customers"),
         r4(gini).alias("gini"),
     )
+
+
+@query(
+    "events_funnel_paths_topk",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p2 || '>' || p1 || '>' || event_type AS path,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY path
+ORDER BY n_paths DESC, path ASC
+LIMIT 10
+""",
+)
+def events_funnel_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step behavioral paths (event-type trigrams
+    per user sequence) — the sequence-mining cousin of
+    events_markov_transition (order-2 context instead of order-1).
+
+    One window pass produces both lags; the 125-cell path space aggregates
+    with map-side combine and the top-10 compiles to
+    TakeOrderedAndProject.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "stat_mannwhitney_u",
+    oracle="""
+WITH x AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isb
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (SELECT value, sum(isa) AS ca, sum(isb) AS cb FROM x GROUP BY value),
+r AS (
+  SELECT ca, cb,
+         sum(ca + cb) OVER (ORDER BY value) - (ca + cb) AS before_cnt,
+         (ca + cb) AS c
+  FROM g
+),
+tot AS (SELECT sum(isa) AS na, sum(isb) AS nb FROM x)
+SELECT CAST(max(tot.na) AS BIGINT) AS n_click,
+       CAST(max(tot.nb) AS BIGINT) AS n_purchase,
+       floor((sum(ca * (before_cnt + (c + 1.0) / 2.0))
+              - max(tot.na) * (max(tot.na) + 1.0) / 2.0) * 10000 + 0.5) / 10000
+         AS u_click,
+       floor((max(tot.na) * CAST(max(tot.nb) AS DOUBLE)
+              - (sum(ca * (before_cnt + (c + 1.0) / 2.0))
+                 - max(tot.na) * (max(tot.na) + 1.0) / 2.0)) * 10000 + 0.5) / 10000
+         AS u_purchase
+FROM r, tot
+""",
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U statistics (rank-sum test) comparing click vs
+    purchase value distributions, with proper MIDRANKS for ties:
+    midrank(v) = #(smaller) + (#(equal)+1)/2, R₁ = Σ ca(v)·midrank(v),
+    U₁ = R₁ − n₁(n₁+1)/2, U₂ = n₁n₂ − U₁ — the distribution-free
+    complement to stat_ks_two_sample (location shift vs shape).
+
+    All quantities are integers or exact half-integers below 2⁵³, so the
+    sums are bit-exact across engines despite being doubles. One
+    groupBy(value) + one ordered window, same plan skeleton as the KS key.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    x = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("isa"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("isb"),
+    )
+    g = x.groupBy("value").agg(F.sum("isa").alias("ca"), F.sum("isb").alias("cb"))
+    w = Window.orderBy("value")
+    c = F.col("ca") + F.col("cb")
+    r = g.select(
+        "ca",
+        (F.sum(c).over(w) - c).alias("before_cnt"),
+        c.alias("c"),
+    )
+    tot = x.agg(F.sum("isa").alias("na"), F.sum("isb").alias("nb"))
+    midrank = F.col("before_cnt") + (F.col("c") + 1.0) / 2.0
+    folded = r.crossJoin(F.broadcast(tot))
+    r1 = F.sum(F.col("ca") * midrank)
+    na, nb = F.max("na"), F.max("nb")
+    u1 = r1 - na * (na + 1.0) / 2.0
+    return folded.agg(
+        na.cast("long").alias("n_click"),
+        nb.cast("long").alias("n_purchase"),
+        r4(u1).alias("u_click"),
+        r4(na * nb.cast("double") - u1).alias("u_purchase"),
+    )

@@ -680,3 +680,55 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", F.array_distinct(bigrams).alias("terms"))
     pairs = _jaccard_pairs_gemm(spark, sh, 0.8, measure="containment")
     return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("containment"))
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+     batch  AS (SELECT * FROM documents WHERE doc_id % 10 = 0)
+SELECT b.doc_id,
+       CASE WHEN md5(b.text) IN (SELECT md5(text) FROM corpus) THEN 'exact_dup'
+            WHEN md5(substr(b.text, 1, 100)) IN
+                 (SELECT md5(substr(text, 1, 100)) FROM corpus) THEN 'near_dup'
+            ELSE 'new' END AS ingest_status
+FROM batch b
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: classify an incoming BATCH (doc_id ≡ 0
+    mod 10 — the stated deterministic split) against the EXISTING corpus
+    (the rest) — exact_dup (full-content digest already present), near_dup
+    (100-char-prefix digest present), else new. This is the shape every
+    continuously-fed training corpus runs on arrival: dedup against the
+    index, never re-pairing the whole corpus.
+
+    Plan: the corpus collapses to two digest sets (one groupBy each) that
+    join to the batch as broadcast semi-joins — at 100 TB the corpus-side
+    digest index is the thing you keep materialized between ingests, and
+    the per-batch cost is proportional to the BATCH, not the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    full_idx = corpus.select(F.md5("text").alias("full_md5")).distinct()
+    pre_idx = corpus.select(
+        F.md5(F.substring("text", 1, 100)).alias("pre_md5")
+    ).distinct()
+    b = batch.select(
+        "doc_id",
+        F.md5("text").alias("b_full"),
+        F.md5(F.substring("text", 1, 100)).alias("b_pre"),
+    )
+    hit_full = b.join(
+        F.broadcast(full_idx), b.b_full == full_idx.full_md5, "left"
+    )
+    hit_both = hit_full.join(
+        F.broadcast(pre_idx), hit_full.b_pre == pre_idx.pre_md5, "left"
+    )
+    status = (
+        F.when(F.col("full_md5").isNotNull(), "exact_dup")
+        .when(F.col("pre_md5").isNotNull(), "near_dup")
+        .otherwise("new")
+    )
+    return hit_both.select("doc_id", status.alias("ingest_status"))

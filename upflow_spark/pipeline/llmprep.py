@@ -197,3 +197,64 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_distinct_chars"),
         )
     )
+
+
+@query(
+    "curation_source_mixture",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         len({SQL_TOKENS}) AS n_tok,
+         CAST(len(list_distinct({SQL_TOKENS})) AS DOUBLE) / len({SQL_TOKENS})
+           AS diversity
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS src_tokens,
+         avg(diversity) AS mean_div
+  FROM per_doc GROUP BY source
+),
+z AS (SELECT sum(src_tokens * mean_div) AS zt FROM per_src)
+SELECT source, n_docs, src_tokens,
+       floor((mean_div) * 10000 + 0.5) / 10000 AS mean_diversity,
+       floor((src_tokens * mean_div / zt) * 10000 + 0.5) / 10000 AS mix_weight
+FROM per_src, z
+""",
+)
+def curation_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted SOURCE mixture for training-data sampling: each
+    source's weight ∝ its token volume × its mean lexical diversity, so
+    low-quality (repetitive) sources are down-sampled proportionally —
+    the per-domain reweighting pass (DoReMi-style, with a measured quality
+    proxy instead of a learned one) that complements the per-LANGUAGE
+    temperature weights of sample_temperature_weights.
+
+    Map-only per-doc scoring → one groupBy(source) → broadcast normalizer;
+    at 100 TB the per-doc pass streams and the 20-row mixture table is the
+    artifact the sampler consumes.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    per_doc = d.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "diversity"
+        ),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("src_tokens"),
+        F.avg("diversity").alias("mean_div"),
+    )
+    z = per_src.agg(
+        F.sum(F.col("src_tokens") * F.col("mean_div")).alias("zt")
+    )
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        r4(F.col("mean_div")).alias("mean_diversity"),
+        r4(F.col("src_tokens") * F.col("mean_div") / F.col("zt")).alias("mix_weight"),
+    )

@@ -299,3 +299,46 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ph).cast("long").alias("pair_checksum"),
         r4(F.avg("l2_dist")).alias("mean_l2_dist"),
     )
+
+
+@query(
+    "emb_cosine_hist",
+    oracle=f"""
+WITH probes AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
+pairs AS (
+  SELECT CAST(floor(({_sql_cos('p.embedding', 'e.embedding')}) * 10) AS BIGINT)
+           AS cos_bucket
+  FROM probes p JOIN embeddings e ON p.vec_id < e.vec_id
+)
+SELECT cos_bucket, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY cos_bucket
+""",
+)
+def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution histogram (0.1-wide buckets) over a
+    deterministic probe sample (vec_id ≡ 0 mod 20 vs all later ids) — the
+    profiling pass that tells you where to SET a near-dup threshold before
+    running dedup_embedding_cosine (on this corpus it shows the mass
+    sitting at \\|cos\\| < 0.5, which is why that key uses 0.40).
+
+    Probe×corpus is 1/20th of all-pairs — a deterministic sampled
+    estimate of the full distribution; the bucket floor happens on the
+    identical normalize-first cosine both engines fold in the same
+    element order, so bucket membership is bit-stable. At 100 TB: sample
+    both sides (p² of pairs) and/or bucket from the GEMM kernel's blocks.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _unit("embedding").alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("p_id"), F.col("emb").alias("p_emb")
+    )
+    pairs = e.repartition(spark.sparkContext.defaultParallelism).join(
+        F.broadcast(probes), F.col("p_id") < F.col("vec_id")
+    )
+    bucket = F.floor(_cos(F.col("p_emb"), F.col("emb")) * 10).cast("long")
+    return (
+        pairs.select(bucket.alias("cos_bucket"))
+        .groupBy("cos_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
