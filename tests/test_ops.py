@@ -696,3 +696,25 @@ def test_update_mode_emits_incremental_updates(spark):
     assert final == batch
     for r in emitted:
         assert r["n_events"] <= batch[r["event_type"]]
+
+
+def test_compression_ratio_sane_and_deterministic(spark):
+    """text_compression_ratio (rows-only): ratios in (0, 1.1], identical
+    texts get identical ratios, and the templated corpus compresses well
+    below 1.0 on average."""
+    rows = QUERIES["text_compression_ratio"](spark, SF).collect()
+    assert rows
+    ratios = {r["doc_id"]: r["compression_ratio"] for r in rows}
+    assert all(0 < v <= 1.1 for v in ratios.values())
+    assert sum(ratios.values()) / len(ratios) < 0.9
+    from upflow_spark.io import load
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    by_text: dict = {}
+    for did, t in texts.items():
+        by_text.setdefault(t, []).append(did)
+    for ids in by_text.values():
+        assert len({ratios[i] for i in ids}) == 1

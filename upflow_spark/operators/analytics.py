@@ -852,3 +852,56 @@ def win_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "events_user_lifecycle_state",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+lagged AS (
+  SELECT user_id, wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+  FROM uw
+),
+st AS (
+  SELECT wk,
+         CASE WHEN prev_wk IS NULL THEN 'new'
+              WHEN epoch_us(wk) - epoch_us(prev_wk) <= 7 * 86400000000 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM lagged
+)
+SELECT wk AS week_start, state, CAST(count(*) AS BIGINT) AS n_users
+FROM st GROUP BY wk, state
+""",
+)
+def events_user_lifecycle_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user lifecycle accounting: each active (user, week) is
+    classified as `new` (first-ever week), `retained` (also active the
+    immediately preceding week) or `resurrected` (returning after a gap) —
+    the growth-accounting decomposition every activity dashboard runs.
+
+    One distinct pass to (user, week), one lag window on the user_id
+    shuffle domain, then a 3-state rollup; week-gap math stays in integer
+    microseconds.
+    """
+    ev = load(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lagged = uw.select("wk", F.lag("wk").over(w).alias("prev_wk"))
+    gap_us = F.unix_micros(F.col("wk").cast("timestamp")) - F.unix_micros(
+        F.col("prev_wk").cast("timestamp")
+    )
+    state = (
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(gap_us <= 7 * 86_400_000_000, "retained")
+        .otherwise("resurrected")
+    )
+    return (
+        lagged.select(F.col("wk").alias("week_start"), state.alias("state"))
+        .groupBy("week_start", "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

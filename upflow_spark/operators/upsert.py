@@ -192,3 +192,75 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         r4(F.sum("price")).alias("sum_price"),
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 7 <> 0
+),
+changes AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice
+              ELSE o_totalprice * 1.1 END AS o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'I'
+              WHEN o_orderkey % 5 = 0 THEN 'U'
+              WHEN o_orderkey % 11 = 0 THEN 'D'
+              ELSE NULL END AS op
+  FROM orders
+),
+applied AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+  FROM base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM changes WHERE op IN ('U', 'D'))
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM changes WHERE op IN ('I', 'U')
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+FROM applied GROUP BY o_orderstatus
+""",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC APPLY: fold a changelog (insert / update / delete
+    ops, synthesized deterministically from the same table: keys ≡0 mod 7
+    insert, else mod 5 update at +10%, else mod 11 delete) into a base
+    snapshot and summarize the resulting table — the logical core of
+    Delta/Iceberg MERGE INTO, expressed engine-agnostically
+    (complementing cdc_snapshot_diff, which goes the OTHER direction:
+    snapshot pair → changelog).
+
+    Plan: deletes+updates remove base rows via one anti-join on the
+    changed-key set; inserts+update-images append via union — the
+    copy-on-write merge topology. At 100 TB the changed-key set is the
+    broadcast side and only affected files rewrite (which is precisely
+    what the lakehouse formats automate).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    op = (
+        F.when(F.col("o_orderkey") % 7 == 0, "I")
+        .when(F.col("o_orderkey") % 5 == 0, "U")
+        .when(F.col("o_orderkey") % 11 == 0, "D")
+    )
+    changes = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice") * 1.1)
+        .alias("o_totalprice"),
+        op.alias("op"),
+    ).filter(F.col("op").isNotNull())
+    touched = changes.filter(F.col("op").isin("U", "D")).select("o_orderkey")
+    survivors = base.join(F.broadcast(touched), "o_orderkey", "left_anti")
+    upserts = changes.filter(F.col("op").isin("I", "U")).drop("op")
+    applied = survivors.unionByName(upserts)
+    return applied.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("o_totalprice")).alias("sum_price"),
+    )

@@ -284,3 +284,60 @@ def win_range_numeric_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("o_totalprice")).alias("price"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_within_50k"),
     )
+
+
+@query(
+    "win_skyline_pareto",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+         max(o_orderdate) OVER (ORDER BY o_totalprice DESC, o_orderdate DESC,
+                                         o_orderkey ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_prev_date
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderkey,
+       floor((o_totalprice) * 10000 + 0.5) / 10000 AS o_totalprice,
+       o_orderdate
+FROM s
+WHERE best_prev_date IS NULL OR o_orderdate > best_prev_date
+""",
+)
+def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders maximizing (totalprice,
+    orderdate) over a stated 1/10 key sample: an order is on the frontier
+    iff no earlier-sorted order (higher price, ties broken by later date
+    then key) already reached a later date — the classic dominance
+    operator (BNL/SFS skyline), expressed as ONE sort + ONE running-max
+    window instead of the quadratic NOT EXISTS self-join.
+
+    Exact full-row duplicates keep only their first (deterministic by
+    orderkey) — the standard distinct-skyline convention, shared by the
+    oracle formulation by construction. Scale: sort-filter-skyline is one
+    global sort; partition-wise local skylines + a final merge (the
+    standard distributed SFS) when one sort partition won't hold the data.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    w = (
+        Window.orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("o_orderdate").over(w).alias("best_prev_date"),
+    )
+    return s.filter(
+        F.col("best_prev_date").isNull()
+        | (F.col("o_orderdate") > F.col("best_prev_date"))
+    ).select(
+        "o_orderkey",
+        r4(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+    )

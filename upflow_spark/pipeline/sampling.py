@@ -160,3 +160,35 @@ def sample_topk_hashrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "lang", "rk")
     )
+
+
+@query(
+    "sample_systematic_every_k",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn % 20 = 1
+""",
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 sample over the doc_id ordering (every k-th
+    element) — the eval-slice/spot-check sampling pattern that, unlike
+    hash or Bernoulli sampling, guarantees exactly ⌈n/k⌉ rows and uniform
+    coverage of the key range.
+
+    A global row_number is a single-partition sort at fixture scale; at
+    100 TB use the two-phase rank (per-partition counts → offset
+    broadcast) or, when doc_ids are dense, the pure map-side
+    `doc_id % 20` filter this sample is equivalent to.
+    """
+    d = load(spark, sf_dir, "documents")
+    r = d.select(
+        "doc_id", "lang", F.row_number().over(Window.orderBy("doc_id")).alias("rn")
+    )
+    return r.filter(F.col("rn") % 20 == 1).select(
+        "doc_id", "lang", F.col("rn").cast("long").alias("rn")
+    )

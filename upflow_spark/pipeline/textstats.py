@@ -252,3 +252,45 @@ def text_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query("text_compression_ratio")  # rows-only: zlib output is library-specific
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compression ratio per document — the cheap redundancy/quality
+    proxy production pretraining filters use (Gopher-style: highly
+    compressible ⇒ boilerplate/repetition; near-incompressible ⇒ noise or
+    non-text). zlib level 6, ratio = compressed/raw bytes.
+
+    Arrow-batched mapInPandas, map-only, no shuffle. Rows-only by design:
+    DEFLATE output is zlib-build-specific, so no SQL oracle — the
+    behavioral test pins ratio bounds, determinism across calls, and that
+    exact-duplicate texts get identical ratios.
+    """
+    import zlib
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def ratios(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in raw],
+                    "compression_ratio": [
+                        c / len(b) if len(b) else 1.0 for c, b in zip(comp, raw)
+                    ],
+                }
+            )
+
+    out = d.select("doc_id", "text").mapInPandas(
+        ratios, "doc_id long, n_bytes long, compression_ratio double"
+    )
+    return out.select(
+        "doc_id", "n_bytes", r4("compression_ratio").alias("compression_ratio")
+    )
