@@ -35,6 +35,9 @@ SHOWCASE = [
     ("dedup_simhash_pairs", "band equi-join BROADCAST on the few-hundred-KB band table (r5: ≤1024 distinct band keys skew a shuffle join; broadcast-hash keeps stream-side parallelism), never a nested-loop all-pairs"),
     ("graph_triangle_count", "wedge-then-close triangle plan: BOTH closing joins broadcast the edge table, the wedge stream never shuffles"),
     ("stat_ks_two_sample", "both ECDFs built in ONE window pass over one shuffle on value"),
+    ("win_skyline_pareto", "sort-filter-skyline: ONE sort + ONE running-max window, no NOT-EXISTS self-join (no Join operator in the plan at all)"),
+    ("win_session_window_fn", "native session_window aggregation: one shuffle on the grouping key with merge-able session state"),
+    ("cdc_apply_changes", "copy-on-write MERGE topology: broadcast anti-join on the touched-key set + union of upserts — base table never shuffles"),
     ("win_time_range_frame", "RANGE frame window after one shuffle on user_id"),
     ("reshape_unpivot", "Expand (4x narrow row expansion), no shuffle"),
     ("q_forecast_revenue_change", "every predicate (date range, discount band, quantity cap) pushed to the parquet scan; ReadSchema pruned to the 4 referenced columns"),
