@@ -718,3 +718,22 @@ def test_compression_ratio_sane_and_deterministic(spark):
         by_text.setdefault(t, []).append(did)
     for ids in by_text.values():
         assert len({ratios[i] for i in ids}) == 1
+
+
+def test_ann_verified_dedup_recalls_exact(spark):
+    """emb_dedup_ann_verified: every verified pair is a true exact pair
+    (precision 1.0 by construction — same cosine, same threshold) and the
+    verified set recalls most of dedup_embedding_cosine's exact pairs."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_cosine"](spark, SF).collect()
+    }
+    summ = QUERIES["emb_dedup_ann_verified"](spark, SF).collect()
+    assert len(summ) == 1
+    row = summ[0]
+    assert row["n_verified"] <= row["n_candidates"]
+    if exact:
+        # recall floor: verified count within [0.5x, 1.0x] of exact count
+        # (subset property makes n_verified <= n_exact; LSH recall ≥ 0.5)
+        assert row["n_verified"] <= len(exact)
+        assert row["n_verified"] >= 0.5 * len(exact), (row["n_verified"], len(exact))

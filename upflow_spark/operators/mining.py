@@ -874,3 +874,107 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(u1).alias("u_click"),
         r4(na * nb.cast("double") - u1).alias("u_purchase"),
     )
+
+
+@query(
+    "basket_affinity_lift",
+    oracle="""
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM po),
+supp AS (SELECT l_partkey, count(*) AS s FROM po GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS sab
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, CAST(sab AS BIGINT) AS n_co_orders,
+       floor((CAST(sab AS DOUBLE) / sa.s) * 10000 + 0.5) / 10000 AS confidence,
+       floor((CAST(sab AS DOUBLE) * n.n_orders / (sa.s * sb.s)) * 10000 + 0.5) / 10000 AS lift
+FROM pair
+JOIN supp sa ON sa.l_partkey = part_a
+JOIN supp sb ON sb.l_partkey = part_b, n
+WHERE sab >= 2
+""",
+)
+def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over co-ordered part pairs (support ≥ 2,
+    parts ≡ 0 mod 4 — the graph keys' stated sample): confidence
+    P(b|a) = s(ab)/s(a) and lift s(ab)·N/(s(a)·s(b)) — the full
+    market-basket rule scoring that basket_part_pairs' raw counts feed.
+
+    Same bounded per-order pair expansion; per-item supports broadcast
+    back onto the pair table; every metric is a ratio of counts.
+    """
+    po = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()  # read three times (n, supports, both pair sides)
+    )
+    n = po.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    supp = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = po.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = po.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("sab"))
+        .filter(F.col("sab") >= 2)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
+    return (
+        pair.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("sab").alias("n_co_orders"),
+            r4(F.col("sab").cast("double") / F.col("sa")).alias("confidence"),
+            r4(
+                F.col("sab").cast("double") * F.col("n_orders")
+                / (F.col("sa") * F.col("sb"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "stat_autocorr_lag1",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY d
+),
+lagged AS (
+  SELECT n, lag(n) OVER (ORDER BY d) AS pn FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       floor((corr(n, pn)) * 10000 + 0.5) / 10000 AS autocorr_lag1
+FROM lagged WHERE pn IS NOT NULL
+""",
+)
+def stat_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    stationarity/seasonality diagnostic run before any forecasting model
+    (near 0 here: the synthetic arrival process is memoryless, and
+    showing that IS the diagnostic).
+
+    Daily rollup → one ordered lag window over the ~90-row series →
+    native corr aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select("n", F.lag("n").over(w).alias("pn")).filter(
+        F.col("pn").isNotNull()
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        r4(F.corr("n", "pn")).alias("autocorr_lag1"),
+    )

@@ -732,3 +732,143 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
     )
     return hit_both.select("doc_id", status.alias("ingest_status"))
+
+
+@query(
+    "text_knn_jaccard_docs",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+card AS (SELECT doc_id, count(*) AS n_terms FROM tok GROUP BY doc_id),
+probes AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+inter AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id, count(*) AS n_common
+  FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id <> b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM probes)
+  GROUP BY query_id, neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(n_common AS DOUBLE) / (ca.n_terms + cb.n_terms - n_common) AS j,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(n_common AS DOUBLE)
+                                     / (ca.n_terms + cb.n_terms - n_common) DESC,
+                                     neighbor_id ASC) AS rn
+  FROM inter
+  JOIN card ca ON ca.doc_id = query_id
+  JOIN card cb ON cb.doc_id = neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn,
+       floor(j * 10000 + 0.5) / 10000 AS jaccard
+FROM scored WHERE rn <= 3
+""",
+)
+def text_knn_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level k-NN retrieval: for each probe doc (doc_id ≡ 0 mod
+    100), the 3 most token-set-similar OTHER documents by exact Jaccard —
+    the "more like this" lookup, where the pair keys answer "what
+    duplicates exist".
+
+    Same blocked-GEMM engine as the pair keys but with the A side
+    restricted to the probe rows: one (n_probes × n_docs) score matrix per
+    chunk, argpartition top-3 inside the kernel — the full candidate row
+    never leaves the worker. At 100 TB probes stream against the broadcast
+    (or IVF-routed) corpus exactly like knn_classify_ann.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs = d.select("doc_id", F.array_distinct(tokens_col()).alias("terms"))
+    rows = docs.localCheckpoint().collect()
+    vocab = sorted({t for r in rows for t in r["terms"]})
+    tid = {it: i for i, it in enumerate(vocab)}
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    bmat = np.zeros((len(rows), len(vocab)), dtype=np.float32)
+    for i, r in enumerate(rows):
+        if r["terms"]:
+            bmat[i, [tid[t] for t in r["terms"]]] = 1.0
+    counts = bmat.sum(axis=1)
+    packed = np.packbits(bmat.astype(bool), axis=1)
+    probe_pos = np.nonzero(ids % 100 == 0)[0]
+    bc = spark.sparkContext.broadcast((ids, packed, len(vocab), counts, probe_pos))
+    chunk = 64
+    n_chunks = (len(probe_pos) + chunk - 1) // chunk
+
+    def kernel(batches):
+        b_ids, b_packed, width, b_counts, probes = bc.value
+        b_mat = np.unpackbits(b_packed, axis=1)[:, :width].astype(np.float32)
+        for pdf in batches:
+            for ci in pdf["id"]:
+                sel = probes[int(ci) * chunk : (int(ci) + 1) * chunk]
+                amat = b_mat[sel]
+                a_ids = b_ids[sel]
+                a_counts = b_counts[sel]
+                inter = (amat @ b_mat.T).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    jac = inter / (a_counts[:, None] + b_counts[None, :] - inter)
+                jac[np.isnan(jac)] = -1.0
+                # exclude self; deterministic top-3 by (jaccard desc, id asc)
+                out = {"query_id": [], "neighbor_id": [], "rn": [], "jaccard": []}
+                for qi in range(len(sel)):
+                    row = jac[qi].copy()
+                    row[b_ids == a_ids[qi]] = -1.0
+                    order = np.lexsort((b_ids, -row))[:3]
+                    for rank, bi in enumerate(order, start=1):
+                        out["query_id"].append(a_ids[qi])
+                        out["neighbor_id"].append(b_ids[bi])
+                        out["rn"].append(rank)
+                        out["jaccard"].append(row[bi])
+                yield pd.DataFrame(out)
+
+    par = spark.sparkContext.defaultParallelism
+    res = (
+        spark.range(n_chunks)
+        .repartition(min(par, max(1, n_chunks)))
+        .mapInPandas(kernel, "query_id long, neighbor_id long, rn long, jaccard double")
+    )
+    return res.select("query_id", "neighbor_id", "rn", r4("jaccard").alias("jaccard"))
+
+
+@query("emb_dedup_ann_verified")  # rows-only: candidates come from LSH buckets
+def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual two-stage embedding dedup promised by
+    dedup_embedding_cosine's scale note: random-projection-LSH candidate
+    generation (ann_lsh_pairs, bucket-local) followed by EXACT cosine ≥
+    0.40 verification — candidates ∝ near pairs, never O(n²), and the
+    verify is the same normalize-first HOF dot as the exact key, so every
+    emitted pair would also be emitted by the brute force.
+
+    Summary-row output (candidate count, verified count, order-insensitive
+    checksum, mean cosine); tests/test_ops.py floors the recall of the
+    verified set against dedup_embedding_cosine's exact pairs.
+    """
+    from upflow_spark.pipeline.similarity import _cos, _unit, ann_lsh_pairs
+
+    cand = ann_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b").localCheckpoint()
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _unit("embedding").alias("emb")
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    scored = (
+        cand.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
+        .select(
+            "vec_a", "vec_b", _cos(F.col("emb_a"), F.col("emb_b")).alias("cos_raw")
+        )
+    )
+    ph = (
+        F.col("vec_a") * F.lit(2654435761) + F.col("vec_b") * F.lit(40503)
+    ) % F.lit(4294967296)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(F.col("cos_raw") >= 0.40, 1)).alias("n_verified"),
+        F.sum(F.when(F.col("cos_raw") >= 0.40, ph)).cast("long").alias("pair_checksum"),
+        r4(F.avg(F.when(F.col("cos_raw") >= 0.40, F.col("cos_raw")))).alias(
+            "mean_verified_cos"
+        ),
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.parity import r4
 from upflow_spark.registry import query
 
 MEDIA_TYPES = ("image", "audio", "video")
@@ -393,3 +394,50 @@ def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return m.mapInPandas(cuts, "doc_id long, n_frames long, n_cuts long")
+
+
+@query(
+    "multimodal_block_dedup",
+    oracle="""
+WITH blocks AS (
+  SELECT doc_id, md5(substr(text, k * 256 + 1, 256)) AS block_md5
+  FROM documents,
+       unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS t(k)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(DISTINCT block_md5) AS BIGINT) AS n_distinct_blocks,
+       floor((1.0 - CAST(count(DISTINCT block_md5) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000
+         AS dedup_ratio,
+       CAST(max(cnt) AS BIGINT) AS max_block_reuse
+FROM blocks,
+     (SELECT max(c) AS cnt FROM
+        (SELECT count(*) AS c FROM blocks GROUP BY block_md5))
+""",
+)
+def multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level block deduplication profile over the binary payloads:
+    chunk every payload into fixed 256-byte blocks, digest each, and report
+    corpus-wide block dedup ratio + hottest block reuse — the
+    content-addressable-store feasibility metric (what a CDC/CAS layer
+    would save on this corpus).
+
+    One explode to the block stream, one digest groupBy — mergeable at any
+    scale; at 100 TB use content-defined (rolling-hash) boundaries so
+    insertions don't shift every subsequent block, i.e. the text_fingerprint
+    machinery picks the cut points.
+    """
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_blocks_per_doc = F.ceil(F.col("n_chars") / 256.0).cast("int")
+    blocks = d.select(
+        F.explode(F.sequence(F.lit(0), n_blocks_per_doc - 1)).alias("k"),
+        F.col("text"),
+    ).select(F.md5(F.expr("substr(text, k * 256 + 1, 256)")).alias("block_md5"))
+    per_block = blocks.groupBy("block_md5").agg(F.count(F.lit(1)).alias("c"))
+    return per_block.agg(
+        F.sum("c").alias("n_blocks"),
+        F.count(F.lit(1)).alias("n_distinct_blocks"),
+        r4(1.0 - F.count(F.lit(1)).cast("double") / F.sum("c")).alias("dedup_ratio"),
+        F.max("c").alias("max_block_reuse"),
+    )
