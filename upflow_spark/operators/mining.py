@@ -978,3 +978,182 @@ def stat_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         r4(F.corr("n", "pn")).alias("autocorr_lag1"),
     )
+
+
+@query(
+    "sweepline_open_orders",
+    oracle="""
+WITH iv AS (
+  SELECT o.o_orderkey, o.o_orderdate AS t_open, max(l.l_shipdate) AS t_close
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 5 = 0
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+ev AS (
+  SELECT t_open AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT t_close AS t, -1 AS delta FROM iv
+),
+sw AS (
+  SELECT t, sum(sum(delta)) OVER (ORDER BY t) AS n_open
+  FROM ev GROUP BY t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_change_points,
+       CAST(max(n_open) AS BIGINT) AS peak_open_orders,
+       floor((avg(n_open)) * 10000 + 0.5) / 10000 AS avg_open_at_changes
+FROM sw
+""",
+)
+def sweepline_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-stabbing via sweep line: how many orders are simultaneously
+    OPEN (orderdate → last lineitem shipdate) over time, on a stated 1/5
+    key sample — the concurrency/backlog metric computed the scalable way:
+    each interval becomes a +1/-1 event, one ordered cumulative sum gives
+    the open count at every change point. O(n log n) total vs the
+    interval×timestamp stabbing join's quadratic blowup; the same plan
+    shape as interval_overlap_merge, aggregated to the concurrency
+    profile.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    li = load(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("t_close"))
+    )
+    ev = iv.select(F.col("o_orderdate").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("t_close").alias("t"), F.lit(-1).alias("delta"))
+    )
+    per_t = ev.groupBy("t").agg(F.sum("delta").alias("d"))
+    sw = per_t.select(
+        F.sum("d").over(Window.orderBy("t")).alias("n_open")
+    )
+    return sw.agg(
+        F.count(F.lit(1)).alias("n_change_points"),
+        F.max("n_open").cast("long").alias("peak_open_orders"),
+        r4(F.avg("n_open")).alias("avg_open_at_changes"),
+    )
+
+
+@query(
+    "events_hourly_heatmap",
+    oracle="""
+WITH c AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY dow, hr
+),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT dow, hr, n,
+       floor((CAST(n AS DOUBLE) / t.tot) * 10000 + 0.5) / 10000 AS share
+FROM c, t
+""",
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event share per (day-of-week, hour) cell — the
+    seasonal-profile matrix behind load forecasting and anomaly baselines.
+    Exercises the cross-engine dayofweek convention deliberately (Spark
+    Sun=1..Sat=7 vs DuckDB Sun=0..Sat=6 — the §5 parity landmine, handled
+    by the oracle's +1).
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hr",
+        "n",
+        r4(F.col("n").cast("double") / F.col("tot")).alias("share"),
+    )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+WITH w AS (
+  SELECT o.o_orderpriority, o.o_totalprice, count(*) AS wt
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderpriority, o.o_orderkey, o.o_totalprice
+),
+c AS (
+  SELECT o_orderpriority, o_totalprice, wt,
+         sum(wt) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice) AS cum,
+         sum(wt) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM w
+)
+SELECT o_orderpriority,
+       floor((min(o_totalprice) FILTER (2 * cum >= tot)) * 10000 + 0.5) / 10000
+         AS weighted_median_price,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM c
+GROUP BY o_orderpriority
+""",
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median order price per priority, weights = lineitem count
+    (so big orders pull the median toward their price): the smallest price
+    whose cumulative weight reaches half the total — the weighted-quantile
+    primitive plain percentile() lacks.
+
+    Per-order weights from one join+groupBy, then ONE cumulative window
+    per priority and a min-over-threshold fold; all comparisons on
+    integer weights (2·cum ≥ tot, no float division).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", "o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    # default RANGE frame: price ties (peers) share one cumulative value in
+    # BOTH engines, which is exactly the weighted-median convention
+    cum_w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    c = w.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(Window.partitionBy("o_orderpriority")).alias("tot"),
+    )
+    return c.groupBy("o_orderpriority").agg(
+        r4(
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("o_totalprice")))
+        ).alias("weighted_median_price"),
+        F.max("tot").cast("long").alias("total_weight"),
+    )
+
+
+@query(
+    "events_uniques_daily_growth",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS first_day FROM events GROUP BY user_id
+),
+daily AS (SELECT first_day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY first_day)
+SELECT first_day AS day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY first_day) AS BIGINT) AS cumulative_users
+FROM daily
+""",
+)
+def events_uniques_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user growth curve: first-seen day per user → daily new-user
+    counts → running cumulative total — the daily-granularity signup curve
+    beside the weekly lifecycle states.
+
+    One min-per-user aggregate, one tiny daily rollup, one ordered cumsum
+    over the ~90-row series. The per-user first-seen table is the
+    mergeable state an incremental pipeline would checkpoint.
+    """
+    ev = load(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("first_day"))
+    daily = fs.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
+    return daily.select(
+        F.col("first_day").alias("day"),
+        "n_new",
+        F.sum("n_new").over(Window.orderBy("first_day")).cast("long").alias(
+            "cumulative_users"
+        ),
+    )

@@ -264,3 +264,101 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         r4(F.sum("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "scd2_point_lookup",
+    oracle="""
+WITH v AS (
+  SELECT o_custkey, o_orderkey AS version_key, o_totalprice,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate ASC, o_orderkey ASC)
+           AS valid_to
+  FROM orders
+)
+SELECT o_custkey, version_key,
+       floor((o_totalprice) * 10000 + 0.5) / 10000 AS price_asof
+FROM v
+WHERE valid_from <= TIMESTAMP '1997-06-01 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-01 00:00:00')
+""",
+)
+def scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-time snapshot over the SCD2-versioned dimension:
+    the version of every customer valid AS OF 1997-06-01 (valid_from ≤ t <
+    valid_to, open-ended current rows included) — the "state of the world
+    at time t" query every versioned table must answer, and the single-
+    timestamp special case of join_point_in_time.
+
+    One window pass builds validity intervals (same construction as
+    scd2_history), then a pushed-down residual filter — no join at all for
+    a constant lookup timestamp.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    t = F.lit("1997-06-01").cast("timestamp_ntz")
+    v = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    return v.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select(
+        "o_custkey",
+        "version_key",
+        r4(F.col("o_totalprice")).alias("price_asof"),
+    )
+
+
+@query(
+    "agg_time_grain_rollup",
+    oracle="""
+SELECT grain, bucket_start,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS revenue
+FROM (
+  SELECT date_trunc('day', o_orderdate) AS bucket_start, 'day' AS grain, o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+  UNION ALL
+  SELECT date_trunc('week', o_orderdate), 'week', o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+  UNION ALL
+  SELECT date_trunc('month', o_orderdate), 'month', o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+)
+GROUP BY grain, bucket_start
+""",
+)
+def agg_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup: the same order stream aggregated at
+    day/week/month grains in one result (the time-hierarchy cousin of the
+    categorical agg_rollup), over a stated 1/20 key sample.
+
+    Implemented as a grain EXPLODE (each row emits its three
+    (grain, bucket) labels) + ONE groupBy — one scan and one shuffle for
+    all grains, instead of three scans + a union; that is exactly how a
+    100 TB time-hierarchy materialization runs (and incremental variants
+    merge day partials upward, per rollup_incremental_merge).
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    grains = F.array(
+        F.struct(F.lit("day").alias("grain"), F.date_trunc("day", "o_orderdate").alias("bucket_start")),
+        F.struct(F.lit("week").alias("grain"), F.date_trunc("week", "o_orderdate").alias("bucket_start")),
+        F.struct(F.lit("month").alias("grain"), F.date_trunc("month", "o_orderdate").alias("bucket_start")),
+    )
+    exploded = o.select("o_totalprice", F.explode(grains).alias("g")).select(
+        F.col("g.grain").alias("grain"),
+        F.col("g.bucket_start").alias("bucket_start"),
+        "o_totalprice",
+    )
+    return exploded.groupBy("grain", "bucket_start").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r4(F.sum("o_totalprice")).alias("revenue"),
+    )

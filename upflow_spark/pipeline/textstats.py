@@ -294,3 +294,54 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bytes", r4("compression_ratio").alias("compression_ratio")
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH bg AS (
+  SELECT DISTINCT doc_id, unnest(big) AS bigram
+  FROM (SELECT doc_id, {_SQL_BIGRAMS} AS big
+        FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents))
+),
+first_seen AS (SELECT bigram, min(doc_id) AS fs FROM bg GROUP BY bigram)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(*) FILTER (f.fs = b.doc_id) AS BIGINT) AS n_novel,
+       floor((CAST(count(*) FILTER (f.fs = b.doc_id) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000
+         AS novelty_ratio
+FROM bg b JOIN first_seen f USING (bigram)
+GROUP BY b.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per document in corpus (doc_id) order: the fraction
+    of a doc's distinct bigrams whose FIRST corpus appearance is that doc —
+    the streaming-ingest novelty signal (templated/recycled content scores
+    ~0, genuinely new material scores high) that complements the pairwise
+    dedup keys with an order-aware, linear-cost measure.
+
+    One bigram explode, one min-per-bigram aggregate (the "first seen"
+    index — the thing an incremental pipeline keeps materialized),
+    broadcast back onto the per-doc stream. No pair joins anywhere.
+    """
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from upflow_spark.pipeline.text import bigram_struct_col
+
+    toks = tokens_col()
+    bigrams = F.transform(
+        bigram_struct_col(toks), lambda s: F.concat_ws(" ", s.a, s.b)
+    )
+    bg = d.select(
+        "doc_id", F.explode(F.array_distinct(bigrams)).alias("bigram")
+    ).localCheckpoint()  # read twice (first-seen index + scoring pass)
+    first_seen = bg.groupBy("bigram").agg(F.min("doc_id").alias("fs"))
+    joined = bg.join(F.broadcast(first_seen), "bigram")
+    novel = F.count(F.when(F.col("fs") == F.col("doc_id"), 1))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        novel.alias("n_novel"),
+        r4(novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
+    )
