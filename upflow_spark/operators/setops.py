@@ -188,3 +188,52 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = o.filter(F.col("o_orderkey") % 2 == 0).select(bkt)
     right = o.filter(F.col("o_orderkey") % 2 == 1).select(bkt)
     return left.exceptAll(right)
+
+
+@query(
+    "set_union_by_name_evolved",
+    oracle="""
+SELECT entity_id, kind, amount, region_key
+FROM (
+  SELECT o_orderkey AS entity_id, 'order' AS kind, o_totalprice AS amount,
+         NULL AS region_key
+  FROM orders WHERE o_orderkey % 1000 = 0
+  UNION ALL BY NAME
+  SELECT s_suppkey AS entity_id, s_nationkey AS region_key,
+         s_acctbal AS amount, 'supplier' AS kind
+  FROM supplier WHERE s_suppkey % 10 = 0
+)
+""",
+)
+def set_union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with DIFFERENT column orders and
+    a column one side lacks, merged positionally-safely by NAME with
+    null-fill (`unionByName(allowMissingColumns=True)` — the ingestion
+    surface every multi-source pipeline needs when schemas drift; plain
+    UNION would silently mis-align columns here).
+
+    DuckDB's `UNION ALL BY NAME` is the exact SQL twin, so the key is
+    hash-checked including the null-filled column.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            F.col("o_orderkey").alias("entity_id"),
+            F.lit("order").alias("kind"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(
+            F.col("s_suppkey").alias("entity_id"),
+            F.col("s_nationkey").alias("region_key"),
+            F.col("s_acctbal").alias("amount"),
+            F.lit("supplier").alias("kind"),
+        )
+    )
+    return o.unionByName(s, allowMissingColumns=True).select(
+        "entity_id", "kind", "amount", "region_key"
+    )

@@ -237,3 +237,67 @@ def sink_overwrite_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_rows"),
         r4(F.sum("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "catalog_analyze_stats",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer
+""",
+)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE … COMPUTE STATISTICS: persist table + column stats
+    into the catalog and read the row count BACK FROM THE CATALOG — the
+    cost-based-optimizer feed (join reordering and broadcast decisions at
+    100 TB run off exactly these statistics, so writing/reading them is a
+    first-class surface, not bookkeeping).
+
+    The key registers a temp table, ANALYZEs it, asserts the
+    catalog-reported rowCount equals the live count, and emits the
+    verified stats alongside two column NDVs (computed live — catalog NDVs
+    are HLL estimates and wouldn't hash-match).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    name = "upflow_stats_customer"
+    # external table at an explicit /tmp path: a managed saveAsTable leaves
+    # its warehouse dir behind across sessions and a NEW session then fails
+    # with LOCATION_ALREADY_EXISTS on overwrite — drop + clear first
+    path = os.path.join(tempfile.gettempdir(), f"upflow_stats_customer_tbl")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree("spark-warehouse/upflow_stats_customer", ignore_errors=True)
+    c.write.mode("overwrite").option("path", path).saveAsTable(name)
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    # row count from the catalog statistics line
+    stats_line = [
+        r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        if r["col_name"] == "Statistics"
+    ]
+    catalog_rows = None
+    if stats_line:
+        import re as _re
+
+        m = _re.search(r"(\d+) rows", stats_line[0])
+        if m:
+            catalog_rows = int(m.group(1))
+    live = spark.table(name)
+    n_live = live.count()
+    if catalog_rows is not None and catalog_rows != n_live:
+        raise AssertionError(
+            f"catalog stats rowCount {catalog_rows} != live {n_live}"
+        )
+    return live.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
