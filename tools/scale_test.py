@@ -55,6 +55,9 @@ PROBE_KEYS = [
     ("dedup_simhash_pairs", "documents 10x (banded simhash + Hamming verify)"),
     ("dedup_near_minhash_lsh", "documents 10x (ML MinHashLSH + bitmask verify)"),
     ("dedup_cluster_cc", "documents 10x (pair graph -> MapReduce min-label CC)"),
+    # r5 blocked-GEMM kernel: 10x docs = 100x pair work but the kernel is
+    # BLAS; also stresses the driver-gather + broadcast (50k-doc matrix)
+    ("dedup_ngram_jaccard", "documents 10x (blocked-GEMM bigram Jaccard)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
