@@ -258,6 +258,71 @@ def _doc_bitmasks(spark, items: DataFrame):
     return masks, n_words
 
 
+def _pack_term_rows(terms_seq, width, tid):
+    """Dense 0/1 bool matrix (len(terms_seq) × width) from term arrays."""
+    import numpy as np
+
+    m = np.zeros((len(terms_seq), width), dtype=bool)
+    for i, terms in enumerate(terms_seq):
+        if terms is not None and len(terms):
+            m[i, [tid[x] for x in terms]] = True
+    return m
+
+
+def _packed_corpus(spark, docs: DataFrame):
+    """Distributed build of the broadcast bit-packed corpus matrix.
+
+    Returns (checkpointed docs, broadcast term-id dict, broadcast
+    (ids, packed uint8 matrix, n_vocab, counts)) — or (docs, None, None)
+    for an empty corpus. The driver only ever holds the distinct vocab
+    strings (bounded by contract) and the packed BYTES the workers produce
+    (n × |V|/8), never token arrays or Row objects; that is what makes
+    the GEMM keys survive a corpus that dwarfs driver memory as long as
+    the packed matrix itself is broadcastable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # docs is read twice (vocab pass + B pack) on top of the A stream;
+    # materialize once so the tokenize lineage doesn't rerun per pass
+    docs = docs.localCheckpoint()
+    # bounded vocab collect: DISTINCT ITEMS only, never per-doc arrays
+    vocab = sorted(
+        r["t"]
+        for r in docs.select(F.explode("terms").alias("t")).distinct().collect()
+    )
+    tid = {it: i for i, it in enumerate(vocab)}
+    n_vocab = len(vocab)
+    n_bytes = (n_vocab + 7) // 8
+    bc_tid = spark.sparkContext.broadcast(tid)
+
+    # distributed B pack: workers bit-pack their own partitions; only the
+    # packed bytes travel to the driver
+    def pack(batches):
+        for pdf in batches:
+            m = _pack_term_rows(pdf["terms"], n_vocab, bc_tid.value)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "packed": [row.tobytes() for row in np.packbits(m, axis=1)],
+                    "n_items": m.sum(axis=1).astype(np.int64),
+                }
+            )
+
+    packed_rows = docs.mapInPandas(
+        pack, "doc_id long, packed binary, n_items long"
+    ).collect()
+    if not packed_rows:
+        return docs, None, None
+    ids = np.array([r["doc_id"] for r in packed_rows], dtype=np.int64)
+    packed = np.frombuffer(
+        b"".join(r["packed"] for r in packed_rows), dtype=np.uint8
+    ).reshape(len(packed_rows), n_bytes)
+    counts = np.array([r["n_items"] for r in packed_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, packed, n_vocab, counts))
+    return docs, bc_tid, bc
+
+
 def _jaccard_pairs_gemm(
     spark, docs: DataFrame, threshold: float, measure: str = "jaccard"
 ) -> DataFrame:
@@ -277,55 +342,46 @@ def _jaccard_pairs_gemm(
     workload at sf0.1 vs 2.3 s for the bitmask BroadcastNestedLoopJoin —
     row-at-a-time join iteration can't compete with a vectorized kernel.
 
-    Topology: the B side (ids, matrix, cardinalities) is gathered once and
-    sc.broadcast — the same "small side fits in memory" contract as
-    F.broadcast in the bitmask variant, just materialized as numpy instead
-    of a JVM hash relation. The A side stays distributed: repartitioned
-    doc blocks stream through an Arrow-batched mapInPandas that GEMMs each
-    block against B. At 100 TB this is the standard block-distributed
-    similarity matmul (broadcast the smaller operand, grid-block both when
-    neither fits); open vocabularies route to dedup_near_minhash_lsh.
+    Topology (r6 — fully distributed build): the driver holds ONLY
+    bounded-by-contract state. Vocabulary ids come from a distinct-items
+    collect (a few hundred strings — the same dictionary a 100 TB run keeps
+    under one executor heap; open vocabularies route to
+    dedup_near_minhash_lsh). The B-side bit matrix is packed DISTRIBUTIVELY:
+    an Arrow-batched mapInPandas turns each partition's docs into
+    bit-packed uint8 rows, and the driver assembles those bytes
+    (n × |V|/8 ≈ 0.6 MB at sf0.1) into the sc.broadcast operand — the
+    driver never materializes token arrays or Row objects, so its memory is
+    ∝ packed-matrix size, not corpus text. The A side STREAMS from the
+    parquet scan through the same mapInPandas kernel ((doc_id, terms)
+    batches → pack → one BLAS GEMM per block against broadcast B) — no
+    driver round-trip on the A path at all. At 100 TB this is the standard
+    block-distributed similarity matmul: broadcast the smaller packed
+    operand, stream the big side, grid-block both when neither fits.
     """
     import numpy as np
     import pandas as pd
 
-    # ONE distributed pass computes per-doc distinct item ARRAYS (no
-    # explode, no groupBy shuffle); the array table is checkpointed once and
-    # gathered. Vocabulary + id assignment then happen driver-side from the
-    # gathered rows — that deleted three whole Spark jobs (explode
-    # checkpoint + re-group shuffle + distinct collect) from the r4 shape.
-    rows = docs.localCheckpoint().collect()
-    if not rows:
+    docs, bc_tid, bc = _packed_corpus(spark, docs)
+    if bc is None:
         return spark.createDataFrame([], "doc_a long, doc_b long, jac_raw double")
-    vocab = sorted({t for r in rows for t in r["terms"]})
-    tid = {it: i for i, it in enumerate(vocab)}
-    n_vocab = len(vocab)
-    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    bmat = np.zeros((len(rows), n_vocab), dtype=np.float32)
-    for i, r in enumerate(rows):
-        bmat[i, [tid[t] for t in r["terms"]]] = 1.0
-    counts = bmat.sum(axis=1)
-    # ship the matrix bit-packed: (n × |V|/8) uint8 ≈ 0.6 MB instead of the
-    # 20 MB float32 — the broadcast is re-shipped to every python worker on
-    # every invocation, so its size is on the per-call critical path
-    packed = np.packbits(bmat.astype(bool), axis=1)
-    bc = spark.sparkContext.broadcast((ids, packed, n_vocab, counts))
     thr = float(threshold)
-    n_docs = len(rows)
-    chunk_sz = 512
-    n_chunks = (n_docs + chunk_sz - 1) // chunk_sz
-
     directed = measure == "containment"
+    blk = 512  # GEMM block rows: bounds the (blk × n_docs) score slab
 
     def kernel(batches):
         b_ids, b_packed, width, b_counts = bc.value
         b_mat = np.unpackbits(b_packed, axis=1)[:, :width].astype(np.float32)
         for pdf in batches:
-            for ci in pdf["id"]:
-                s = int(ci) * chunk_sz
-                amat = b_mat[s : s + chunk_sz]
-                a_ids = b_ids[s : s + chunk_sz]
-                a_counts = b_counts[s : s + chunk_sz]
+            if not len(pdf):
+                continue
+            amat_full = _pack_term_rows(pdf["terms"], width, bc_tid.value).astype(
+                np.float32
+            )
+            ids_full = pdf["doc_id"].to_numpy(np.int64)
+            for s in range(0, len(pdf), blk):
+                amat = amat_full[s : s + blk]
+                a_ids = ids_full[s : s + blk]
+                a_counts = amat.sum(axis=1).astype(np.float64)
                 inter = (amat @ b_mat.T).astype(np.float64)
                 # empty term sets (e.g. 1-token docs have no bigrams) yield
                 # 0/0 -> nan; nan >= thr is False, matching the oracle which
@@ -348,12 +404,9 @@ def _jaccard_pairs_gemm(
                 )
 
     par = spark.sparkContext.defaultParallelism
-    # A-side = chunk INDICES only: each task slices its block out of the
-    # broadcast matrix, so no Arrow ship of the doc arrays at all
-    return (
-        spark.range(n_chunks)
-        .repartition(min(par, n_chunks))
-        .mapInPandas(kernel, "doc_a long, doc_b long, jac_raw double")
+    # A side = the doc scan itself, repartitioned for kernel parallelism
+    return docs.repartition(par).mapInPandas(
+        kernel, "doc_a long, doc_b long, jac_raw double"
     )
 
 
@@ -770,11 +823,16 @@ def text_knn_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the "more like this" lookup, where the pair keys answer "what
     duplicates exist".
 
-    Same blocked-GEMM engine as the pair keys but with the A side
-    restricted to the probe rows: one (n_probes × n_docs) score matrix per
-    chunk, argpartition top-3 inside the kernel — the full candidate row
-    never leaves the worker. At 100 TB probes stream against the broadcast
-    (or IVF-routed) corpus exactly like knn_classify_ann.
+    Same blocked-GEMM engine as the pair keys (r6: B matrix built
+    DISTRIBUTIVELY via _packed_corpus — the driver assembles packed bytes,
+    never token arrays) with the A side restricted to the probe rows,
+    STREAMED from the scan through the kernel: one (probe_block × n_docs)
+    score slab per batch, top-3 inside the kernel — the full candidate row
+    never leaves the worker. Only neighbors with jaccard > 0 qualify (the
+    oracle's shared-term inner join can't emit zero-overlap docs; on a
+    sparse corpus a probe may legitimately get < 3 neighbors). At 100 TB
+    probes stream against the broadcast (or IVF-routed) corpus exactly
+    like knn_classify_ann.
     """
     import numpy as np
     import pandas as pd
@@ -783,51 +841,58 @@ def text_knn_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     docs = d.select("doc_id", F.array_distinct(tokens_col()).alias("terms"))
-    rows = docs.localCheckpoint().collect()
-    vocab = sorted({t for r in rows for t in r["terms"]})
-    tid = {it: i for i, it in enumerate(vocab)}
-    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    bmat = np.zeros((len(rows), len(vocab)), dtype=np.float32)
-    for i, r in enumerate(rows):
-        if r["terms"]:
-            bmat[i, [tid[t] for t in r["terms"]]] = 1.0
-    counts = bmat.sum(axis=1)
-    packed = np.packbits(bmat.astype(bool), axis=1)
-    probe_pos = np.nonzero(ids % 100 == 0)[0]
-    bc = spark.sparkContext.broadcast((ids, packed, len(vocab), counts, probe_pos))
-    chunk = 64
-    n_chunks = (len(probe_pos) + chunk - 1) // chunk
+    docs, bc_tid, bc = _packed_corpus(spark, docs)
+    if bc is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rn long, jaccard double"
+        )
 
     def kernel(batches):
-        b_ids, b_packed, width, b_counts, probes = bc.value
+        b_ids, b_packed, width, b_counts = bc.value
         b_mat = np.unpackbits(b_packed, axis=1)[:, :width].astype(np.float32)
         for pdf in batches:
-            for ci in pdf["id"]:
-                sel = probes[int(ci) * chunk : (int(ci) + 1) * chunk]
-                amat = b_mat[sel]
-                a_ids = b_ids[sel]
-                a_counts = b_counts[sel]
-                inter = (amat @ b_mat.T).astype(np.float64)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    jac = inter / (a_counts[:, None] + b_counts[None, :] - inter)
-                jac[np.isnan(jac)] = -1.0
-                # exclude self; deterministic top-3 by (jaccard desc, id asc)
-                out = {"query_id": [], "neighbor_id": [], "rn": [], "jaccard": []}
-                for qi in range(len(sel)):
-                    row = jac[qi].copy()
-                    row[b_ids == a_ids[qi]] = -1.0
-                    order = np.lexsort((b_ids, -row))[:3]
-                    for rank, bi in enumerate(order, start=1):
-                        out["query_id"].append(a_ids[qi])
-                        out["neighbor_id"].append(b_ids[bi])
-                        out["rn"].append(rank)
-                        out["jaccard"].append(row[bi])
-                yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            amat = _pack_term_rows(pdf["terms"], width, bc_tid.value).astype(
+                np.float32
+            )
+            a_ids = pdf["doc_id"].to_numpy(np.int64)
+            a_counts = amat.sum(axis=1).astype(np.float64)
+            inter = (amat @ b_mat.T).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = inter / (a_counts[:, None] + b_counts[None, :] - inter)
+            jac[np.isnan(jac)] = -1.0
+            # exclude self; deterministic top-3 by (jaccard desc, id asc);
+            # only true-overlap neighbors (jaccard > 0) are candidates
+            out = {"query_id": [], "neighbor_id": [], "rn": [], "jaccard": []}
+            for qi in range(len(a_ids)):
+                row = jac[qi].copy()
+                row[b_ids == a_ids[qi]] = -1.0
+                order = np.lexsort((b_ids, -row))
+                rank = 0
+                for bi in order[:3]:
+                    if row[bi] <= 0.0:
+                        break
+                    rank += 1
+                    out["query_id"].append(a_ids[qi])
+                    out["neighbor_id"].append(b_ids[bi])
+                    out["rn"].append(rank)
+                    out["jaccard"].append(row[bi])
+            # explicit dtypes: an all-probes-filtered batch yields an empty
+            # frame whose object columns Arrow can't coerce to long
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out["query_id"], dtype=np.int64),
+                    "neighbor_id": np.asarray(out["neighbor_id"], dtype=np.int64),
+                    "rn": np.asarray(out["rn"], dtype=np.int64),
+                    "jaccard": np.asarray(out["jaccard"], dtype=np.float64),
+                }
+            )
 
     par = spark.sparkContext.defaultParallelism
     res = (
-        spark.range(n_chunks)
-        .repartition(min(par, max(1, n_chunks)))
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .repartition(par)
         .mapInPandas(kernel, "query_id long, neighbor_id long, rn long, jaccard double")
     )
     return res.select("query_id", "neighbor_id", "rn", r4("jaccard").alias("jaccard"))
