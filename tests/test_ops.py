@@ -273,6 +273,24 @@ def test_embedding_cosine_dedup_not_vacuous(spark):
     assert all(0.40 <= r["cos_sim"] <= 1.0 for r in rows)
 
 
+def test_devacuated_keys_emit_rows_at_grading_scale(spark):
+    """VERDICT r5: q_parts_above_avg_price, join_left_anti and
+    dedup_exact_content hash-matched on 0 rows at the sf0.01 grading scale,
+    so the shapes they exist to grade (scalar-subquery broadcast crossJoin,
+    anti join, digest grouping) were never exercised on data. Pin non-empty
+    results so a fixture regeneration can't silently re-vacuate them (the
+    r3 set-ops lesson)."""
+    n_parts = QUERIES["q_parts_above_avg_price"](spark, SF).count()
+    assert n_parts > 0, "q_parts_above_avg_price vacuous at sf0.01"
+    n_anti = QUERIES["join_left_anti"](spark, SF).count()
+    assert n_anti > 0, "join_left_anti vacuous at sf0.01"
+    rows = QUERIES["dedup_exact_content"](spark, SF).collect()
+    assert len(rows) > 0, "dedup_exact_content vacuous at sf0.01"
+    # assignment form: one verdict per document, keep_doc_id <= doc_id
+    assert all(r["keep_doc_id"] <= r["doc_id"] for r in rows)
+    assert all(r["is_dup"] == (r["keep_doc_id"] != r["doc_id"]) for r in rows)
+
+
 def test_set_except_intersect_all_not_vacuous(spark):
     """EXCEPT ALL / INTERSECT ALL must exercise real multiset arithmetic
     (ADVICE r3: the old status/totalprice predicates were one-sided for every

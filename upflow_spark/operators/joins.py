@@ -198,13 +198,22 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey, c.c_name, c.c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: customers with zero orders."""
+    """Anti join: customers with no URGENT-priority order.
+
+    (r6: the unfiltered "zero orders" predicate was vacuous at the sf0.01
+    grading scale — every customer has an order; the priority filter keeps
+    the anti-join shape and emits 18/203/1986 rows at sf0.001/0.01/0.1.
+    The filter is pushed below the join, so the build side shrinks ~5×
+    before the anti probe — the plan a 100 TB run wants anyway.)
+    """
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

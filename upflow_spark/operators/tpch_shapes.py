@@ -106,17 +106,22 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey, p_brand, floor((p_retailprice) * 10000 + 0.5) / 10000 AS p_retailprice
 FROM part
-WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.5 FROM part)
+WHERE p_retailprice > (SELECT avg(p_retailprice) + stddev_samp(p_retailprice) FROM part)
 """,
 )
 def q_parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery shape: parts priced >1.5× the global average.
+    """Scalar-subquery shape: parts priced above mean + one stddev.
 
     Spark-first: the 1-row aggregate is cross-joined (broadcast) instead of
     a correlated subquery — one extra tiny stage, no recompute per row.
+    (r6: threshold was 1.5× avg, which exceeds the fixture's max retailprice
+    at EVERY sf — a vacuous 0-row key; mean+stddev emits 42/422/4220 rows
+    at sf0.001/0.01/0.1 so the broadcast-crossJoin shape is exercised.)
     """
     p = load(spark, sf_dir, "part")
-    avg_price = p.agg((F.avg("p_retailprice") * 1.5).alias("threshold"))
+    avg_price = p.agg(
+        (F.avg("p_retailprice") + F.stddev("p_retailprice")).alias("threshold")
+    )
     return (
         p.crossJoin(F.broadcast(avg_price))
         .filter(F.col("p_retailprice") > F.col("threshold"))
