@@ -461,6 +461,28 @@ def test_decoded_image_dims_match_payload(spark, sf_dir):
             assert 0 < r[c] <= 255 * 16 * r["height"]
 
 
+def test_multimodal_keys_skip_empty_docs(spark, tmp_path):
+    """ADVICE r5: an empty document used to (a) explode sequence(0, -1) into
+    two spurious blocks in multimodal_block_dedup and (b) null the PPM
+    payload (need/0) and crash the ahash/decode kernels. Both classes must
+    now skip empty docs, matching the oracles' range(0,0)=[] / length>0."""
+    from upflow_spark import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 30, 360), (2, "", 0), (3, "abc def " * 40, 320)],
+        "doc_id long, text string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    blk = QUERIES["multimodal_block_dedup"](spark, sf).collect()[0]
+    # doc1: ceil(360/256)=2 blocks, doc3: ceil(320/256)=2, doc2: ZERO
+    assert blk["n_blocks"] == 4, blk
+    ah = QUERIES["multimodal_image_ahash"](spark, sf).collect()
+    assert sorted(r["doc_id"] for r in ah) == [1, 3]
+    dec = QUERIES["multimodal_decode_image"](spark, sf).collect()
+    assert sorted(r["doc_id"] for r in dec) == [1, 3]
+
+
 def test_entity_match_every_probe_matches_self(spark, sf_dir):
     """Every dirty record's origin shares its block and is within lev 1, so
     n_matches >= 1 for all probes and the self key is always a candidate."""

@@ -147,6 +147,7 @@ FROM (
   SELECT doc_id, text, length(text) AS L,
          greatest(1, least(12, length(text) // 64)) AS h
   FROM documents
+  WHERE length(text) > 0
 )
 """,
 )
@@ -166,7 +167,9 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only (payload build + decode in one pass, no shuffle);
     integer channel sums avoid float-mean parity traps.
     """
-    d = load(spark, sf_dir, "documents")
+    # empty text can't seed a pixel buffer (reps = need/0 -> null payload,
+    # kernel crash); both sides skip such docs (ADVICE r5)
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     h = F.greatest(F.lit(1), F.least(F.lit(12), (F.col("n_chars") / 64).cast("long")))
     need = (h * 48).cast("int")  # 16 px wide * 3 channels
     reps = F.ceil(need / F.length("text")).cast("int")
@@ -282,6 +285,7 @@ FROM (
   SELECT doc_id, text, length(text) AS L,
          greatest(1, least(12, length(text) // 64)) AS h
   FROM documents
+  WHERE length(text) > 0
 )
 """,
 )
@@ -301,7 +305,8 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    d = load(spark, sf_dir, "documents")
+    # same empty-text guard as multimodal_decode_image (shared PPM builder)
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     h = F.greatest(F.lit(1), F.least(F.lit(12), (F.col("n_chars") / 64).cast("long")))
     need = (h * 48).cast("int")
     reps = F.ceil(need / F.length("text")).cast("int")
@@ -429,6 +434,10 @@ def multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # empty payloads contribute ZERO blocks: without the guard,
+    # sequence(0, -1) infers step -1 and yields [0, -1] — two spurious
+    # blocks the oracle's range(0, 0) = [] never emits (ADVICE r5)
+    d = d.filter(F.col("n_chars") > 0)
     n_blocks_per_doc = F.ceil(F.col("n_chars") / 256.0).cast("int")
     blocks = d.select(
         F.explode(F.sequence(F.lit(0), n_blocks_per_doc - 1)).alias("k"),

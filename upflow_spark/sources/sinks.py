@@ -267,14 +267,19 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
-    name = "upflow_stats_customer"
+    # suffix path AND table name per sf_dir + pid: a global name/path lets
+    # two concurrent sessions (driver sim + pytest) drop/overwrite each
+    # other's table mid-read (ADVICE r5); the catalog drop below still
+    # keeps this session's catalog tidy across repeated calls
+    suffix = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}"
+    name = f"upflow_stats_customer_{suffix}"
     # external table at an explicit /tmp path: a managed saveAsTable leaves
     # its warehouse dir behind across sessions and a NEW session then fails
     # with LOCATION_ALREADY_EXISTS on overwrite — drop + clear first
-    path = os.path.join(tempfile.gettempdir(), f"upflow_stats_customer_tbl")
+    path = os.path.join(tempfile.gettempdir(), f"upflow_stats_customer_tbl_{suffix}")
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     shutil.rmtree(path, ignore_errors=True)
-    shutil.rmtree("spark-warehouse/upflow_stats_customer", ignore_errors=True)
+    shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
     c.write.mode("overwrite").option("path", path).saveAsTable(name)
     spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
     # row count from the catalog statistics line

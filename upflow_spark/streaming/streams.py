@@ -469,9 +469,15 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    # cache key = sf basename + source file identity (mtime_ns + size):
+    # fixture regeneration between rounds used to leave a stale replica
+    # keyed only on the basename, silently replaying old events (ADVICE r5)
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
     dst = os.path.join(
         tempfile.gettempdir(),
-        f"upflow_stream_multi_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"upflow_stream_multi_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{st.st_mtime_ns}_{st.st_size}",
     )
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         (
