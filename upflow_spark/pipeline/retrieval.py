@@ -78,10 +78,22 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2-arg HOF lambda would be read by pyspark as (element, index))
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(toks).cast("double").alias("dl"),
-        *[_tf(t).cast("double").alias(f"tf_{t}") for t in QUERY_TERMS],
+    # repartition: the single-file fixture scans as ONE partition, so the
+    # tokenize+tf projection otherwise runs on one core. localCheckpoint:
+    # the tf table feeds BOTH the stats aggregate and the scoring pass, and
+    # Spark does not share subplans — without materialization the corpus is
+    # tokenized twice (the r5 bm25 regression: 0.63 → 0.74 s; this shape
+    # measures 0.50 s at sf0.1). At 100 TB: persist the tf projection —
+    # it's the classic scan-once/aggregate-then-rejoin pattern.
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.size(toks).cast("double").alias("dl"),
+            *[_tf(t).cast("double").alias(f"tf_{t}") for t in QUERY_TERMS],
+        )
+        .localCheckpoint()
     )
     stats = d.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
