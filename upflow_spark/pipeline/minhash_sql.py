@@ -42,8 +42,9 @@ def _sql_minhash_cols() -> str:
     )
 
 
-_SQL_SIG_CTE = f"""
-tok AS (SELECT DISTINCT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+def _sql_sig_cte(source: str = "documents") -> str:
+    return f"""
+tok AS (SELECT DISTINCT doc_id, unnest({SQL_TOKENS}) AS term FROM {source}),
 tokh AS (
   SELECT doc_id, md5('0:' || term) AS h0, md5('1:' || term) AS h1,
          md5('2:' || term) AS h2, md5('3:' || term) AS h3 FROM tok
@@ -55,11 +56,20 @@ sig AS (
 )"""
 
 
+_SQL_SIG_CTE = _sql_sig_cte("documents")
+
+
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file fixture -> 1 partition; spread before the per-term md5 work
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return _signatures_of(d)
+
+
+def _signatures_of(d: DataFrame) -> DataFrame:
+    """MinHash signatures for any (doc_id, text, ...) DataFrame — shared by
+    the corpus-wide key and the staged (survivors-only) pipeline."""
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).distinct()
     # project the two digests BEFORE the aggregate so each md5 is computed
     # once per (doc, term) row, not once per min() expression reading it
@@ -120,6 +130,11 @@ def _distinct_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _signatures(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     ).localCheckpoint()
+    return _candidates_of_sig(sig)
+
+
+def _candidates_of_sig(sig: DataFrame) -> DataFrame:
+    """Banded candidate pairs from a materialized signature table."""
     # band value = the 4-tuple itself (struct equality join) — identical
     # semantics to the oracle's per-column band equality, no hash-collision
     # false-positive path to reason about
@@ -287,3 +302,88 @@ def dedup_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "band_idx int, n_pairs bigint, pair_checksum bigint"
     )
+
+
+@query(
+    "dedup_staged",
+    oracle=f"""
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+{_sql_sig_cte("surv")},
+pairs AS (
+  SELECT doc_a, doc_b, n_agree FROM (
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           ({" + ".join(f"CASE WHEN a.mh{i} = b2.mh{i} THEN 1 ELSE 0 END" for i in range(K_HASHES))})
+             AS n_agree,
+           {", ".join(f"({_SQL_BAND_AGREES[bi]}) AS a{bi}" for bi in range(N_BANDS))}
+    FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+  ) WHERE a0 OR a1 OR a2 OR a3
+)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_survivors,
+       CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM surv) AS BIGINT)
+         AS n_exact_dups,
+       CAST(count(*) AS BIGINT) AS n_band_candidates,
+       CAST(count(*) FILTER (n_agree >= 15) AS BIGINT) AS n_verified,
+       CAST(coalesce(sum({_CHECKSUM_SQL}) FILTER (n_agree >= 15), 0) AS BIGINT)
+         AS verified_checksum
+FROM pairs
+""",
+)
+def dedup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged 100 TB dedup pipeline SCALE.md promises: exact-content
+    collapse FIRST (one digest shuffle — removes every byte-identical
+    replica for pennies), then MinHash-band ONLY the survivors.
+
+    Why staging matters at scale: banding cost grows with the number of
+    true near-pairs, and exact replicas are the degenerate worst case —
+    every replica of a doc pairs with every other replica (10× replication
+    ⇒ ~100× band pairs, the super-linear ratio SCALE.md measures on the
+    un-collapsed corpus). Collapsing first makes the banded stage see each
+    distinct text once, restoring ~linear candidate growth; survivors'
+    near-dup verdicts then propagate back through the keep_doc_id mapping
+    (dedup_exact_content's assignment output).
+
+    Summary-row output, fully DuckDB-oracle-checked: corpus/survivor/
+    collapsed counts + banded-candidate count + >=15/16-agreement verified
+    count + order-insensitive arithmetic pair checksum (any changed or
+    missing pair moves it).
+    """
+    from pyspark.sql import Window
+
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(par)
+    # stage 1: exact collapse — min doc_id survives its md5(text) group
+    # (window on the digest: texts shuffle ONCE, same cost as the groupBy)
+    surv = (
+        d.withColumn(
+            "keep_doc_id",
+            F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+        )
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .select("doc_id", "text")
+        .repartition(par)
+        .localCheckpoint()  # read by the count AND the signature pass
+    )
+    # stage 2: band the survivors with the oracle-checked md5-minhash
+    sig = _signatures_of(surv).repartition(par).localCheckpoint()
+    cand = _candidates_of_sig(sig)
+    verified = F.col("n_agree") >= 15
+    summary = cand.agg(
+        F.count(F.lit(1)).alias("n_band_candidates"),
+        F.count(F.when(verified, 1)).alias("n_verified"),
+        F.coalesce(F.sum(F.when(verified, F.col("ph"))), F.lit(0))
+        .cast("long")
+        .alias("verified_checksum"),
+    )
+    counts = (
+        d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(
+            F.broadcast(
+                surv.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+            )
+        )
+        .withColumn("n_exact_dups", F.col("n_docs") - F.col("n_survivors"))
+    )
+    return counts.crossJoin(F.broadcast(summary))
