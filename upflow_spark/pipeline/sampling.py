@@ -60,17 +60,56 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_stratified")  # rows-only: RNG streams are engine-specific
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: 20% of clicks/views, 100% of rarer types (sampleBy).
+_STRAT_FRACTIONS = {
+    "click": 0.2,
+    "view": 0.2,
+    "purchase": 1.0,
+    "signup": 1.0,
+    "error": 1.0,
+}
+_U32 = 4294967296
+# exact integer thresholds: md5-derived u32 < floor(frac * 2^32)
+_STRAT_THRESHOLDS = {t: int(f * _U32) for t, f in _STRAT_FRACTIONS.items()}
+_SQL_STRAT_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{t}' THEN {thr}" for t, thr in _STRAT_THRESHOLDS.items()
+) + " ELSE 0 END"
 
-    The standard class-rebalancing pass for training data; seed-pinned so
-    re-runs are stable within Spark. tests/test_ops.py bounds the per-type
-    sample counts within binomial tolerance.
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT event_type, count(*) AS n_sampled
+FROM events
+WHERE CAST(('0x' || substr(md5('strat:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < {_SQL_STRAT_CASE}
+GROUP BY event_type
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: 20% of clicks/views, 100% of rarer types — the
+    standard class-rebalancing pass for training data.
+
+    r6 (VERDICT r5 item 7, promoted from rows-only): Bernoulli draw per
+    event via a DETERMINISTIC salted md5 of the key — keep when the first
+    32 hash bits fall under floor(frac * 2^32) for the event's stratum.
+    Statistically identical to seeded sampleBy (uniform hash ⇒ binomial
+    per-type counts, which tests/test_ops.py still bounds), but the sample
+    is engine-portable and partitioning/replay-independent, so the oracle
+    hash-checks it exactly. That reproducibility is precisely what a
+    100 TB curation pipeline wants from its sampling anyway (same inputs →
+    same sample on re-run, resume, or backfill — no RNG stream coupling
+    to task layout).
     """
     ev = load(spark, sf_dir, "events")
-    fractions = {"click": 0.2, "view": 0.2, "purchase": 1.0, "signup": 1.0, "error": 1.0}
-    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("strat"), F.col("event_id"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    thr = F.lit(0)
+    for t, v in _STRAT_THRESHOLDS.items():
+        thr = F.when(F.col("event_type") == t, F.lit(v)).otherwise(thr)
+    sampled = ev.filter(u < thr)
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
