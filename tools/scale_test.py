@@ -56,8 +56,16 @@ PROBE_KEYS = [
     ("dedup_near_minhash_lsh", "documents 10x (ML MinHashLSH + bitmask verify)"),
     ("dedup_cluster_cc", "documents 10x (pair graph -> MapReduce min-label CC)"),
     # r5 blocked-GEMM kernel: 10x docs = 100x pair work but the kernel is
-    # BLAS; also stresses the driver-gather + broadcast (50k-doc matrix)
+    # BLAS (r6: B matrix built distributively, A side streams from scan)
     ("dedup_ngram_jaccard", "documents 10x (blocked-GEMM bigram Jaccard)"),
+    # r6 additions (VERDICT r5 item 6): the heavy r5 keys without 10x rows
+    ("graph_triangle_count", "lineitem 10x (co-order graph; wedge join)"),
+    ("text_knn_jaccard_docs", "documents 10x (10x probes x 10x corpus GEMM)"),
+    ("emb_dedup_ann_verified", "embeddings 10x (LSH buckets; 9 exact twins each)"),
+    ("agg_heavy_hitters", "documents 10x (Misra-Gries partials + recount)"),
+    # the staged mitigation itself: exact collapse kills the 9-twin replica
+    # degeneracy BEFORE banding, so the banded stage sees ~constant work
+    ("dedup_staged", "documents 10x (exact collapse FIRST, band survivors)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate

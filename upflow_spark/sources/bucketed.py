@@ -55,9 +55,21 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return o_name, l_name
 
 
-@query("sink_bucketed_join")  # rows-only: bucket layout is engine-internal
+@query(
+    "sink_bucketed_join",
+    oracle="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+         AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o_orderstatus
+""",
+)
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join two bucketed tables on the bucket key — no exchange in the plan."""
+    """Join two bucketed tables on the bucket key — no exchange in the plan
+    (tests/test_plans.py pins the zero-Exchange property; r6: promoted from
+    rows-only — the bucket LAYOUT is engine-internal but the join RESULT is
+    layout-independent, so the plain-join DuckDB twin verifies it)."""
     o_name, l_name = _bucketed_tables(spark, sf_dir)
     o = spark.table(o_name)
     li = spark.table(l_name)

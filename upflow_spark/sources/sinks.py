@@ -23,9 +23,23 @@ from upflow_spark.parity import r4
 from upflow_spark.registry import query
 
 
-@query("sink_parquet_roundtrip")
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_expected,
+       min(o_orderkey) AS min_orderkey,
+       max(o_orderkey) AS max_orderkey
+FROM orders WHERE o_totalprice > 100000
+""",
+)
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write filtered orders to parquet, read back, prove count identity."""
+    """Write filtered orders to parquet, read back, prove data identity.
+
+    r6: promoted from rows-only — the read-back aggregate is
+    layout-independent, so the DuckDB twin over the SOURCE relation
+    verifies the whole write→read cycle preserved the rows exactly (any
+    lost/duplicated/corrupted row moves count or key range)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     out = tempfile.mkdtemp(prefix="upflow_sink_rt_") + "/orders"
     o.write.mode("overwrite").parquet(out)
@@ -33,19 +47,29 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_written = o.count()
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.lit(n_written).alias("n_expected"),
+        F.lit(n_written).cast("long").alias("n_expected"),
         F.min("o_orderkey").alias("min_orderkey"),
         F.max("o_orderkey").alias("max_orderkey"),
     )
 
 
-@query("sink_partitioned")
+@query(
+    "sink_partitioned",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE event_type = 'purchase'
+GROUP BY event_type
+""",
+)
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write events partitioned by event_type; read ONE partition back.
 
     The re-read filter on the partition column prunes directories (no scan of
     the other 4/5 of the data) — the same mechanism that makes date-partitioned
-    100 TB tables queryable.
+    100 TB tables queryable. r6: promoted from rows-only — the pruned
+    partition's aggregate is layout-independent, so the source-side DuckDB
+    twin verifies the partitioned write+pruned read preserved the slice.
     """
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     out = tempfile.mkdtemp(prefix="upflow_sink_part_") + "/events"

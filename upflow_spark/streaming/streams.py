@@ -361,10 +361,25 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_foreachbatch_sink")  # rows-only: sink side-effects aren't SQL
+@query(
+    "stream_foreachbatch_sink",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow run writing per-batch parquet via foreachBatch, then a
-    batch read-back of the union — the escape hatch for sinks Spark lacks."""
+    batch read-back of the union — the escape hatch for sinks Spark lacks.
+
+    r6: promoted from rows-only — the read-back IS the sink's product, so
+    aggregating it per event type (counts, key range, value sum) against
+    the source-side DuckDB twin verifies the foreachBatch path delivered
+    every event exactly once; batch_id bookkeeping stays in the sink files
+    but out of the graded columns (micro-batch count is engine-internal)."""
     ensure_conf(spark)
     out = tempfile.mkdtemp(prefix="upflow_feb_") + "/batches"
     ckpt = tempfile.mkdtemp(prefix="upflow_feb_ckpt_")
@@ -385,7 +400,9 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("batch_id").alias("n_batches"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        r4(F.sum("value")).alias("sum_value"),
     )
 
 
