@@ -244,17 +244,68 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def packed_embeddings(spark: SparkSession, e: DataFrame, emb_col: str = "emb"):
+    """Distributed build of a broadcast (sorted vec_ids, float64 matrix).
+
+    Workers pack their partitions' vectors to raw float64 rows in
+    mapInPandas; the driver assembles BYTES only (n × d × 8 ≈ 51 MB at the
+    10× probe) — never Row objects — the same bounded-build-side contract
+    as a broadcast hash join (and as _packed_corpus in pipeline/dedup.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pack(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "row": [r.tobytes() for r in m],
+                }
+            )
+
+    packed = e.select("vec_id", emb_col).mapInPandas(
+        pack, "vec_id long, row binary"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in packed], dtype=np.int64)
+    mat = np.frombuffer(b"".join(r["row"] for r in packed), dtype=np.float64).reshape(
+        len(packed), -1
+    )
+    order = np.argsort(ids)
+    return spark.sparkContext.broadcast(
+        (ids[order], np.ascontiguousarray(mat[order]))
+    )
+
+
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level random-projection-LSH near pairs (consumed by tests; the
-    graded key aggregates — see below)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    graded key aggregates — see below).
 
+    r6 rewrite (the minhash_lsh_pairs playbook applied to the BRP family):
+    ML BucketedRandomProjectionLSH still assigns the buckets (the
+    production LSH surface), but approxSimilarityJoin is replaced by our
+    own candidate equi-join + vectorized verify, because its per-candidate
+    JVM UDF distance was the whole cost on a replica-degenerate corpus —
+    measured 300 s for 35.5M candidates at the 10× probe. Now: per-table
+    bucket columns self-join (broadcast build side — the bucket table is
+    KB-scale), "first agreeing table" dedup as a codegen'd filter (a pair
+    found in table 0 is NOT re-emitted by table 1, no distinct shuffle),
+    and the L2 verify is a numpy gather+einsum over the broadcast packed
+    matrix — exact same math, BLAS-speed, candidates never converge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    par = spark.sparkContext.defaultParallelism
     # single-file fixture -> 1 partition; spread BEFORE fit/join or the
     # bucket explode + pair verify runs on one core
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").repartition(par)
     feats = e.select(
         "vec_id", array_to_vector(_dbl("embedding")).alias("features")
     )
@@ -266,15 +317,60 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", numHashTables=2, bucketLength=0.25, seed=42
     )
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.35, distCol="l2_dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+    sig = (
+        model.transform(feats)
         .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            r4(F.col("l2_dist")).alias("l2_dist"),
+            "vec_id",
+            *[
+                F.element_at(vector_to_array(F.col("hashes")[t]), 1)
+                .cast("long")
+                .alias(f"b{t}")
+                for t in range(2)
+            ],
+        )
+        .localCheckpoint()  # both sides of the self-join read it
+    )
+    a = sig.repartition(par).alias("a")
+    b = sig.alias("b")
+    lt = F.col("a.vec_id") < F.col("b.vec_id")
+    cand0 = a.join(
+        F.broadcast(b), (F.col("a.b0") == F.col("b.b0")) & lt
+    )
+    # table-1 matches only when table 0 did NOT match — dedup as a filter,
+    # not a shuffle (the minhash first-agreeing-band trick for 2 tables)
+    cand1 = a.join(
+        F.broadcast(b),
+        (F.col("a.b1") == F.col("b.b1")) & (F.col("a.b0") != F.col("b.b0")) & lt,
+    )
+    cand = cand0.select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+    ).unionAll(
+        cand1.select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
     )
+    bc = packed_embeddings(spark, e.select("vec_id", _dbl("embedding").alias("emb")))
+
+    def verify(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ai = np.searchsorted(b_ids, pdf["vec_a"].to_numpy(np.int64))
+            bi = np.searchsorted(b_ids, pdf["vec_b"].to_numpy(np.int64))
+            diff = b_mat[ai] - b_mat[bi]
+            dist = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+            keep = dist < 1.35  # approxSimilarityJoin's strict threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(np.int64)[keep],
+                    "vec_b": pdf["vec_b"].to_numpy(np.int64)[keep],
+                    "l2_dist": dist[keep],
+                }
+            )
+
+    pairs = cand.mapInPandas(verify, "vec_a long, vec_b long, l2_dist double")
+    return pairs.select("vec_a", "vec_b", r4(F.col("l2_dist")).alias("l2_dist"))
 
 
 @query("sim_ann_lsh")  # rows-only: hyperplane buckets are engine-specific
