@@ -56,6 +56,10 @@ def main() -> None:
         "geo_radius_join": "geo_radius_join",
         "graph_triangle_count": "graph_triangle_count",
         "dedup_containment": "dedup_containment",
+        # r6 additions: the staged-mitigation flagship + the rewritten
+        # two-stage ANN dedup (both new/reworked this round)
+        "dedup_staged": "dedup_staged",
+        "emb_dedup_ann": "emb_dedup_ann_verified",
     }
 
     # global JIT/codegen warm-up: drive shuffle + agg + window codepaths a

@@ -715,10 +715,9 @@ def test_update_mode_emits_incremental_updates(spark):
         r["event_type"]: r["n_events"]
         for r in QUERIES["stream_update_mode"](spark, SF).collect()
     }
-    dst = os.path.join(
-        tempfile.gettempdir(),
-        f"upflow_stream_multi_{os.path.basename(SF.rstrip('/'))}",
-    )
+    from upflow_spark.streaming.streams import update_mode_replica_path
+
+    dst = update_mode_replica_path(SF)
     schema = StructType(
         [StructField("event_id", LongType()), StructField("event_type", StringType())]
     )

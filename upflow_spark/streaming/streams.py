@@ -459,6 +459,24 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, prev)
 
 
+def update_mode_replica_path(sf_dir: str) -> str:
+    """Cache path for stream_update_mode's 4-file events replica.
+
+    Keyed on sf basename + source file identity (mtime_ns + size): fixture
+    regeneration between rounds used to leave a stale replica keyed only on
+    the basename, silently replaying old events (ADVICE r5). Shared with
+    tests so they probe the same replica the key built.
+    """
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"upflow_stream_multi_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{st.st_mtime_ns}_{st.st_size}",
+    )
+
+
 @query(
     "stream_update_mode",
     oracle="""
@@ -486,16 +504,7 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    # cache key = sf basename + source file identity (mtime_ns + size):
-    # fixture regeneration between rounds used to leave a stale replica
-    # keyed only on the basename, silently replaying old events (ADVICE r5)
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    dst = os.path.join(
-        tempfile.gettempdir(),
-        f"upflow_stream_multi_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{st.st_mtime_ns}_{st.st_size}",
-    )
+    dst = update_mode_replica_path(sf_dir)
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         (
             load(spark, sf_dir, "events")
