@@ -962,7 +962,11 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from upflow_spark.pipeline.similarity import _unit, ann_lsh_pairs, packed_embeddings
+    from upflow_spark.pipeline.similarity import (
+        _unit,
+        ann_lsh_pairs,
+        packed_embeddings_cached,
+    )
 
     par = spark.sparkContext.defaultParallelism
     cand = (
@@ -976,7 +980,7 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _unit("embedding").alias("emb")
     )
-    bc = packed_embeddings(spark, e)
+    bc = packed_embeddings_cached(spark, sf_dir, "unit", lambda: e)
 
     def verify(batches):
         b_ids, b_mat = bc.value

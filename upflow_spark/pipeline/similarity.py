@@ -244,6 +244,31 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (appId, sf_dir, kind, embeddings-file identity) -> broadcast (ids, mat).
+# ann_lsh_pairs (raw vectors) and emb_dedup_ann_verified (unit-normalized)
+# each need the packed matrix; within a session it's a reusable index —
+# same memoization contract as pipeline/dedup.py's _corpus_cache.
+_emb_cache: dict = {}
+
+
+def packed_embeddings_cached(
+    spark: SparkSession, sf_dir: str, kind: str, e_builder, emb_col: str = "emb"
+):
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        kind,
+        st.st_mtime_ns,
+        st.st_size,
+    )
+    if key not in _emb_cache:
+        _emb_cache[key] = packed_embeddings(spark, e_builder(), emb_col=emb_col)
+    return _emb_cache[key]
+
+
 def packed_embeddings(spark: SparkSession, e: DataFrame, emb_col: str = "emb"):
     """Distributed build of a broadcast (sorted vec_ids, float64 matrix).
 
@@ -349,7 +374,9 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
     )
-    bc = packed_embeddings(spark, e.select("vec_id", _dbl("embedding").alias("emb")))
+    bc = packed_embeddings_cached(
+        spark, sf_dir, "raw", lambda: e.select("vec_id", _dbl("embedding").alias("emb"))
+    )
 
     def verify(batches):
         b_ids, b_mat = bc.value
