@@ -265,3 +265,41 @@ def test_knn_broadcasts_probe_side(spark):
     (r4 fix for the one-core nested-loop variance)."""
     plan = plan_of(spark, "knn_classify")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_left_anti_filter_pushed_below_join(spark):
+    """r6 de-vacuation: join_left_anti filters orders to URGENT priority;
+    the filter must reach the orders parquet scan (shrinking the anti-join
+    build side ~5x) rather than run above the join."""
+    plan = plan_of(spark, "join_left_anti")
+    assert "LeftAnti" in plan
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "o_orderpriority" in ln
+    ]
+    assert pushed, "priority filter not pushed to the orders scan"
+
+
+def test_parts_above_avg_threshold_is_broadcast(spark):
+    """The scalar mean+stddev threshold rides as a broadcast 1-row relation
+    (never a CartesianProduct that AQE could serialize)."""
+    plan = plan_of(spark, "q_parts_above_avg_price")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_content_is_single_digest_shuffle(spark):
+    """dedup_exact_content's assignment form must stay one hash shuffle on
+    the content digest (the same single Exchange as the old group listing)."""
+    plan = plan_of(spark, "dedup_exact_content")
+    assert n_exchanges(plan) == 1
+
+
+def test_ann_verify_is_vectorized_kernel(spark):
+    """r6: the ANN L2/cosine verifies run as Arrow-batched kernels against
+    the broadcast packed matrix — MapInPandas in the plan, and no
+    CartesianProduct anywhere in the candidate path."""
+    plan = plan_of(spark, "emb_dedup_ann_verified")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
