@@ -59,8 +59,9 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     "sink_bucketed_join",
     oracle="""
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
-         AS revenue
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS revenue
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o_orderstatus
 """,
@@ -69,15 +70,24 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join two bucketed tables on the bucket key — no exchange in the plan
     (tests/test_plans.py pins the zero-Exchange property; r6: promoted from
     rows-only — the bucket LAYOUT is engine-internal but the join RESULT is
-    layout-independent, so the plain-join DuckDB twin verifies it)."""
+    layout-independent, so the plain-join DuckDB twin verifies it).
+
+    Revenue in exact DECIMAL then cast to double: only 3 status groups, so
+    each sums ~200k values — double accumulation-order drift across engines
+    exceeds the 4dp compare at that group size (the usual revenue keys
+    group much finer); decimal sums are order-independent and exact.
+    """
     o_name, l_name = _bucketed_tables(spark, sf_dir)
     o = spark.table(o_name)
     li = spark.table(l_name)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            r4(F.sum(rev).cast("double")).alias("revenue"),
         )
     )
