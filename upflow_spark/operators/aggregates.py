@@ -26,7 +26,9 @@ from upflow_spark.registry import query
     oracle="""
 SELECT count(*) AS n_rows,
        floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_revenue,
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS sum_revenue,
        floor((min(l_extendedprice)) * 10000 + 0.5) / 10000 AS min_price,
        floor((max(l_extendedprice)) * 10000 + 0.5) / 10000 AS max_price,
        floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
@@ -37,10 +39,20 @@ FROM lineitem
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grand totals over lineitem, no grouping (single-row result)."""
     li = load(spark, sf_dir, "lineitem")
+    # revenue in exact DECIMAL: ONE group summing all 600k rows at sf0.1 —
+    # double accumulation-order drift across engines exceeds the 4dp
+    # compare at that group size (caught by the r6 sf0.1 boundary sweep;
+    # same fix as sink_bucketed_join). l_quantity sums are integral-valued
+    # doubles (exact under 2^53), min/max/avg are drift-safe.
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         r4(F.sum("l_quantity")).alias("sum_qty"),
-        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_revenue"),
+        r4(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double")
+        ).alias("sum_revenue"),
         r4(F.min("l_extendedprice")).alias("min_price"),
         r4(F.max("l_extendedprice")).alias("max_price"),
         r4(F.avg("l_discount")).alias("avg_disc"),
