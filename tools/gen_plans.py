@@ -54,11 +54,18 @@ SHOWCASE = [
     ("text_tfidf_topterms", "corpus doc-count rides as a broadcast 1-row aggregate (count-star scan reads ZERO columns) — no second full corpus pass"),
     ("pipeline_curation_funnel", "five stage counts from ONE flagged lineage + one count_if aggregate — no Union re-deriving the corpus per stage"),
     ("bm25_search", "map-side tf (no explode), corpus stats as broadcast 1-row agg, TakeOrderedAndProject top-k — one scored pass"),
-    ("dedup_ngram_jaccard", "bitmask pair join as BroadcastNestedLoopJoin streaming the repartitioned side (r4: plain CartesianProduct let AQE run the O(n²) workload in ONE task)"),
+    ("dedup_ngram_jaccard", "blocked-GEMM MapInPandas kernel: (doc_id, terms) batches stream from the scan into a BLAS matmul against the bit-packed broadcast corpus (r6: built distributively — the driver assembles packed bytes, never Rows); NO join operator in the plan, the all-pairs work is vectorized"),
     ("knn_classify", "corpus streams over >=32 partitions, 40-row probe set broadcast (r4: kills the one-core nested-loop variance)"),
     ("geo_radius_join", "grid-blocked spatial join: build side replicated into 3×3 cells, hash equi-join on cell id + exact haversine verify — bounded fanout, no all-pairs"),
     ("sql_exists_correlated", "correlated EXISTS/NOT EXISTS decorrelated to left-semi + left-anti hash joins — no per-row subquery execution"),
     ("agg_bitmap_distinct", "two-level bitmap aggregation: partial bitmap_construct per (group, bucket) map-side, bit-count merge after — raw ids never reshuffled"),
+    # r6 showcases
+    ("dedup_staged", "exact collapse FIRST (one digest-window Exchange), then md5-minhash banding of SURVIVORS only — the banded self-join's input is the collapsed corpus, so replica twins never reach the candidate join"),
+    ("emb_dedup_ann_verified", "two-stage ANN dedup: LSH bucket equi-joins (broadcast KB-scale bucket table) generate candidates, MapInPandas verifies exact cosine against the broadcast packed matrix — no CartesianProduct, candidates never converge to the driver"),
+    ("dedup_exact_content", "per-doc canonical assignment via min-over-window on md5(text): exactly ONE hash Exchange on the content digest"),
+    ("join_left_anti", "anti join with the o_orderpriority filter PUSHED to the orders parquet scan — the build side shrinks ~5x before the probe"),
+    ("q_parts_above_avg_price", "scalar mean+stddev threshold as a broadcast 1-row relation (BroadcastNestedLoopJoin, never CartesianProduct) — one part scan for stats, one for the filter"),
+    ("sample_stratified", "deterministic salted-md5 Bernoulli filter evaluates map-side in whole-stage codegen before the per-stratum count shuffle — no RNG state, replay/partitioning independent"),
 ]
 
 
