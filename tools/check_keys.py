@@ -20,9 +20,19 @@ def main() -> None:
     import duckdb
     from pyspark.sql import SparkSession
 
-    keys = sys.argv[1:]
+    args = sys.argv[1:]
+    skip: set[str] = set()
+    if args and args[0] == "--skip":
+        skip = set(args[1].split(","))
+        args = args[2:]
+    if args == ["--all"]:
+        import __spark_entry__ as _E
+
+        keys = [k for k in sorted(_E.oracle_sql()) if k not in skip]
+    else:
+        keys = args
     if not keys:
-        print("usage: check_keys.py key1 [key2 ...]")
+        print("usage: check_keys.py [--skip k1,k2] (--all | key1 [key2 ...])")
         sys.exit(2)
 
     spark = (

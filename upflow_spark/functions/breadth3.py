@@ -155,7 +155,9 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_incremental_merge",
     oracle="""
 SELECT l_returnflag,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS total_rev,
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS total_rev,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 GROUP BY l_returnflag
@@ -171,11 +173,17 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (avg is rebuilt as merged_sum/merged_count downstream, never averaged).
     """
     li = load(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # revenue partials in exact DECIMAL: only 3 merged groups x ~200k rows
+    # at sf0.1, where double accumulation-order drift exceeds the 4dp
+    # compare (r6 sf0.1 sweep catch) — and decimal partials make the
+    # merge-equals-one-shot property EXACT, which is the point of the key
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
     partial = li.groupBy(
         "l_returnflag", F.date_trunc("month", "l_shipdate").alias("ship_month")
     ).agg(F.sum(rev).alias("rev_part"), F.count(F.lit(1)).alias("n_part"))
     return partial.groupBy("l_returnflag").agg(
-        r4(F.sum("rev_part")).alias("total_rev"),
+        r4(F.sum("rev_part").cast("double")).alias("total_rev"),
         F.sum("n_part").cast("long").alias("n_items"),
     )

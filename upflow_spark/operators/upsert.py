@@ -146,7 +146,8 @@ diff AS (
   FROM old FULL OUTER JOIN new ON old.k = new.k
 )
 SELECT change_type, count(*) AS n_rows,
-       floor((sum(price)) * 10000 + 0.5) / 10000 AS sum_price
+       floor(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) * 10000 + 0.5) / 10000
+         AS sum_price
 FROM diff GROUP BY change_type
 """,
 )
@@ -188,9 +189,15 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_type"),
         F.coalesce("price_new", "price_old").alias("price"),
     )
+    # 2dp money summed in exact DECIMAL: the 'unchanged' class sums ~120k
+    # prices into one group at sf0.1 — double accumulation-order drift
+    # exceeds the 4dp compare at that group size (r6 sf0.1 sweep catch,
+    # same class as agg_global / sink_bucketed_join)
     return diff.groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        r4(F.sum("price")).alias("sum_price"),
+        r4(F.sum(F.col("price").cast("decimal(18,2)")).cast("double")).alias(
+            "sum_price"
+        ),
     )
 
 
