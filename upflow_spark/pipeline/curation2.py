@@ -278,3 +278,93 @@ def pii_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_at"),
     )
+
+
+# Deterministic URL synthesis (both engines build the identical string from
+# event columns — the multimodal-PPM precedent: the fixture carries no URLs,
+# so the key constructs a realistic messy URL and the CANONICALIZER is the
+# operator under test): mixed-case host, path, tracking params, fragment.
+_SQL_URL = (
+    "'https://' || CASE event_id % 3 WHEN 0 THEN 'WWW.Example.COM' "
+    "WHEN 1 THEN 'cdn.Example.com' ELSE 'example.COM' END "
+    "|| '/p/' || CAST(event_id % 50 AS VARCHAR) "
+    "|| '?utm_source=s' || CAST(event_id % 4 AS VARCHAR) "
+    "|| '&id=' || CAST(user_id % 100 AS VARCHAR) "
+    "|| '&utm_campaign=c' || CAST(event_id % 2 AS VARCHAR) "
+    "|| '#sec' || CAST(event_id % 2 AS VARCHAR)"
+)
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH u AS (SELECT {_SQL_URL} AS url FROM events),
+parts AS (
+  SELECT url,
+         lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+         regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+         array_to_string(
+           list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       p -> NOT regexp_matches(p, '^utm_')),
+           '&') AS q
+  FROM u
+)
+SELECT 'https://' || host || path ||
+         CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM parts
+GROUP BY 1
+HAVING count(*) > 1
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the web-corpus ingest primitive that
+    runs BEFORE any content fetch/dedup: lowercase the host, drop the
+    fragment, strip utm_* tracking parameters (preserving the rest of the
+    query in order), then group identical canonical URLs. Two crawl records
+    differing only in tracking noise collapse to one fetch.
+
+    Map-only canonicalization (regexp extracts + an array-filter HOF over
+    the query params — no UDF), one groupBy on the canonical string: at
+    100 TB the canonical digest is the shuffle key and the op is the same
+    single pass as dedup_exact_content.
+    """
+    ev = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("event_id") % 3 == 0, "WWW.Example.COM")
+        .when(F.col("event_id") % 3 == 1, "cdn.Example.com")
+        .otherwise("example.COM"),
+        F.lit("/p/"),
+        (F.col("event_id") % 50).cast("string"),
+        F.lit("?utm_source=s"),
+        (F.col("event_id") % 4).cast("string"),
+        F.lit("&id="),
+        (F.col("user_id") % 100).cast("string"),
+        F.lit("&utm_campaign=c"),
+        (F.col("event_id") % 2).cast("string"),
+        F.lit("#sec"),
+        (F.col("event_id") % 2).cast("string"),
+    )
+    u = ev.select(url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1))
+    path = F.regexp_extract("url", r"^https?://[^/]+([^?#]*)", 1)
+    q = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+            lambda p: ~p.rlike("^utm_"),
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(""),
+    )
+    return (
+        u.select(canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > 1)
+    )
