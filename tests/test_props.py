@@ -249,3 +249,60 @@ def test_star_cc_matches_production_fixpoint(spark, sf_dir):
         for r in dedup_cluster_cc(spark, sf_dir).collect()
     }
     assert star == prod
+
+
+# --- r6: GEMM pair-kernel equivalence on arbitrary corpora -------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["apple", "bear", "cat", "dog", "elm", "fox", "gnu"]),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _brute_pairs(term_lists, threshold, measure):
+    """Reference implementation: python set arithmetic over all pairs."""
+    sets = {i: set(t) for i, t in enumerate(term_lists)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            inter = len(sets[a] & sets[b])
+            if measure == "containment":
+                if a == b or not sets[a]:
+                    continue
+                if inter / len(sets[a]) >= threshold:
+                    out.add((a, b))
+            else:
+                if a >= b:
+                    continue
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= threshold:
+                    out.add((a, b))
+    return out
+
+
+@given(term_lists=docs_strategy)
+@SETTINGS
+def test_gemm_kernel_matches_brute_force(spark, term_lists):
+    """The distributed blocked-GEMM kernel (r6: distributively packed
+    B matrix, A side streamed from the source) must emit exactly the
+    brute-force pair set for BOTH measures on any corpus — including
+    empty corpora, empty-term docs (0/0 never passes), and all-duplicate
+    corpora."""
+    from upflow_spark.pipeline.dedup import _jaccard_pairs_gemm
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(term_lists)] or [(0, ["x"])],
+        "doc_id long, terms array<string>",
+    )
+    lists = term_lists or [["x"]]
+    for measure, thr in (("jaccard", 0.5), ("containment", 0.8)):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in _jaccard_pairs_gemm(spark, docs, thr, measure=measure).collect()
+        }
+        assert got == _brute_pairs(lists, thr, measure), (measure, lists)
