@@ -368,3 +368,76 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .filter(F.col("n_events") > 1)
     )
+
+
+@query(
+    "curation_contamination_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+),
+eval_grams AS (
+  SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, len(toks) - 3)) AS u(i)
+  WHERE doc_id % 97 = 0 AND len(toks) >= 5
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, len(toks) - 3)) AS u(i)
+  WHERE doc_id % 97 <> 0 AND len(toks) >= 5
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE g IN (SELECT g FROM eval_grams)) AS BIGINT)
+         AS n_contaminated,
+       floor((CAST(count(*) FILTER (WHERE g IN (SELECT g FROM eval_grams)) AS DOUBLE)
+              / count(*)) * 10000 + 0.5) / 10000 AS contamination_frac
+FROM doc_grams
+GROUP BY doc_id
+""",
+)
+def curation_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination SCORE: the fraction of each training
+    doc's distinct 5-gram shingles that appear in the held-out benchmark
+    slice (doc_id % 97 == 0) — the graded/reported companion to the boolean
+    curation_ngram_decontaminate flag (contamination reports in the GPT-3 /
+    Llama disclosures quantify overlap per document, not just flag it;
+    thresholded downstream to drop/keep).
+
+    Plan: same codegen'd slice+concat shingling; the distinct eval-gram set
+    stays small (broadcast left_semi-shaped membership via a left join +
+    flag), per-doc ratios come from ONE (doc_id)-keyed aggregate over the
+    distinct doc-gram stream. At 100 TB the eval set broadcasts and the
+    corpus shingle stream shuffles once on doc_id.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    n = F.size("toks")
+
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            df.where(n >= 5)
+            .select("doc_id", F.explode(F.sequence(F.lit(1), n - 4)).alias("i"), "toks")
+            .select(
+                "doc_id",
+                F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(5))).alias("g"),
+            )
+        )
+
+    eval_grams = (
+        grams(toks.where(F.col("doc_id") % 97 == 0))
+        .select(F.col("g").alias("eg"))
+        .distinct()
+    )
+    doc_grams = grams(toks.where(F.col("doc_id") % 97 != 0)).distinct()
+    hit = doc_grams.join(
+        F.broadcast(eval_grams), doc_grams.g == eval_grams.eg, "left"
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count(F.col("eg")).alias("n_contaminated"),
+        r4(F.count(F.col("eg")).cast("double") / F.count(F.lit(1))).alias(
+            "contamination_frac"
+        ),
+    )
