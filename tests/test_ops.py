@@ -776,3 +776,47 @@ def test_ann_verified_dedup_recalls_exact(spark):
         # (subset property makes n_verified <= n_exact; LSH recall ≥ 0.5)
         assert row["n_verified"] <= len(exact)
         assert row["n_verified"] >= 0.5 * len(exact), (row["n_verified"], len(exact))
+
+
+def test_staged_dedup_consistent_with_exact_assignment(spark):
+    """dedup_staged's stage-1 counts must agree with dedup_exact_content's
+    per-doc assignment: n_exact_dups == #(is_dup), n_survivors ==
+    #(doc_id == keep_doc_id), and the identity n_docs = survivors + dups."""
+    staged = QUERIES["dedup_staged"](spark, SF).collect()[0]
+    assign = QUERIES["dedup_exact_content"](spark, SF).collect()
+    n_dup = sum(1 for r in assign if r["is_dup"])
+    assert staged["n_docs"] == len(assign)
+    assert staged["n_exact_dups"] == n_dup
+    assert staged["n_survivors"] == len(assign) - n_dup
+    assert staged["n_verified"] <= staged["n_band_candidates"]
+
+
+def test_r6_curation_keys_invariants(spark):
+    """dedup_url_canonical: every group has >=2 events and the grouped
+    totals never exceed the event count; canonical URLs carry no fragment
+    or utm params. curation_contamination_score: fractions in [0,1],
+    contaminated <= shingles, and one row per corpus doc with >=5 tokens."""
+    from upflow_spark.io import load
+    from pyspark.sql import functions as F
+
+    n_events = load(spark, SF, "events").count()
+    urls = QUERIES["dedup_url_canonical"](spark, SF).collect()
+    assert urls and all(r["n_events"] >= 2 for r in urls)
+    assert sum(r["n_events"] for r in urls) <= n_events
+    assert all("#" not in r["canonical_url"] for r in urls)
+    assert all("utm_" not in r["canonical_url"] for r in urls)
+
+    scores = QUERIES["curation_contamination_score"](spark, SF).collect()
+    assert scores
+    for r in scores:
+        assert 0 <= r["n_contaminated"] <= r["n_shingles"]
+        assert 0.0 <= r["contamination_frac"] <= 1.0
+    expected = (
+        load(spark, SF, "documents")
+        .where(
+            (F.col("doc_id") % 97 != 0)
+            & (F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= 5)
+        )
+        .count()
+    )
+    assert len(scores) == expected
