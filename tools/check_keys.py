@@ -25,12 +25,16 @@ def main() -> None:
     if args and args[0] == "--skip":
         skip = set(args[1].split(","))
         args = args[2:]
-    if args == ["--all"]:
+    if "--all" in args:
+        extra = [a for a in args if a != "--all"]
+        if extra:
+            print(f"usage: --all takes no extra key args (got {extra})")
+            sys.exit(2)
         import __spark_entry__ as _E
 
         keys = [k for k in sorted(_E.oracle_sql()) if k not in skip]
     else:
-        keys = args
+        keys = [k for k in args if k not in skip]
     if not keys:
         print("usage: check_keys.py [--skip k1,k2] (--all | key1 [key2 ...])")
         sys.exit(2)

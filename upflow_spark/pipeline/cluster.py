@@ -75,30 +75,97 @@ pairs AS (
 )"""
 
 
+def _cc_contraction_cte(rounds: int = 14, jumps: int = 17) -> str:
+    """Generate a POLYNOMIAL pointer-doubling connected-components CTE.
+
+    The r5/r6 oracle proved transitive closure with a recursive CTE
+    (`reach` = every (node, reachable-node) pair) — correct, but O(Σ
+    component²) rows: on the sf0.1 fixture's 411k-pair near-clique it
+    enumerates ~billions of rows and runs for HOURS, which is why the two
+    CC keys were the only ones unverified at sf0.1. This replaces it with
+    the same algorithm the Spark side runs (min-label contraction with
+    pointer jumping, cf. Rastogi et al. ICDE'13), unrolled as a chained
+    non-recursive CTE:
+
+    per round k over the (shrinking) contracted edge set e{k}:
+      h{k}: one edge hop — every node's pointer = min(self, neighbors)
+      j{k}_1..j{k}_J: pointer JUMPING, p <- p∘p, J times — resolves each
+        min-pointer tree to its root (depth ≤ 2^J) in J self-joins
+      e{k+1}: edges rewritten through the resolved pointers (contraction);
+        intra-star edges vanish, so near-cliques collapse in one round
+      m{k+1}: the composed original-node -> representative mapping
+
+    Representatives are always the min id of the merged set, so after
+    enough rounds m maps every node to its component minimum — identical
+    semantics to the recursive closure, but every intermediate is O(|E|).
+
+    Jump count: the hop forest's depth is bounded by the node count (an
+    ascending-id chain makes it exactly n-1 — jumping must cover log2(n)
+    doublings for FULL root resolution, else contraction shrinks chains
+    additively, not geometrically; validated against a union-find on
+    adversarial chains/stars). With full resolution every round, every
+    edge-bearing node merges into some local-min star, so surviving nodes
+    at most halve per round: rounds=14 covers components to 2^14 nodes
+    after round 0's global resolve. The jump schedule DECREASES with the
+    round (depth bound ≤ surviving nodes ≤ n/2^k), so later rounds are a
+    handful of joins over near-empty tables. Cost at sf0.1: ~200 hash
+    joins/aggs over ≤823k-row (geometrically shrinking) tables — seconds,
+    not hours.
+    """
+    # every CTE here is referenced 2-3 times; DuckDB 1.0 INLINES
+    # non-materialized CTEs, which would expand the chained rounds into a
+    # 3^rounds-node plan tree (observed: the planner itself hangs) —
+    # AS MATERIALIZED keeps the unrolled pipeline linear in `rounds`
+    parts = [
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs\n"
+        "       UNION SELECT doc_b, doc_a FROM pairs)",
+        "m0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lbl FROM e0)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"h{k} AS MATERIALIZED "
+            f"(SELECT a AS n, least(a, min(b)) AS p FROM e{k} GROUP BY a)"
+        )
+        prev = f"h{k}"
+        for t in range(1, max(4, jumps - k) + 1):
+            parts.append(
+                f"j{k}_{t} AS MATERIALIZED (SELECT x.n, coalesce(y.p, x.p) AS p "
+                f"FROM {prev} x LEFT JOIN {prev} y ON x.p = y.n)"
+            )
+            prev = f"j{k}_{t}"
+        parts.append(
+            f"e{k + 1} AS MATERIALIZED (SELECT DISTINCT qa.p AS a, qb.p AS b "
+            f"FROM e{k} e JOIN {prev} qa ON e.a = qa.n "
+            f"JOIN {prev} qb ON e.b = qb.n WHERE qa.p <> qb.p)"
+        )
+        parts.append(
+            f"m{k + 1} AS MATERIALIZED (SELECT m.n, coalesce(q.p, m.lbl) AS lbl "
+            f"FROM m{k} m LEFT JOIN {prev} q ON m.lbl = q.n)"
+        )
+    return ",\n".join(parts) + f",\ncc_final AS (SELECT n, lbl FROM m{rounds})"
+
+
+_CC_CTE = _cc_contraction_cte()
+
+
 @query(
     "dedup_cluster_cc",
     oracle=f"""
-WITH RECURSIVE
+WITH
 {_PAIRS_CTE},
-edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT u AS n FROM edges),
-reach AS (
-  SELECT n, n AS m FROM nodes
-  UNION
-  SELECT r.n, e.v AS m FROM reach r JOIN edges e ON e.u = r.m
-)
-SELECT n AS doc_id, min(m) AS cluster_id,
-       n = min(m) AS is_canonical
-FROM reach GROUP BY n
+{_CC_CTE}
+SELECT n AS doc_id, lbl AS cluster_id,
+       n = lbl AS is_canonical
+FROM cc_final
 """,
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over SimHash near-dup pairs: (doc_id,
     cluster_id, is_canonical), cluster_id = min doc_id of the component.
 
-    The oracle proves transitive-closure semantics independently (DuckDB
-    recursive CTE); Spark computes the same fixpoint distributively.
+    The oracle proves min-label-fixpoint semantics independently (DuckDB
+    unrolled pointer-doubling contraction — see :func:`_cc_contraction_cte`);
+    Spark computes the same fixpoint distributively.
     """
     return _cc_labels(spark, sf_dir)
 
@@ -283,17 +350,10 @@ def _cc_star_fixpoint(pairs: DataFrame) -> DataFrame:
 @query(
     "dedup_apply_canonical",
     oracle=f"""
-WITH RECURSIVE
+WITH
 {_PAIRS_CTE},
-edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT u AS n FROM edges),
-reach AS (
-  SELECT n, n AS m FROM nodes
-  UNION
-  SELECT r.n, e.v AS m FROM reach r JOIN edges e ON e.u = r.m
-),
-cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+{_CC_CTE},
+cc AS (SELECT n AS doc_id, lbl AS cluster_id FROM cc_final)
 SELECT d.doc_id, d.lang, length(d.text) AS content_len
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
 WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id

@@ -266,13 +266,28 @@ def _doc_bitmasks(spark, items: DataFrame):
 
 
 def _pack_term_rows(terms_seq, width, tid):
-    """Dense 0/1 bool matrix (len(terms_seq) × width) from term arrays."""
+    """Dense 0/1 bool matrix (len(terms_seq) × width) from term arrays.
+
+    ID-CLOSURE CONTRACT: every term in terms_seq must appear in the `tid`
+    vocab dict. Callers guarantee this by building the A stream from the
+    same tokenization as the vocab pass (the memoized pack in
+    _packed_corpus_cached is keyed on source-file identity only, NOT on
+    the tokenizer — pairing a differently-tokenized A stream with a cached
+    B pack violates the contract and fails here by name, not KeyError).
+    """
     import numpy as np
 
     m = np.zeros((len(terms_seq), width), dtype=bool)
     for i, terms in enumerate(terms_seq):
         if terms is not None and len(terms):
-            m[i, [tid[x] for x in terms]] = True
+            try:
+                m[i, [tid[x] for x in terms]] = True
+            except KeyError as e:
+                raise KeyError(
+                    f"term {e.args[0]!r} missing from the packed-corpus vocab: "
+                    "the A stream must use the SAME tokenization as the "
+                    "(possibly cached) B pack — see _packed_corpus_cached"
+                ) from None
     return m
 
 
@@ -299,6 +314,17 @@ def _packed_corpus_cached(spark, sf_dir: str, kind: str, docs_builder):
         st.st_size,
     )
     if key not in _corpus_cache:
+        # evict same-kind entries from other sessions/fixtures on insert:
+        # their localCheckpoint + broadcast handles are dead (or pinned) and
+        # would accumulate without bound in long-lived drivers
+        for stale in [k for k in _corpus_cache if k != key and k[2] == kind]:
+            _docs, _bt, _bc = _corpus_cache.pop(stale)
+            for b in (_bt, _bc):
+                try:
+                    if b is not None:
+                        b.unpersist()
+                except Exception:
+                    pass
         _corpus_cache[key] = _packed_corpus(spark, docs_builder())
     return _corpus_cache[key]
 
@@ -987,8 +1013,19 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            a = np.searchsorted(b_ids, pdf["vec_a"].to_numpy(np.int64))
-            b = np.searchsorted(b_ids, pdf["vec_b"].to_numpy(np.int64))
+            want_a = pdf["vec_a"].to_numpy(np.int64)
+            want_b = pdf["vec_b"].to_numpy(np.int64)
+            a = np.searchsorted(b_ids, want_a).clip(max=len(b_ids) - 1)
+            b = np.searchsorted(b_ids, want_b).clip(max=len(b_ids) - 1)
+            # id-closure check: a candidate id absent from the packed
+            # matrix would otherwise silently score against the wrong row
+            if not (
+                np.array_equal(b_ids[a], want_a) and np.array_equal(b_ids[b], want_b)
+            ):
+                raise ValueError(
+                    "candidate vec_id absent from packed embedding matrix — "
+                    "candidate source is not id-closed over the pack"
+                )
             cos = np.einsum("ij,ij->i", b_mat[a], b_mat[b]).astype(np.float64)
             yield pd.DataFrame(
                 {

@@ -265,6 +265,14 @@ def packed_embeddings_cached(
         st.st_size,
     )
     if key not in _emb_cache:
+        # evict entries from other sessions/fixtures on insert: their
+        # broadcast handles are dead (or pinned) and would otherwise
+        # accumulate without bound in long-lived drivers (driver-sim loop)
+        for stale in [k for k in _emb_cache if k != key and k[2] == kind]:
+            try:
+                _emb_cache.pop(stale).unpersist()
+            except Exception:
+                pass
         _emb_cache[key] = packed_embeddings(spark, e_builder(), emb_col=emb_col)
     return _emb_cache[key]
 
@@ -295,6 +303,12 @@ def packed_embeddings(spark: SparkSession, e: DataFrame, emb_col: str = "emb"):
     packed = e.select("vec_id", emb_col).mapInPandas(
         pack, "vec_id long, row binary"
     ).collect()
+    if not packed:
+        # empty relation: reshape(0, -1) would raise (ambiguous dim);
+        # broadcast an explicit empty index so callers emit zero pairs
+        return spark.sparkContext.broadcast(
+            (np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float64))
+        )
     ids = np.array([r["vec_id"] for r in packed], dtype=np.int64)
     mat = np.frombuffer(b"".join(r["row"] for r in packed), dtype=np.float64).reshape(
         len(packed), -1
@@ -383,8 +397,19 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            ai = np.searchsorted(b_ids, pdf["vec_a"].to_numpy(np.int64))
-            bi = np.searchsorted(b_ids, pdf["vec_b"].to_numpy(np.int64))
+            want_a = pdf["vec_a"].to_numpy(np.int64)
+            want_b = pdf["vec_b"].to_numpy(np.int64)
+            ai = np.searchsorted(b_ids, want_a).clip(max=len(b_ids) - 1)
+            bi = np.searchsorted(b_ids, want_b).clip(max=len(b_ids) - 1)
+            # id-closure check (see emb_dedup_ann_verified): absent ids
+            # would silently gather the wrong rows
+            if not (
+                np.array_equal(b_ids[ai], want_a) and np.array_equal(b_ids[bi], want_b)
+            ):
+                raise ValueError(
+                    "candidate vec_id absent from packed embedding matrix — "
+                    "candidate source is not id-closed over the pack"
+                )
             diff = b_mat[ai] - b_mat[bi]
             dist = np.sqrt(np.einsum("ij,ij->i", diff, diff))
             keep = dist < 1.35  # approxSimilarityJoin's strict threshold

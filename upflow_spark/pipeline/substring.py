@@ -1,0 +1,162 @@
+"""Exact substring-level (span) deduplication — the Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better" operator shape:
+cross-document repeated ~50-token spans, which whole-doc exact dedup and
+shingle-SET similarity (MinHash/SimHash) both miss.
+
+(No reference file to cite — /root/reference is empty; motivated by
+SURVEY.md §2-M's dedup family and PAPERS.md's text-analysis thread.)
+
+Approach: hash every 50-token sliding window at stride 10 (the standard
+scalable approximation of the paper's suffix-array scan — stride-1 exact
+spans need ~50× the span rows for a marginal recall gain on 50-token
+windows; production pipelines run strided hashed windows for exactly this
+reason), mark digests occurring more than once corpus-wide, and report per
+document the duplicated-span count plus the FRACTION OF TOKENS covered by
+at least one duplicated span (overlapping spans merged with a running-max
+interval sweep, so the fraction never double-counts).
+
+Scale shape: one map-side span explode (×n_spans/doc ≈ n_tokens/stride),
+ONE shuffle by digest for the corpus-wide occurrence count, then per-doc
+window+agg shuffles on the (much smaller) span table. Candidates grow with
+TRUE repeats only — a digest seen once costs one grouped row, never a pair
+— so unlike pair-join dedup there is no quadratic term anywhere. The
+digest is engine-local (xxhash64 here, md5 in the oracle): only
+*equality within one engine* matters, so each side uses its cheapest
+collision-free hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
+from upflow_spark.registry import query
+
+SPAN_W = 50  # tokens per window (Lee et al.'s dup-span scale)
+SPAN_S = 10  # stride between window starts
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+spans AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - {SPAN_W - 1}, {SPAN_S})) AS pos, t
+  FROM toks WHERE len(t) >= {SPAN_W}
+),
+digs AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[pos:pos + {SPAN_W - 1}], ' ')) AS dig
+  FROM spans
+),
+cnt AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY dig) AS c FROM digs),
+agg1 AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM cnt GROUP BY doc_id
+),
+dup AS (SELECT doc_id, pos, pos + {SPAN_W - 1} AS e FROM cnt WHERE c > 1),
+cov AS (
+  SELECT doc_id,
+         greatest(0, e - greatest(pos - 1,
+           coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS cover
+  FROM dup
+),
+agg2 AS (SELECT doc_id, sum(cover) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a1.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a1.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(a2.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       floor((CAST(coalesce(a2.dup_tokens, 0) AS DOUBLE) / len(tk.t)) * 10000 + 0.5)
+         / 10000 AS dup_token_frac
+FROM toks tk
+LEFT JOIN agg1 a1 ON tk.doc_id = a1.doc_id
+LEFT JOIN agg2 a2 ON tk.doc_id = a2.doc_id
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report over 50-token stride-10 hashed
+    windows: (doc_id, n_tokens, n_spans, n_dup_spans, dup_tokens,
+    dup_token_frac), where dup_tokens is the merged-interval union of all
+    spans whose digest repeats anywhere in the corpus.
+
+    Plan: map-side explode of window starts (sequence+slice — no UDF),
+    xxhash64 digest, ONE count window keyed by digest (the only
+    corpus-wide shuffle), then per-doc interval-merge (running-max window)
+    + aggregation on the duplicated-span subset. The documents table is
+    never pair-joined: cost is linear in span count plus the digest
+    shuffle, which is what survives 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    t = d.select("doc_id", toks.alias("t"), F.size(toks).cast("long").alias("n_tokens"))
+
+    spans = (
+        t.filter(F.col("n_tokens") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    (F.col("n_tokens") - (SPAN_W - 1)).cast("int"),
+                    F.lit(SPAN_S),
+                )
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.concat_ws(" ", F.expr(f"slice(t, pos, {SPAN_W})"))).alias(
+                "dig"
+            ),
+        )
+    )
+    cnt = spans.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("dig"))
+    )
+    agg1 = cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_spans"),
+    )
+    dup = cnt.filter(F.col("c") > 1).select(
+        "doc_id", "pos", (F.col("pos") + (SPAN_W - 1)).alias("e")
+    )
+    prev_max = F.max("e").over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = dup.select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            F.col("e")
+            - F.greatest(F.col("pos") - 1, F.coalesce(prev_max, F.lit(0))),
+        ).alias("cover"),
+    )
+    agg2 = cov.groupBy("doc_id").agg(F.sum("cover").cast("long").alias("dup_tokens"))
+
+    return (
+        t.select("doc_id", "n_tokens")
+        .join(agg1, "doc_id", "left_outer")
+        .join(agg2, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            r4(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+        )
+    )

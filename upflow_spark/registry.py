@@ -89,6 +89,7 @@ def load_all_modules() -> None:
     import upflow_spark.pipeline.multimodal  # noqa: F401
     import upflow_spark.pipeline.sampling  # noqa: F401
     import upflow_spark.pipeline.similarity  # noqa: F401
+    import upflow_spark.pipeline.substring  # noqa: F401
     import upflow_spark.pipeline.text  # noqa: F401
     import upflow_spark.pipeline.textstats  # noqa: F401
     import upflow_spark.sources.bucketed  # noqa: F401
