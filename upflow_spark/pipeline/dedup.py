@@ -329,16 +329,68 @@ def _packed_corpus_cached(spark, sf_dir: str, kind: str, docs_builder):
     return _corpus_cache[key]
 
 
-def _packed_corpus(spark, docs: DataFrame):
-    """Distributed build of the broadcast bit-packed corpus matrix.
+# Broadcast ceiling for the packed B operand (n_docs × |V|/8 bytes). Below
+# it, the whole bit matrix broadcasts and the A side streams against it
+# (the fast path — one operand ships once per executor). Above it, B is
+# kept DISTRIBUTED as block rows and the pair kernel runs over the A×B
+# block grid instead (the standard block-distributed similarity matmul) —
+# memory per task is then one (a_block × b_block) slab, and no single
+# process ever holds the full matrix. Module-level so tests can force the
+# grid path low and prove hash-identical output.
+GEMM_BROADCAST_MAX_BYTES = 256 << 20
 
-    Returns (checkpointed docs, broadcast term-id dict, broadcast
-    (ids, packed uint8 matrix, n_vocab, counts)) — or (docs, None, None)
-    for an empty corpus. The driver only ever holds the distinct vocab
-    strings (bounded by contract) and the packed BYTES the workers produce
-    (n × |V|/8), never token arrays or Row objects; that is what makes
-    the GEMM keys survive a corpus that dwarfs driver memory as long as
-    the packed matrix itself is broadcastable.
+
+def _pack_block_rows(docs: DataFrame, bc_tid, n_vocab: int) -> DataFrame:
+    """Bit-pack (doc_id, terms) partitions into ONE ROW PER ARROW BATCH:
+    (ids int64-bytes, packed uint8-bytes, counts float64-bytes). The
+    block-row form is what both the broadcast assembly and the grid join
+    consume — a few-MB binary cell instead of per-doc rows."""
+    import numpy as np
+    import pandas as pd
+
+    n_bytes = (n_vocab + 7) // 8
+
+    def pack(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _pack_term_rows(pdf["terms"], n_vocab, bc_tid.value)
+            yield pd.DataFrame(
+                {
+                    "ids": [pdf["doc_id"].to_numpy(np.int64).tobytes()],
+                    "packed": [np.packbits(m, axis=1)[:, :n_bytes].tobytes()],
+                    "counts": [m.sum(axis=1).astype(np.float64).tobytes()],
+                }
+            )
+
+    return docs.mapInPandas(pack, "ids binary, packed binary, counts binary")
+
+
+def _unpack_block_row(ids_bin, packed_bin, counts_bin, n_vocab: int):
+    """Inverse of _pack_block_rows for one grid cell operand."""
+    import numpy as np
+
+    ids = np.frombuffer(ids_bin, dtype=np.int64)
+    n_bytes = (n_vocab + 7) // 8
+    mat = np.unpackbits(
+        np.frombuffer(packed_bin, dtype=np.uint8).reshape(len(ids), n_bytes), axis=1
+    )[:, :n_vocab].astype(np.float32)
+    counts = np.frombuffer(counts_bin, dtype=np.float64)
+    return ids, mat, counts
+
+
+def _packed_corpus(spark, docs: DataFrame):
+    """Distributed build of the bit-packed corpus matrix.
+
+    Returns (checkpointed docs, broadcast term-id dict, B-operand) where
+    B-operand is a broadcast of (ids, packed uint8 matrix, n_vocab,
+    counts) when the packed estimate fits GEMM_BROADCAST_MAX_BYTES, or the
+    grid marker ("grid", block-row DataFrame, n_vocab) when it does not —
+    or (docs, None, None) for an empty corpus. The driver only ever holds
+    the distinct vocab strings (bounded by contract) and, on the broadcast
+    path, the packed BYTES the workers produce (n × |V|/8), never token
+    arrays or Row objects; on the grid path the matrix never converges
+    anywhere at all.
     """
     import numpy as np
     import pandas as pd
@@ -355,6 +407,13 @@ def _packed_corpus(spark, docs: DataFrame):
     n_vocab = len(vocab)
     n_bytes = (n_vocab + 7) // 8
     bc_tid = spark.sparkContext.broadcast(tid)
+
+    # size gate BEFORE any bytes head driver-ward: count on the
+    # checkpointed docs is a metadata-cheap job
+    est_bytes = docs.count() * n_bytes
+    if est_bytes > GEMM_BROADCAST_MAX_BYTES:
+        b_blocks = _pack_block_rows(docs, bc_tid, n_vocab).localCheckpoint()
+        return docs, bc_tid, ("grid", b_blocks, n_vocab)
 
     # distributed B pack: workers bit-pack their own partitions; only the
     # packed bytes travel to the driver
@@ -426,7 +485,67 @@ def _jaccard_pairs_gemm(
         return spark.createDataFrame([], "doc_a long, doc_b long, jac_raw double")
     thr = float(threshold)
     directed = measure == "containment"
-    blk = 512  # GEMM block rows: bounds the (blk × n_docs) score slab
+    blk = 512  # GEMM block rows: bounds the (blk × n_b_block) score slab
+
+    def score_block(a_ids_full, amat_full, b_ids, b_mat, b_counts):
+        """Yield pair frames for one A operand vs one B operand, in
+        512-row sub-blocks. Shared by the broadcast and grid kernels —
+        identical math, so path selection can never change results."""
+        for s in range(0, len(a_ids_full), blk):
+            amat = amat_full[s : s + blk]
+            a_ids = a_ids_full[s : s + blk]
+            a_counts = amat.sum(axis=1).astype(np.float64)
+            inter = (amat @ b_mat.T).astype(np.float64)
+            # empty term sets (e.g. 1-token docs have no bigrams) yield
+            # 0/0 -> nan; nan >= thr is False, matching the oracle which
+            # never emits such docs — silence the harmless warning
+            with np.errstate(divide="ignore", invalid="ignore"):
+                if directed:
+                    score = inter / a_counts[:, None]
+                    keep = (score >= thr) & (a_ids[:, None] != b_ids[None, :])
+                else:
+                    union = a_counts[:, None] + b_counts[None, :] - inter
+                    score = inter / union
+                    keep = (score >= thr) & (a_ids[:, None] < b_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_ids[ai],
+                    "doc_b": b_ids[bi],
+                    "jac_raw": score[ai, bi],
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+
+    if isinstance(bc, tuple) and bc[0] == "grid":
+        # grid fallback: B would not fit a broadcast — join packed A block
+        # rows against packed B block rows (cartesian over block ROWS, a
+        # few MB each, never over doc rows) and GEMM per grid cell. Data
+        # replication is A×n_b_blocks — the unavoidable cost of a
+        # similarity matmul whose operand exceeds single-process memory.
+        _, b_blocks, n_vocab = bc
+        a_blocks = _pack_block_rows(docs.repartition(par), bc_tid, n_vocab)
+        grid = a_blocks.crossJoin(
+            b_blocks.select(
+                F.col("ids").alias("b_ids"),
+                F.col("packed").alias("b_packed"),
+                F.col("counts").alias("b_counts"),
+            )
+        )
+
+        def grid_kernel(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    a_ids, a_mat, _ = _unpack_block_row(
+                        row.ids, row.packed, row.counts, n_vocab
+                    )
+                    b_ids, b_mat, b_counts = _unpack_block_row(
+                        row.b_ids, row.b_packed, row.b_counts, n_vocab
+                    )
+                    yield from score_block(a_ids, a_mat, b_ids, b_mat, b_counts)
+
+        return grid.mapInPandas(grid_kernel, "doc_a long, doc_b long, jac_raw double")
 
     def kernel(batches):
         b_ids, b_packed, width, b_counts = bc.value
@@ -438,32 +557,8 @@ def _jaccard_pairs_gemm(
                 np.float32
             )
             ids_full = pdf["doc_id"].to_numpy(np.int64)
-            for s in range(0, len(pdf), blk):
-                amat = amat_full[s : s + blk]
-                a_ids = ids_full[s : s + blk]
-                a_counts = amat.sum(axis=1).astype(np.float64)
-                inter = (amat @ b_mat.T).astype(np.float64)
-                # empty term sets (e.g. 1-token docs have no bigrams) yield
-                # 0/0 -> nan; nan >= thr is False, matching the oracle which
-                # never emits such docs — silence the harmless warning
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    if directed:
-                        score = inter / a_counts[:, None]
-                        keep = (score >= thr) & (a_ids[:, None] != b_ids[None, :])
-                    else:
-                        union = a_counts[:, None] + b_counts[None, :] - inter
-                        score = inter / union
-                        keep = (score >= thr) & (a_ids[:, None] < b_ids[None, :])
-                ai, bi = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {
-                        "doc_a": a_ids[ai],
-                        "doc_b": b_ids[bi],
-                        "jac_raw": score[ai, bi],
-                    }
-                )
+            yield from score_block(ids_full, amat_full, b_ids, b_mat, b_counts)
 
-    par = spark.sparkContext.defaultParallelism
     # A side = the doc scan itself, repartitioned for kernel parallelism
     return docs.repartition(par).mapInPandas(
         kernel, "doc_a long, doc_b long, jac_raw double"
@@ -908,6 +1003,72 @@ def text_knn_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bc is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rn long, jaccard double"
+        )
+
+    if isinstance(bc, tuple) and bc[0] == "grid":
+        # grid fallback (B beyond broadcast reach): the probe blocks meet
+        # every B block; each grid cell emits its LOCAL top-3 (>0 jaccard,
+        # non-self) — global top-3 ⊆ union of per-cell top-3 — and a tiny
+        # window over probes re-ranks the ≤ 3×n_blocks candidates/probe.
+        _, b_blocks, n_vocab = bc
+        probes = docs.filter(F.col("doc_id") % 100 == 0).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        a_blocks = _pack_block_rows(probes, bc_tid, n_vocab)
+        grid = a_blocks.crossJoin(
+            b_blocks.select(
+                F.col("ids").alias("b_ids"),
+                F.col("packed").alias("b_packed"),
+                F.col("counts").alias("b_counts"),
+            )
+        )
+
+        def cell_kernel(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    a_ids, a_mat, a_counts = _unpack_block_row(
+                        row.ids, row.packed, row.counts, n_vocab
+                    )
+                    b_ids, b_mat, b_counts = _unpack_block_row(
+                        row.b_ids, row.b_packed, row.b_counts, n_vocab
+                    )
+                    inter = (a_mat @ b_mat.T).astype(np.float64)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        jac = inter / (a_counts[:, None] + b_counts[None, :] - inter)
+                    jac[np.isnan(jac)] = -1.0
+                    out = {"query_id": [], "neighbor_id": [], "jaccard": []}
+                    for qi in range(len(a_ids)):
+                        r = jac[qi].copy()
+                        r[b_ids == a_ids[qi]] = -1.0
+                        order = np.lexsort((b_ids, -r))
+                        for bi in order[:3]:
+                            if r[bi] <= 0.0:
+                                break
+                            out["query_id"].append(a_ids[qi])
+                            out["neighbor_id"].append(b_ids[bi])
+                            out["jaccard"].append(r[bi])
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.asarray(out["query_id"], dtype=np.int64),
+                            "neighbor_id": np.asarray(
+                                out["neighbor_id"], dtype=np.int64
+                            ),
+                            "jaccard": np.asarray(out["jaccard"], dtype=np.float64),
+                        }
+                    )
+
+        from pyspark.sql import Window
+
+        cand = grid.mapInPandas(
+            cell_kernel, "query_id long, neighbor_id long, jaccard double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("jaccard").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id", "rn", r4("jaccard").alias("jaccard"))
         )
 
     def kernel(batches):

@@ -345,3 +345,75 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         r4(novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
     )
+
+
+# CCNet/C4-style learned quality filter: fixed logistic weights over the
+# heuristic features the rest of the quality family already computes. The
+# weights stand in for a trained fastText/logistic model (no training libs
+# in this container); the OPERATOR — broadcast-free map-side feature dot
+# product + sigmoid over every document — is exactly the production shape,
+# and deterministic, so it is fully oracle-checkable. Feature vector:
+# length saturation, short-token ratio, lexical diversity, English-marker
+# ratio (the text_lang_id signal).
+_QW = {"bias": -2.2, "len": 2.1, "short": -3.0, "div": 1.8, "marker": 2.5}
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+SELECT doc_id,
+       floor(z * 10000 + 0.5) / 10000 AS quality_logit,
+       floor((1.0 / (1.0 + exp(-z))) * 10000 + 0.5) / 10000 AS quality_prob,
+       (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+FROM (
+  SELECT doc_id,
+         {_QW["bias"]}
+         + {_QW["len"]} * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+         + {_QW["short"]} * (CAST(len(list_filter({SQL_TOKENS}, t -> len(t) <= 2)) AS DOUBLE)
+                             / len({SQL_TOKENS}))
+         + {_QW["div"]} * (CAST(len(list_distinct({SQL_TOKENS})) AS DOUBLE)
+                           / len({SQL_TOKENS}))
+         + {_QW["marker"]} * (CAST(len(list_filter({SQL_TOKENS},
+                               t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                              / len({SQL_TOKENS})) AS z
+  FROM documents
+)
+""",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality scoring: logistic score over fixed
+    learned-style weights (the CCNet/C4 classifier-filter shape) —
+    (doc_id, quality_logit, quality_prob, keep).
+
+    Map-only: the "model" is a constant-folded linear expression, so the
+    whole key is one codegen'd projection over the scan — zero shuffles,
+    the cheapest possible 100 TB pass. A real trained model swaps the
+    literal weights for a broadcast coefficient vector; the plan shape is
+    unchanged.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks).cast("double")
+    f_len = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    f_short = F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / n
+    f_div = F.size(F.array_distinct(toks)).cast("double") / n
+    f_marker = (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))).cast(
+            "double"
+        )
+        / n
+    )
+    z = (
+        F.lit(_QW["bias"])
+        + F.lit(_QW["len"]) * f_len
+        + F.lit(_QW["short"]) * f_short
+        + F.lit(_QW["div"]) * f_div
+        + F.lit(_QW["marker"]) * f_marker
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        r4(z).alias("quality_logit"),
+        r4(prob).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
