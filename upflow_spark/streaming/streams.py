@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -527,3 +528,176 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     emitted = run_to_completion(counts, "update")
     return emitted.groupBy("event_type").agg(F.max("n_events").alias("n_events"))
+
+
+def docs_wave_replica_path(sf_dir: str) -> str:
+    """Cache path for stream_dedup_incremental's 4-wave documents replica
+    (same source-identity keying as update_mode_replica_path, so fixture
+    regeneration invalidates it)."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"upflow_docs_waves_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{st.st_mtime_ns}_{st.st_size}",
+    )
+
+
+@query(
+    "stream_dedup_incremental",
+    oracle="""
+WITH batch AS (
+  SELECT doc_id, text, CAST((doc_id % 40) // 10 AS INT) AS wave
+  FROM documents WHERE doc_id % 10 = 0
+),
+idx AS (
+  SELECT md5(text) AS dig_full, md5(substr(text, 1, 100)) AS dig_pre, -1 AS wave
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT md5(text), md5(substr(text, 1, 100)), wave FROM batch
+)
+SELECT b.doc_id, b.wave,
+       CASE WHEN EXISTS (SELECT 1 FROM idx i
+                         WHERE i.dig_full = md5(b.text) AND i.wave < b.wave)
+              THEN 'exact_dup'
+            WHEN EXISTS (SELECT 1 FROM idx i
+                         WHERE i.dig_pre = md5(substr(b.text, 1, 100))
+                           AND i.wave < b.wave)
+              THEN 'near_dup'
+            ELSE 'new' END AS ingest_status
+FROM batch b
+""",
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-ingest dedup: the dedup_incremental_batch
+    classification run as a CONTINUOUS pipeline — incoming documents
+    arrive in micro-batches (4 ingest waves, maxFilesPerTrigger=1) and a
+    foreachBatch sink classifies each wave against a PERSISTED digest
+    index (seeded from the static corpus) that grows as waves commit:
+    exact_dup (full-content md5 already indexed), near_dup (100-char
+    prefix md5 indexed), else new — then appends the wave's own digests.
+
+    Classification is against strictly-earlier waves BY WAVE NUMBER (the
+    handler replays each micro-batch's rows in wave order), so the output
+    is deterministic whatever the file source coalesces — which is what
+    makes a batch oracle possible for a stateful streaming pipeline.
+
+    Scale shape: per-wave cost is the wave join against the digest index —
+    at fixture scale the index broadcasts; at 100 TB the index is a
+    digest-bucketed table the wave shuffles into, and the parquet-append
+    index here is exactly that materialization. State survives OUTSIDE the
+    streaming checkpoint (a real ingest pipeline restarts daily; the index
+    must not live in micro-batch state), which is why this uses
+    foreachBatch rather than dropDuplicates-with-watermark
+    (stream_dedup covers that in-state variant).
+    """
+    import os
+
+    from upflow_spark.io import load
+
+    ensure_conf(spark)
+    dst = docs_wave_replica_path(sf_dir)
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select(
+                "doc_id",
+                "text",
+                ((F.col("doc_id") % 40) / 10).cast("int").alias("wave"),
+            )
+            .repartitionByRange(4, "wave")
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+        # FileStreamSource orders micro-batches by file mtime, and one
+        # parquet job stamps every part file with the SAME mtime — the
+        # tie-break is listing order, i.e. arbitrary, and a wave classified
+        # before its predecessors flips near_dup/new both ways (observed at
+        # sf0.1). Range partitions are ascending, so part-file NAME order
+        # == wave order: restamp mtimes 2 s apart in that order to pin the
+        # replay sequence.
+        import time as _time
+
+        now = _time.time()
+        parts = sorted(
+            p for p in os.listdir(dst) if p.startswith("part-")
+        )
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(dst, p), (now + 2 * i, now + 2 * i))
+
+    work = tempfile.mkdtemp(prefix="upflow_incdedup_")
+    idx_dir = os.path.join(work, "digest_index")
+    out_dir = os.path.join(work, "classified")
+    ckpt = os.path.join(work, "ckpt")
+
+    # seed the persisted index with the static corpus's digests
+    corpus = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    (
+        corpus.select(
+            F.md5("text").alias("dig_full"),
+            F.md5(F.substring("text", 1, 100)).alias("dig_pre"),
+        )
+        .write.mode("overwrite")
+        .parquet(idx_dir)
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("wave", IntegerType()),
+        ]
+    )
+
+    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            "doc_id",
+            "wave",
+            F.md5("text").alias("b_full"),
+            F.md5(F.substring("text", 1, 100)).alias("b_pre"),
+        )
+        waves = [r["wave"] for r in b.select("wave").distinct().orderBy("wave").collect()]
+        for w in waves:
+            s = spark  # driver-side: foreachBatch runs on the driver
+            wave_rows = b.filter(F.col("wave") == w).localCheckpoint()
+            idx = s.read.parquet(idx_dir)
+            full_idx = idx.select(F.col("dig_full").alias("hit_full")).distinct()
+            pre_idx = idx.select(F.col("dig_pre").alias("hit_pre")).distinct()
+            status = (
+                F.when(F.col("hit_full").isNotNull(), "exact_dup")
+                .when(F.col("hit_pre").isNotNull(), "near_dup")
+                .otherwise("new")
+            )
+            (
+                wave_rows.join(
+                    F.broadcast(full_idx),
+                    wave_rows.b_full == F.col("hit_full"),
+                    "left",
+                )
+                .join(F.broadcast(pre_idx), F.col("b_pre") == F.col("hit_pre"), "left")
+                .select("doc_id", "wave", status.alias("ingest_status"))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            # commit this wave's digests so later waves see them
+            (
+                wave_rows.select(
+                    F.col("b_full").alias("dig_full"), F.col("b_pre").alias("dig_pre")
+                )
+                .write.mode("append")
+                .parquet(idx_dir)
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dst)
+        .writeStream.foreachBatch(classify_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
