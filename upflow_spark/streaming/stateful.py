@@ -164,5 +164,5 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it fails at runner init with ImportError, not at logic level. The
 # arbitrary-state surface is covered by stream_custom_state above; swap it
 # to the new API on environments with protobuf installed.
-# Re-probed r5 AND r6 (2026-08-14): `import google.protobuf` still
+# Re-probed r5, r6 AND r7 (2026-08-14): `import google.protobuf` still
 # ModuleNotFoundError — remains environment-blocked, not a build gap.
