@@ -60,6 +60,9 @@ def main() -> None:
         # two-stage ANN dedup (both new/reworked this round)
         "dedup_staged": "dedup_staged",
         "emb_dedup_ann": "emb_dedup_ann_verified",
+        # r7 additions: span-level dedup + the learned quality filter
+        "dedup_substring": "dedup_substring_spans",
+        "quality_classifier": "text_quality_classifier",
     }
 
     # global JIT/codegen warm-up: drive shuffle + agg + window codepaths a

@@ -291,6 +291,29 @@ def test_devacuated_keys_emit_rows_at_grading_scale(spark):
     assert all(r["is_dup"] == (r["keep_doc_id"] != r["doc_id"]) for r in rows)
 
 
+def test_r7_keys_not_vacuous(spark):
+    """The round-7 keys must exercise their interesting branch on the
+    grading fixture, not just emit all-default rows (the r5/r6 vacuity
+    lesson applied to every new key)."""
+    spans = QUERIES["dedup_substring_spans"](spark, SF).collect()
+    assert len(spans) > 0
+    n_dup = sum(r["n_dup_spans"] for r in spans)
+    assert n_dup > 0, "no duplicated spans at sf0.01 — key vacuous"
+    # covered tokens never exceed the doc and fraction is consistent
+    assert all(0 <= r["dup_tokens"] <= r["n_tokens"] for r in spans)
+    assert all(
+        (r["dup_tokens"] > 0) == (r["dup_token_frac"] > 0) for r in spans
+    )
+    quality = QUERIES["text_quality_classifier"](spark, SF).collect()
+    kept = {r["keep"] for r in quality}
+    assert kept == {True, False}, f"classifier split vacuous: {kept}"
+    inc = QUERIES["stream_dedup_incremental"](spark, SF).collect()
+    statuses = {r["ingest_status"] for r in inc}
+    assert "near_dup" in statuses and "new" in statuses, (
+        f"incremental dedup classes vacuous: {statuses}"
+    )
+
+
 def test_set_except_intersect_all_not_vacuous(spark):
     """EXCEPT ALL / INTERSECT ALL must exercise real multiset arithmetic
     (ADVICE r3: the old status/totalprice predicates were one-sided for every

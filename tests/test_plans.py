@@ -303,3 +303,21 @@ def test_ann_verify_is_vectorized_kernel(spark):
     plan = plan_of(spark, "emb_dedup_ann_verified")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_single_digest_window_no_udf(spark):
+    """r7: span dedup must stay entirely JVM-side (sequence+slice+xxhash64,
+    no Python workers) with the corpus-wide pass being the digest window —
+    pair joins would be quadratic, a Python UDF would leave codegen."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    """r7: the learned filter is one constant-folded projection — zero
+    exchanges, zero Python, straight from the parquet scan."""
+    plan = plan_of(spark, "text_quality_classifier")
+    assert n_exchanges(plan) == 0
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
