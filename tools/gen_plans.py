@@ -66,6 +66,9 @@ SHOWCASE = [
     ("join_left_anti", "anti join with the o_orderpriority filter PUSHED to the orders parquet scan — the build side shrinks ~5x before the probe"),
     ("q_parts_above_avg_price", "scalar mean+stddev threshold as a broadcast 1-row relation (BroadcastNestedLoopJoin, never CartesianProduct) — one part scan for stats, one for the filter"),
     ("sample_stratified", "deterministic salted-md5 Bernoulli filter evaluates map-side in whole-stage codegen before the per-stratum count shuffle — no RNG state, replay/partitioning independent"),
+    # r7 showcases
+    ("dedup_substring_spans", "span digests built JVM-side (sequence+slice+xxhash64 — no Python worker, no pair join); the corpus-wide pass is ONE count window keyed by digest, then per-doc interval-merge windows on the much smaller span table"),
+    ("text_quality_classifier", "the learned filter is a constant-folded logistic projection: scan -> project, ZERO exchanges, zero Python — the cheapest possible full-corpus pass"),
 ]
 
 

@@ -66,6 +66,12 @@ PROBE_KEYS = [
     # the staged mitigation itself: exact collapse kills the 9-twin replica
     # degeneracy BEFORE banding, so the banded stage sees ~constant work
     ("dedup_staged", "documents 10x (exact collapse FIRST, band survivors)"),
+    # r7 additions: span-level dedup (candidates ∝ true repeats — replica
+    # twins multiply repeated digests, never pairs) + the map-only
+    # learned filter + the foreachBatch ingest replay
+    ("dedup_substring_spans", "documents 10x (50-token window digests, count window)"),
+    ("text_quality_classifier", "documents 10x (map-only logistic filter)"),
+    ("stream_dedup_incremental", "documents 10x (4-wave replay vs digest index)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
