@@ -312,6 +312,12 @@ def test_r7_keys_not_vacuous(spark):
     assert "near_dup" in statuses and "new" in statuses, (
         f"incremental dedup classes vacuous: {statuses}"
     )
+    oov = QUERIES["text_oov_rate"](spark, SF).collect()
+    assert len(oov) > 0
+    rates = {r["oov_rate"] for r in oov}
+    assert min(rates) > 0.0 and max(rates) < 1.0 and len(rates) > 10, (
+        "oov_rate degenerate — vocab cut not splitting the corpus"
+    )
 
 
 def test_set_except_intersect_all_not_vacuous(spark):

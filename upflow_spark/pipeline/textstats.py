@@ -417,3 +417,71 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(prob).alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+# Induced-vocabulary size for text_oov_rate. Real tokenizer training uses
+# 32k-256k; the synthetic corpus has only 31 distinct tokens, so 16 (half
+# the vocabulary) keeps the coverage/OOV split non-vacuous while the
+# operator mechanism — frequency-ranked vocab induction + per-doc
+# out-of-vocabulary accounting — is exactly the production shape.
+OOV_VOCAB_K = 16
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents),
+vocab AS (
+  SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t)
+  ORDER BY c DESC, t ASC LIMIT {OOV_VOCAB_K}
+),
+per AS (
+  SELECT tok.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok LEFT JOIN vocab v ON tok.t = v.t
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       floor((CAST(n_oov AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS oov_rate
+FROM per
+""",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage accounting: induce a fixed-size vocabulary from
+    corpus token frequencies (top-K by count desc, token asc — the
+    word-level analogue of a tokenizer-training frequency cut), then score
+    every document's out-of-vocabulary rate against it.
+
+    Plan: ONE token explode feeds both passes; the vocab is a top-K over
+    the token-count aggregate (K rows — broadcast by construction) and the
+    per-doc pass is a broadcast LEFT join + doc_id aggregate. At 100 TB
+    the vocab induction is the classic two-stage count (map-side partial,
+    K-row result) and the scoring pass stays map-side — no token ever
+    shuffles twice.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("t")).localCheckpoint()
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(OOV_VOCAB_K)
+        .select(F.col("t").alias("v"))
+    )
+    joined = tok.join(F.broadcast(vocab), tok.t == F.col("v"), "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            r4(F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
