@@ -318,6 +318,21 @@ def test_r7_keys_not_vacuous(spark):
     assert min(rates) > 0.0 and max(rates) < 1.0 and len(rates) > 10, (
         "oov_rate degenerate — vocab cut not splitting the corpus"
     )
+    applied = QUERIES["dedup_substring_apply"](spark, SF).collect()
+    assert sum(r["n_removed"] for r in applied) > 0, "apply removed nothing"
+    for r in applied:
+        toks = [x for x in r["cleaned_text"].split(" ") if x]
+        assert len(toks) == r["n_tokens"] - r["n_removed"]
+    # removal is strictly the non-keeper duplicated spans: every doc that
+    # removed tokens must also report duplicated spans in the report key
+    span_docs = {
+        r["doc_id"]
+        for r in QUERIES["dedup_substring_spans"](spark, SF).collect()
+        if r["n_dup_spans"] > 0
+    }
+    assert all(
+        r["doc_id"] in span_docs for r in applied if r["n_removed"] > 0
+    )
 
 
 def test_set_except_intersect_all_not_vacuous(spark):

@@ -306,3 +306,76 @@ def test_gemm_kernel_matches_brute_force(spark, term_lists):
             for r in _jaccard_pairs_gemm(spark, docs, thr, measure=measure).collect()
         }
         assert got == _brute_pairs(lists, thr, measure), (measure, lists)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=0, max_value=60),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=25, deadline=None)
+def test_cc_contraction_cte_matches_union_find(edges):
+    """The generated pointer-doubling oracle (r7: replaced the recursive
+    transitive closure that ran hours at sf0.1) must agree with a
+    union-find on ANY graph — hypothesis shrinks violations to minimal
+    edge lists. Pure DuckDB, no Spark."""
+    import duckdb
+
+    from upflow_spark.pipeline.cluster import _cc_contraction_cte
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs (doc_a BIGINT, doc_b BIGINT)")
+    con.executemany("INSERT INTO pairs VALUES (?, ?)", edges)
+    got = dict(
+        con.execute(
+            f"WITH {_cc_contraction_cte()} SELECT n, lbl FROM cc_final"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_cc_contraction_cte_ascending_chain():
+    """The adversarial case that broke the first r7 draft: an ascending-id
+    chain makes the hop forest a single max-depth path, so insufficient
+    pointer jumps contract ADDITIVELY and labels never converge. Pin a
+    chain longer than any contraction round could shift additively."""
+    import duckdb
+
+    from upflow_spark.pipeline.cluster import _cc_contraction_cte
+
+    n = 3000
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs (doc_a BIGINT, doc_b BIGINT)")
+    con.executemany(
+        "INSERT INTO pairs VALUES (?, ?)", [(i, i + 1) for i in range(1, n)]
+    )
+    got = con.execute(
+        f"WITH {_cc_contraction_cte()} SELECT count(*) FROM cc_final WHERE lbl = 1"
+    ).fetchone()[0]
+    con.close()
+    assert got == n

@@ -70,6 +70,7 @@ PROBE_KEYS = [
     # twins multiply repeated digests, never pairs) + the map-only
     # learned filter + the foreachBatch ingest replay
     ("dedup_substring_spans", "documents 10x (50-token window digests, count window)"),
+    ("dedup_substring_apply", "documents 10x (span removal rewrite, map-side filter HOF)"),
     ("text_quality_classifier", "documents 10x (map-only logistic filter)"),
     ("stream_dedup_incremental", "documents 10x (4-wave replay vs digest index)"),
 ]

@@ -160,3 +160,123 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_frac"),
         )
     )
+
+
+@query(
+    "dedup_substring_apply",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+spans AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - {SPAN_W - 1}, {SPAN_S})) AS pos, t
+  FROM toks WHERE len(t) >= {SPAN_W}
+),
+digs AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[pos:pos + {SPAN_W - 1}], ' ')) AS dig
+  FROM spans
+),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY dig) AS c,
+         min(doc_id * 1000000 + pos) OVER (PARTITION BY dig) AS kk
+  FROM digs
+),
+rem AS (
+  SELECT doc_id, pos, pos + {SPAN_W - 1} AS e FROM marked
+  WHERE c > 1 AND doc_id * 1000000 + pos <> kk
+),
+posuniv AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t FROM toks),
+keeppos AS (
+  SELECT pu.doc_id, pu.p, pu.t
+  FROM posuniv pu
+  WHERE NOT EXISTS (SELECT 1 FROM rem r
+                    WHERE r.doc_id = pu.doc_id AND pu.p BETWEEN r.pos AND r.e)
+),
+clean AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(t[p], ' ' ORDER BY p) AS cleaned_text
+  FROM keeppos GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(len(tk.t) - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(c.cleaned_text, '') AS cleaned_text
+FROM toks tk LEFT JOIN clean c ON tk.doc_id = c.doc_id
+""",
+)
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE counterpart of dedup_substring_spans (as
+    dedup_apply_canonical is to dedup_cluster_cc): rewrite the corpus with
+    every duplicated 50-token span REMOVED except its first occurrence —
+    the Lee-et-al pipeline's actual output. First occurrence = the span
+    whose (doc_id, pos) is lexicographically smallest among its digest
+    group, encoded as one comparable key (doc_id*1e6+pos) so both engines
+    rank identically.
+
+    Plan: the span digests reuse the report key's map-side build; ONE
+    window by digest produces both the occurrence count and the keeper
+    key; removal intervals come back to their documents as a
+    collect_list join (per-doc interval arrays are tiny — bounded by
+    spans/doc), and the rewrite is a map-side two-arg filter HOF
+    (token index ∉ any removal interval) — the corpus text itself never
+    shuffles, mirroring dedup_apply_canonical's never-shuffle-the-corpus
+    property at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    t = d.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    spans = (
+        t.filter(F.col("n_tokens") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    (F.col("n_tokens") - (SPAN_W - 1)).cast("int"),
+                    F.lit(SPAN_S),
+                )
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.concat_ws(" ", F.expr(f"slice(t, pos, {SPAN_W})"))).alias(
+                "dig"
+            ),
+        )
+    )
+    wd = Window.partitionBy("dig")
+    okey = F.col("doc_id") * 1000000 + F.col("pos")
+    marked = spans.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wd).alias("c"),
+        F.min(okey).over(wd).alias("kk"),
+    )
+    rem = marked.filter((F.col("c") > 1) & (okey != F.col("kk"))).select(
+        "doc_id",
+        F.struct(
+            F.col("pos").alias("s"), (F.col("pos") + (SPAN_W - 1)).alias("e")
+        ).alias("iv"),
+    )
+    ivals = rem.groupBy("doc_id").agg(F.collect_list("iv").alias("ivals"))
+    joined = t.join(ivals, "doc_id", "left_outer").select(
+        "doc_id",
+        "n_tokens",
+        "t",
+        F.coalesce(
+            F.col("ivals"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+        ).alias("ivals"),
+    )
+    kept = F.expr(
+        "filter(t, (x, i) -> NOT exists(ivals, iv -> i + 1 >= iv.s AND i + 1 <= iv.e))"
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
