@@ -379,3 +379,32 @@ def test_cc_contraction_cte_ascending_chain():
     ).fetchone()[0]
     con.close()
     assert got == n
+
+
+def test_cc_contraction_cte_poisons_on_nonconvergence():
+    """r8 ADVICE guard: with the round budget forced too small for the
+    graph, the oracle must emit the (-1, -1) poison row — never a
+    plausible-but-wrong labelling. A 100-node ascending chain with
+    rounds=1, jumps=1 cannot contract fully; and the SAME graph with the
+    production budget must converge with NO poison row."""
+    import duckdb
+
+    from upflow_spark.pipeline.cluster import _cc_contraction_cte
+
+    n = 100
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs (doc_a BIGINT, doc_b BIGINT)")
+    con.executemany(
+        "INSERT INTO pairs VALUES (?, ?)", [(i, i + 1) for i in range(1, n)]
+    )
+    poisoned = con.execute(
+        f"WITH {_cc_contraction_cte(rounds=1, jumps=1)} "
+        "SELECT count(*) FROM cc_final WHERE n = -1"
+    ).fetchone()[0]
+    clean = con.execute(
+        f"WITH {_cc_contraction_cte()} "
+        "SELECT count(*) FROM cc_final WHERE n = -1"
+    ).fetchone()[0]
+    con.close()
+    assert poisoned == 1, "undersized budget must poison the output"
+    assert clean == 0, "production budget must converge with no poison row"

@@ -142,7 +142,22 @@ def _cc_contraction_cte(rounds: int = 14, jumps: int = 17) -> str:
             f"m{k + 1} AS MATERIALIZED (SELECT m.n, coalesce(q.p, m.lbl) AS lbl "
             f"FROM m{k} m LEFT JOIN {prev} q ON m.lbl = q.n)"
         )
-    return ",\n".join(parts) + f",\ncc_final AS (SELECT n, lbl FROM m{rounds})"
+    # NON-CONVERGENCE GUARD: the round/jump budget is fixed, so a component
+    # that survives contraction past round `rounds` (possible only far
+    # beyond the validated depth bounds) would otherwise emit PLAUSIBLE but
+    # wrong labels — and a degraded Spark side could even agree with them.
+    # cc_unconverged is non-empty iff the final contracted edge set still
+    # has edges; cc_final injects a poison row from it (n = lbl = -1:
+    # doc_ids are non-negative, so it can never occur naturally), and
+    # oracles whose joins would swallow that row (dedup_apply_canonical)
+    # reference cc_unconverged directly — either way the row-count / hash
+    # compare fails loudly instead of silently.
+    return ",\n".join(parts) + (
+        f",\ncc_unconverged AS MATERIALIZED"
+        f" (SELECT 1 AS one FROM e{rounds} LIMIT 1)"
+        f",\ncc_final AS (SELECT n, lbl FROM m{rounds}"
+        f" UNION ALL SELECT -1 AS n, -1 AS lbl FROM cc_unconverged)"
+    )
 
 
 _CC_CTE = _cc_contraction_cte()
@@ -357,6 +372,9 @@ cc AS (SELECT n AS doc_id, lbl AS cluster_id FROM cc_final)
 SELECT d.doc_id, d.lang, length(d.text) AS content_len
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
 WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id
+UNION ALL
+SELECT -1 AS doc_id, 'CC_UNCONVERGED' AS lang, -1 AS content_len
+FROM cc_unconverged
 """,
 )
 def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

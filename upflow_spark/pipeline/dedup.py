@@ -1215,6 +1215,14 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             want_a = pdf["vec_a"].to_numpy(np.int64)
             want_b = pdf["vec_b"].to_numpy(np.int64)
+            # empty pack + non-empty candidates: clip(max=-1) would gather
+            # with index -1 and raise an opaque IndexError before the
+            # closure ValueError below — short-circuit with the same error
+            if len(b_ids) == 0:
+                raise ValueError(
+                    "candidate vec_id absent from packed embedding matrix — "
+                    "candidate source is not id-closed over the pack"
+                )
             a = np.searchsorted(b_ids, want_a).clip(max=len(b_ids) - 1)
             b = np.searchsorted(b_ids, want_b).clip(max=len(b_ids) - 1)
             # id-closure check: a candidate id absent from the packed

@@ -399,6 +399,13 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             want_a = pdf["vec_a"].to_numpy(np.int64)
             want_b = pdf["vec_b"].to_numpy(np.int64)
+            # empty pack + non-empty candidates: clip(max=-1) would raise
+            # an opaque IndexError — short-circuit with the closure error
+            if len(b_ids) == 0:
+                raise ValueError(
+                    "candidate vec_id absent from packed embedding matrix — "
+                    "candidate source is not id-closed over the pack"
+                )
             ai = np.searchsorted(b_ids, want_a).clip(max=len(b_ids) - 1)
             bi = np.searchsorted(b_ids, want_b).clip(max=len(b_ids) - 1)
             # id-closure check (see emb_dedup_ann_verified): absent ids

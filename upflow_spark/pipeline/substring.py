@@ -178,12 +178,12 @@ digs AS (
 marked AS (
   SELECT doc_id, pos,
          count(*) OVER (PARTITION BY dig) AS c,
-         min(doc_id * 1000000 + pos) OVER (PARTITION BY dig) AS kk
+         min(ROW(doc_id, pos)) OVER (PARTITION BY dig) AS kk
   FROM digs
 ),
 rem AS (
   SELECT doc_id, pos, pos + {SPAN_W - 1} AS e FROM marked
-  WHERE c > 1 AND doc_id * 1000000 + pos <> kk
+  WHERE c > 1 AND ROW(doc_id, pos) <> kk
 ),
 posuniv AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t FROM toks),
 keeppos AS (
@@ -210,8 +210,9 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     every duplicated 50-token span REMOVED except its first occurrence —
     the Lee-et-al pipeline's actual output. First occurrence = the span
     whose (doc_id, pos) is lexicographically smallest among its digest
-    group, encoded as one comparable key (doc_id*1e6+pos) so both engines
-    rank identically.
+    group, ranked as a lexicographic (doc_id, pos) struct on both engines
+    (r8: replaced the doc_id*1e6+pos arithmetic key, which aliased for
+    documents past 1M token positions).
 
     Plan: the span digests reuse the report key's map-side build; ONE
     window by digest produces both the occurrence count and the keeper
@@ -249,7 +250,10 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wd = Window.partitionBy("dig")
-    okey = F.col("doc_id") * 1000000 + F.col("pos")
+    # first occurrence ranks by the lexicographic (doc_id, pos) STRUCT —
+    # an arithmetic doc_id*1e6+pos encoding would alias/overflow once a
+    # document exceeds 1M token positions (r7 ADVICE); struct min cannot
+    okey = F.struct("doc_id", "pos")
     marked = spans.select(
         "doc_id",
         "pos",

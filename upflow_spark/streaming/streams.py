@@ -611,21 +611,28 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(dst)
         )
-        # FileStreamSource orders micro-batches by file mtime, and one
-        # parquet job stamps every part file with the SAME mtime — the
-        # tie-break is listing order, i.e. arbitrary, and a wave classified
-        # before its predecessors flips near_dup/new both ways (observed at
-        # sf0.1). Range partitions are ascending, so part-file NAME order
-        # == wave order: restamp mtimes 2 s apart in that order to pin the
-        # replay sequence.
-        import time as _time
+    # FileStreamSource orders micro-batches by file mtime, and one parquet
+    # job stamps every part file with the SAME mtime — the tie-break is
+    # listing order, i.e. arbitrary, and a wave classified before its
+    # predecessors flips near_dup/new both ways (observed at sf0.1). Range
+    # partitions are ascending, so part-file NAME order == wave order:
+    # restamp mtimes 2 s apart in that order to pin the replay sequence.
+    # The check-and-restamp runs on EVERY call, not only when the replica
+    # is created (r8 ADVICE): a crash between the parquet job's _SUCCESS
+    # and os.utime would otherwise leave a permanently cached replica with
+    # tied mtimes and nondeterministic replay. Stamps are all in the PAST
+    # (base = now - 2n) so no file is ever dated in the future. The
+    # mutation target is this repo-owned /tmp replica ONLY — never the
+    # read-only source fixture under sf_dir.
+    import time as _time
 
-        now = _time.time()
-        parts = sorted(
-            p for p in os.listdir(dst) if p.startswith("part-")
-        )
+    parts = sorted(p for p in os.listdir(dst) if p.startswith("part-"))
+    mtimes = [os.stat(os.path.join(dst, p)).st_mtime for p in parts]
+    if any(b <= a for a, b in zip(mtimes, mtimes[1:])):
+        base = _time.time() - 2.0 * len(parts)
         for i, p in enumerate(parts):
-            os.utime(os.path.join(dst, p), (now + 2 * i, now + 2 * i))
+            t = base + 2.0 * i
+            os.utime(os.path.join(dst, p), (t, t))
 
     work = tempfile.mkdtemp(prefix="upflow_incdedup_")
     idx_dir = os.path.join(work, "digest_index")
