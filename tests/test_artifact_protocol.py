@@ -1,0 +1,80 @@
+"""Artifact-protocol guard (VERDICT r7 item 2): the committed driver-sim
+artifacts must cover EXACTLY the keys the live registry ships.
+
+r7 shipped a 310-key registry with 309-key sims because
+dedup_substring_apply was committed after the end-of-round artifact
+regeneration — committed evidence that no longer matched the shipped
+surface. This test makes that impossible to commit silently: it compares
+the NEWEST CORRECTNESS_local_r*.json (and BENCH_DETAIL.md's key rows)
+against __spark_entry__.queries() and fails with the delta spelled out.
+
+Mid-round this test goes red the moment a key is added — that is the
+point: the red is the reminder that the end-of-round regeneration (verify
+skill, END-OF-ROUND RULE) has not run on final code yet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry_keys() -> set[str]:
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    return set(E.queries())
+
+
+def _latest_sim_path() -> str | None:
+    best, best_n = None, -1
+    for name in os.listdir(REPO):
+        m = re.fullmatch(r"CORRECTNESS_local_r(\d+)\.json", name)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = name, int(m.group(1))
+    return os.path.join(REPO, best) if best else None
+
+
+def test_latest_sim_covers_registry_exactly():
+    path = _latest_sim_path()
+    if path is None:
+        pytest.skip("no committed driver-sim artifact yet")
+    with open(path) as fh:
+        sim = json.load(fh)
+    sim_keys = set(sim["keys"])
+    reg_keys = _registry_keys()
+    missing = sorted(reg_keys - sim_keys)
+    extra = sorted(sim_keys - reg_keys)
+    assert not missing and not extra, (
+        f"{os.path.basename(path)} does not match the live registry — "
+        f"regenerate the sims on final code (verify skill END-OF-ROUND "
+        f"RULE). keys in registry but not sim: {missing}; "
+        f"keys in sim but not registry: {extra}"
+    )
+
+
+def test_bench_detail_covers_registry_exactly():
+    path = os.path.join(REPO, "BENCH_DETAIL.md")
+    if not os.path.exists(path):
+        pytest.skip("no BENCH_DETAIL.md yet")
+    keys = set()
+    with open(path) as fh:
+        for line in fh:
+            m = re.match(r"\| (\w+) \| [\d.]+ \| \d+ \|", line)
+            if m:
+                keys.add(m.group(1))
+    if not keys:
+        pytest.skip("BENCH_DETAIL.md has no per-key rows to check")
+    reg_keys = _registry_keys()
+    missing = sorted(reg_keys - keys)
+    assert not missing, (
+        f"BENCH_DETAIL.md is missing registry keys {missing} — regenerate "
+        f"it from scratch on final code (rm the partial first)"
+    )

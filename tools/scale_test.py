@@ -204,8 +204,22 @@ def main() -> None:
                 f" {rc:.1f}x | {rk:.1f}x |"
             )
         print(lines[-1], flush=True)
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+    # PRESERVE the hand-written analysis below the marker: the r7 final
+    # snapshot wholesale-rewrote SCALE.md and silently dropped 103 lines
+    # of per-family analysis (VERDICT r7 item 3). Everything from the
+    # marker on survives every regeneration mechanically.
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+    )
+    analysis = ""
+    marker = "<!-- ANALYSIS — preserved across table regenerations -->"
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = fh.read()
+        if marker in prev:
+            analysis = prev[prev.index(marker):]
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n\n" + analysis)
     spark.stop()
 
 

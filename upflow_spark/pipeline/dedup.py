@@ -531,29 +531,45 @@ def _jaccard_pairs_gemm(
     def score_block(a_ids_full, amat_full, b_ids, b_mat, b_counts):
         """Yield pair frames for one A operand vs one B operand, in
         512-row sub-blocks. Shared by the broadcast and grid kernels —
-        identical math, so path selection can never change results."""
+        identical math, so path selection can never change results.
+
+        Memory discipline (r8): the pair grid is scored in FLOAT32 with a
+        slightly-permissive prefilter (thr − 1e-4), and exact float64
+        division runs only on the surviving candidates. inter and the
+        denominators are exact small integers in float32 (≤ |V| < 2^24),
+        so the prefilter is a guaranteed superset of the float64 keep set
+        (1e-4 relative slack dwarfs float32's 1e-7 rounding); the final
+        float64 `score >= thr` filter restores the exact boundary. Peak
+        per-block temporaries drop ~3x (no float64 slabs over the full
+        blk × n_b grid) and float64 work becomes ∝ emitted pairs — the
+        allocation churn, not BLAS, dominated the sf1 kernel wall-time."""
+        b_counts32 = b_counts.astype(np.float32)
         for s in range(0, len(a_ids_full), blk):
             amat = amat_full[s : s + blk]
             a_ids = a_ids_full[s : s + blk]
-            a_counts = amat.sum(axis=1).astype(np.float64)
-            inter = (amat @ b_mat.T).astype(np.float64)
+            a_counts32 = amat.sum(axis=1, dtype=np.float32)
+            inter = amat @ b_mat.T  # float32, exact integer counts
+            if directed:
+                denom = np.broadcast_to(a_counts32[:, None], inter.shape)
+                idmask = a_ids[:, None] != b_ids[None, :]
+            else:
+                denom = a_counts32[:, None] + b_counts32[None, :] - inter
+                idmask = a_ids[:, None] < b_ids[None, :]
+            pre = (inter >= np.float32(thr - 1e-4) * denom) & idmask
+            ai, bi = np.nonzero(pre)
             # empty term sets (e.g. 1-token docs have no bigrams) yield
             # 0/0 -> nan; nan >= thr is False, matching the oracle which
             # never emits such docs — silence the harmless warning
             with np.errstate(divide="ignore", invalid="ignore"):
-                if directed:
-                    score = inter / a_counts[:, None]
-                    keep = (score >= thr) & (a_ids[:, None] != b_ids[None, :])
-                else:
-                    union = a_counts[:, None] + b_counts[None, :] - inter
-                    score = inter / union
-                    keep = (score >= thr) & (a_ids[:, None] < b_ids[None, :])
-            ai, bi = np.nonzero(keep)
+                score = inter[ai, bi].astype(np.float64) / denom[ai, bi].astype(
+                    np.float64
+                )
+            keep = score >= thr
             yield pd.DataFrame(
                 {
-                    "doc_a": a_ids[ai],
-                    "doc_b": b_ids[bi],
-                    "jac_raw": score[ai, bi],
+                    "doc_a": a_ids[ai[keep]],
+                    "doc_b": b_ids[bi[keep]],
+                    "jac_raw": score[keep],
                 }
             )
 

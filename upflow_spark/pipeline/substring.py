@@ -284,3 +284,164 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+@query(
+    "dedup_substring_exact",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+gspans AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - {SPAN_W - 1}, {SPAN_S})) AS pos, t
+  FROM toks WHERE len(t) >= {SPAN_W}
+),
+gdigs AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[pos:pos + {SPAN_W - 1}], ' ')) AS dig
+  FROM gspans
+),
+gcnt AS (SELECT doc_id, count(*) OVER (PARTITION BY dig) AS c FROM gdigs),
+flagged AS (SELECT DISTINCT doc_id FROM gcnt WHERE c > 1),
+ftoks AS (SELECT tk.doc_id, tk.t FROM toks tk JOIN flagged f ON tk.doc_id = f.doc_id),
+s1 AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - {SPAN_W - 1}, 1)) AS pos, t
+  FROM ftoks WHERE len(t) >= {SPAN_W}
+),
+d1 AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[pos:pos + {SPAN_W - 1}], ' ')) AS dig
+  FROM s1
+),
+c1 AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY dig) AS c FROM d1),
+agg1 AS (
+  SELECT doc_id, count(*) AS n_windows,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM c1 GROUP BY doc_id
+),
+dup AS (SELECT doc_id, pos, pos + {SPAN_W - 1} AS e FROM c1 WHERE c > 1),
+cov AS (
+  SELECT doc_id,
+         greatest(0, e - greatest(pos - 1,
+           coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS cover
+  FROM dup
+),
+agg2 AS (SELECT doc_id, sum(cover) AS dup_tokens_exact FROM cov GROUP BY doc_id)
+SELECT ft.doc_id,
+       CAST(len(ft.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a1.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(a1.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(a2.dup_tokens_exact, 0) AS BIGINT) AS dup_tokens_exact,
+       floor((CAST(coalesce(a2.dup_tokens_exact, 0) AS DOUBLE) / len(ft.t)) * 10000 + 0.5)
+         / 10000 AS dup_frac_exact
+FROM ftoks ft
+LEFT JOIN agg1 a1 ON ft.doc_id = a1.doc_id
+LEFT JOIN agg2 a2 ON ft.doc_id = a2.doc_id
+""",
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase stride-1 recall pass over dedup_substring_spans (Lee et
+    al.'s exactness refinement): phase 1 is the stride-{SPAN_S} corpus
+    scan; phase 2 re-windows ONLY the documents phase 1 flagged — at
+    stride 1 — so the per-position hashing cost is ∝ flagged docs, never
+    the corpus. Output: per flagged doc, the stride-1 window counts and
+    the EXACT merged duplicated-token coverage (stride-10 coverage
+    under-counts up to {SPAN_S}-1 tokens per span edge).
+
+    Recall contract (documented, shared by both engines): phase 2's
+    duplicate universe is the stride-1 windows of FLAGGED docs — a span
+    duplicated only between two never-flagged docs (both occurrences off
+    the stride-{SPAN_S} grid phase) stays invisible, exactly as in the
+    report key. Flagging is grid-based by design; the 100 TB posture is
+    stride-{SPAN_S} for the always-on scan and this key as the
+    second-stage exact pass over the (tiny) flagged slice.
+
+    Plan: grid scan reuses the spans machinery (one digest count window);
+    the flagged-doc set is tiny (∝ docs with true duplication) so it
+    broadcasts back onto the corpus as a semi-join; the stride-1 digest
+    count window then runs over flagged-doc windows only. The corpus is
+    never pair-joined at either phase.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    t = d.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("n_tokens")
+    )
+
+    def windows(src: DataFrame, stride: int) -> DataFrame:
+        return (
+            src.filter(F.col("n_tokens") >= SPAN_W)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        (F.col("n_tokens") - (SPAN_W - 1)).cast("int"),
+                        F.lit(stride),
+                    )
+                ).alias("pos"),
+                "t",
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.xxhash64(
+                    F.concat_ws(" ", F.expr(f"slice(t, pos, {SPAN_W})"))
+                ).alias("dig"),
+            )
+        )
+
+    wd = Window.partitionBy("dig")
+    flagged = (
+        windows(t, SPAN_S)
+        .withColumn("c", F.count(F.lit(1)).over(wd))
+        .filter(F.col("c") > 1)
+        .select("doc_id")
+        .distinct()
+    )
+    ft = t.join(F.broadcast(flagged), "doc_id")
+    c1 = windows(ft, 1).withColumn("c", F.count(F.lit(1)).over(wd))
+    agg1 = c1.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+    )
+    dup = c1.filter(F.col("c") > 1).select(
+        "doc_id", "pos", (F.col("pos") + (SPAN_W - 1)).alias("e")
+    )
+    prev_max = F.max("e").over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = dup.select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            F.col("e")
+            - F.greatest(F.col("pos") - 1, F.coalesce(prev_max, F.lit(0))),
+        ).alias("cover"),
+    )
+    agg2 = cov.groupBy("doc_id").agg(
+        F.sum("cover").cast("long").alias("dup_tokens_exact")
+    )
+    return (
+        ft.select("doc_id", "n_tokens")
+        .join(agg1, "doc_id", "left_outer")
+        .join(agg2, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce(F.col("dup_tokens_exact"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens_exact"),
+            r4(
+                F.coalesce(F.col("dup_tokens_exact"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_frac_exact"),
+        )
+    )

