@@ -63,6 +63,9 @@ def main() -> None:
         # r7 additions: span-level dedup + the learned quality filter
         "dedup_substring": "dedup_substring_spans",
         "quality_classifier": "text_quality_classifier",
+        # r8 additions: the stride-1 exact pass + routed tokenization
+        "dedup_substring_exact": "dedup_substring_exact",
+        "tokenize_cjk": "text_tokenize_cjk",
     }
 
     # global JIT/codegen warm-up: drive shuffle + agg + window codepaths a

@@ -68,12 +68,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("d")
         ).withColumnRenamed("u", "n").localCheckpoint()
         nv = float(deg.count())  # bounded driver scalar: one row per graph node
+        if nv == 0:
+            return spark.createDataFrame([], "doc_id long, pr_scaled double")
+        # r8: fold 1/out-degree into the edge list ONCE (w_uv = 1/d_u) and
+        # broadcast the small rank table each round — the edge table is
+        # then never re-shuffled inside the loop (the r7 shape shuffled
+        # 823k edge rows per iteration for the ranks⋈deg⋈edges join);
+        # per round = one map-side broadcast join + ONE groupBy(v) shuffle.
+        # At cluster scale this is the standard PageRank layout: edges
+        # partitioned once, ranks small enough to broadcast (one row per
+        # node of the near-dup graph, not per document).
+        wedges = (
+            edges.join(deg, edges.u == deg.n)
+            .select("u", "v", "d")  # carry the DEGREE, not 1/d: the oracle
+            # sums r/d, and r*(1/d) differs in the last ulp — same division
+            # per contribution keeps the engines bit-identical
+            .localCheckpoint()
+        )
         ranks = deg.select("n", F.lit(1.0 / nv).alias("r"))
         for _ in range(N_ITER):
-            contrib = (
-                ranks.join(deg, "n")
-                .join(edges, ranks.n == edges.u)
-                .select(F.col("v").alias("n"), (F.col("r") / F.col("d")).alias("c"))
+            contrib = wedges.join(F.broadcast(ranks), wedges.u == ranks.n).select(
+                F.col("v").alias("n"), (F.col("r") / F.col("d")).alias("c")
             )
             ranks = (
                 contrib.groupBy("n")
