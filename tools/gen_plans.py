@@ -69,6 +69,9 @@ SHOWCASE = [
     # r7 showcases
     ("dedup_substring_spans", "span digests built JVM-side (sequence+slice+xxhash64 — no Python worker, no pair join); the corpus-wide pass is ONE count window keyed by digest, then per-doc interval-merge windows on the much smaller span table"),
     ("text_quality_classifier", "the learned filter is a constant-folded logistic projection: scan -> project, ZERO exchanges, zero Python — the cheapest possible full-corpus pass"),
+    # r8 showcases
+    ("dedup_substring_exact", "two-phase stride-1 pass: the flagged-doc set from the stride-10 scan comes back as a BROADCAST semi-join onto the corpus, so the stride-1 window explosion runs over flagged docs only — no pair join at either phase"),
+    ("text_tokenize_cjk", "language-routed tokenization as a CASE over per-row expressions — the char-bigram and whitespace branches both evaluate in the SAME project feeding one explode + one groupBy(lang); no UDF, no per-language scan"),
 ]
 
 

@@ -51,6 +51,20 @@ FROM {prev}
 """
 
 
+def _pagerank_round(wedges: DataFrame, ranks: DataFrame, nv: float) -> DataFrame:
+    """One power-iteration round: map-side broadcast join of the small rank
+    table onto the degree-carrying edge list, then ONE groupBy(v) shuffle.
+    Division is per-contribution (r/d, never r·(1/d)) so the sum matches
+    the oracle bit-for-bit. Factored out so tests/test_plans.py can pin
+    the round's physical shape (the checkpointed loop hides it)."""
+    contrib = wedges.join(F.broadcast(ranks), wedges.u == ranks.n).select(
+        F.col("v").alias("n"), (F.col("r") / F.col("d")).alias("c")
+    )
+    return contrib.groupBy("n").agg(
+        (F.lit(0.15 / nv) + DAMPING * F.sum("c")).alias("r")
+    )
+
+
 @query("graph_pagerank", oracle=_oracle_sql())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (6 iterations, d=0.85) over the symmetrized SimHash
@@ -87,14 +101,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = deg.select("n", F.lit(1.0 / nv).alias("r"))
         for _ in range(N_ITER):
-            contrib = wedges.join(F.broadcast(ranks), wedges.u == ranks.n).select(
-                F.col("v").alias("n"), (F.col("r") / F.col("d")).alias("c")
-            )
-            ranks = (
-                contrib.groupBy("n")
-                .agg((F.lit(0.15 / nv) + DAMPING * F.sum("c")).alias("r"))
-                .localCheckpoint()
-            )
+            ranks = _pagerank_round(wedges, ranks, nv).localCheckpoint()
         return ranks.select(
             F.col("n").alias("doc_id"), r4(F.col("r") * nv).alias("pr_scaled")
         )
