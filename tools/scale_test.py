@@ -73,6 +73,10 @@ PROBE_KEYS = [
     ("dedup_substring_apply", "documents 10x (span removal rewrite, map-side filter HOF)"),
     ("text_quality_classifier", "documents 10x (map-only logistic filter)"),
     ("stream_dedup_incremental", "documents 10x (4-wave replay vs digest index)"),
+    # r8 additions: the stride-1 exact pass (cost ∝ flagged docs) and the
+    # language-routed tokenizer (map-side CASE + one lang groupBy)
+    ("dedup_substring_exact", "documents 10x (stride-1 re-scan of flagged docs only)"),
+    ("text_tokenize_cjk", "documents 10x (CASE-routed char-bigram/whitespace tokens)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
