@@ -564,7 +564,7 @@ def _jaccard_pairs_gemm(
                 score = inter[ai, bi].astype(np.float64) / denom[ai, bi].astype(
                     np.float64
                 )
-            keep = score >= thr
+                keep = score >= thr  # nan (0/0) compares False, silenced
             yield pd.DataFrame(
                 {
                     "doc_a": a_ids[ai[keep]],

@@ -262,18 +262,32 @@ def text_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     cjk = F.col("lang").isin("zh", "ja", "ko", "th")
-    squeezed = F.regexp_replace(F.col("text"), " ", "")
-    grams = F.when(
-        F.length(squeezed) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length(squeezed) - 1),
-            lambda i: squeezed.substr(i, F.lit(2)),
+    # char bigrams via the same codegen'd slice+zip pattern as
+    # bigram_struct_col — a transform(sequence, i -> substr) lambda runs
+    # interpreted PER CHARACTER (measured 1.7 s vs 0.6 s at sf0.1); both
+    # branches are unified as (a, b) structs (whitespace tokens pair with
+    # '') so ONE explode serves both, and the concat happens post-explode
+    # inside whole-stage codegen
+    chars = F.split(F.regexp_replace(F.col("text"), " ", ""), "")
+    n1 = F.size(chars) - 1
+    gram_structs = F.when(
+        n1 >= 1,
+        F.arrays_zip(
+            F.slice(chars, 1, n1).alias("a"), F.slice(chars, 2, n1).alias("b")
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.expr("CAST(array() AS array<struct<a:string,b:string>>)"))
+    ws_structs = F.arrays_zip(
+        tokens_col().alias("a"),
+        F.array().cast("array<string>").alias("b"),
+    )
     tok = d.select(
         "doc_id",
         "lang",
-        F.explode(F.when(cjk, grams).otherwise(tokens_col())).alias("token"),
+        F.explode(F.when(cjk, gram_structs).otherwise(ws_structs)).alias("s"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.concat(F.col("s.a"), F.coalesce(F.col("s.b"), F.lit(""))).alias("token"),
     )
     return (
         tok.groupBy("lang")
