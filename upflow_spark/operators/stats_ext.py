@@ -1,0 +1,171 @@
+"""Inferential statistics / drift detection operators (§2-P): Welch's
+unequal-variance t-test and CUSUM change-point detection.
+
+The A/B-comparison and data-drift primitives a curation pipeline runs over
+corpus slices (did source A's quality shift? did daily volume change
+regime?). Both are single-scan aggregate shapes.
+
+Float parity: means/variances are computed from EXACT DECIMAL sums (the
+parity.py accumulation-order rule — double sums differ between engines on
+2-decimal money data), then finished in identical IEEE double expression
+trees; cumulative sums run in explicit date order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import R4, r4
+from upflow_spark.registry import query
+
+_G1, _G2 = "1-URGENT", "5-LOW"
+
+# exact sums: price is 2dp, price² is 4dp — both representable; DECIMAL
+# aggregation is order-insensitive, so either engine may shuffle freely
+_SQL_DEC = "CAST(o_totalprice AS DECIMAL(18,2))"
+_SQL_DEC2 = f"({_SQL_DEC} * {_SQL_DEC})"
+
+
+def _sql_welch() -> str:
+    # var = (s2 - s1²/n)/(n-1), Welch df via Satterthwaite — all doubles
+    # derived from the exact sums, identical expression tree to the Spark side
+    parts = []
+    for g, flt in (("1", f"o_orderpriority = '{_G1}'"), ("2", f"o_orderpriority = '{_G2}'")):
+        parts.append(f"CAST(count(*) FILTER ({flt}) AS DOUBLE) AS n{g}")
+        parts.append(f"CAST(sum({_SQL_DEC}) FILTER ({flt}) AS DOUBLE) AS s{g}")
+        parts.append(f"CAST(sum({_SQL_DEC2}) FILTER ({flt}) AS DOUBLE) AS q{g}")
+    return ", ".join(parts)
+
+
+@query(
+    "stat_welch_ttest",
+    oracle=f"""
+WITH a AS (SELECT {_sql_welch()} FROM orders),
+m AS (
+  SELECT n1, n2,
+         s1 / n1 AS m1, s2 / n2 AS m2,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM a
+)
+SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+       {R4("m1 - m2")} AS mean_diff,
+       {R4("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)")} AS t_stat,
+       {R4("pow(v1 / n1 + v2 / n2, 2) / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))")}
+         AS df_welch
+FROM m
+""",
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: does mean order value differ between
+    URGENT and LOW priority orders? Emits group sizes, mean difference, the
+    t statistic, and the Welch–Satterthwaite degrees of freedom.
+
+    One scan with FILTER'd exact-decimal aggregates (count/Σx/Σx² per
+    group — the mergeable sufficient statistics), finished in a 1-row
+    projection. At 100 TB this is a map-side partial aggregate converging
+    to six numbers; nothing else moves.
+    """
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    aggs = []
+    for g, flt in (("1", F.col("o_orderpriority") == _G1), ("2", F.col("o_orderpriority") == _G2)):
+        aggs += [
+            F.count_if(flt).cast("double").alias(f"n{g}"),
+            F.sum(F.when(flt, dec)).cast("double").alias(f"s{g}"),
+            F.sum(F.when(flt, dec * dec)).cast("double").alias(f"q{g}"),
+        ]
+    a = o.agg(*aggs)
+    m = a.select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1")).alias("m1"),
+        (F.col("s2") / F.col("n2")).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return m.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        r4(F.col("m1") - F.col("m2")).alias("mean_diff"),
+        r4((F.col("m1") - F.col("m2")) / F.sqrt(se2)).alias("t_stat"),
+        r4(
+            F.pow(se2, F.lit(2))
+            / (
+                F.pow(F.col("v1") / F.col("n1"), F.lit(2)) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), F.lit(2)) / (F.col("n2") - 1)
+            )
+        ).alias("df_welch"),
+    )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum({_SQL_DEC}) AS DOUBLE) AS rev
+  FROM orders GROUP BY day
+),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_days,
+         CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM daily
+),
+cum AS (
+  SELECT day,
+         sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (row_number() OVER (ORDER BY day)) * (st.total / st.n_days) AS dev
+  FROM daily, st
+)
+SELECT day, {R4("dev")} AS cusum_dev
+FROM cum
+ORDER BY abs(dev) DESC, day ASC
+LIMIT 3
+""",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point candidates over the daily revenue series: the 3
+    days where the cumulative deviation from the global daily mean peaks —
+    the classic mean-shift detector a pipeline runs on ingest volume to
+    catch regime changes (a source turning off, a crawler change).
+
+    s_i = Σ_{{j≤i}} x_j − i·mean, computed as one ordered cumulative window
+    over the ~2.4k-row daily rollup; argmax by |s|. FP parity: daily
+    revenues come from exact DECIMAL sums, the global mean from an exact
+    total, and the running sum accumulates in date order on both engines —
+    the entire chain is order-pinned.
+
+    Scale: the corpus-sized work is the groupBy(day) rollup (map-side
+    partial, one shuffle on ~#days keys); the window runs over the tiny
+    daily series. At 100 TB the rollup is the only distributed stage.
+    """
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(dec).cast("double").alias("rev")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n_days"),
+        F.sum(F.col("rev").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        daily.crossJoin(F.broadcast(st))
+        .select(
+            "day",
+            (
+                F.sum("rev").over(w)
+                - F.row_number().over(Window.orderBy("day"))
+                * (F.col("total") / F.col("n_days"))
+            ).alias("dev"),
+        )
+    )
+    return (
+        cum.orderBy(F.abs(F.col("dev")).desc(), F.col("day").asc())
+        .limit(3)
+        .select("day", r4(F.col("dev")).alias("cusum_dev"))
+    )

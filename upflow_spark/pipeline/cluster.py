@@ -362,6 +362,104 @@ def _cc_star_fixpoint(pairs: DataFrame) -> DataFrame:
     )
 
 
+# cosine-threshold edges over the embeddings table — the SemDeDup edge set.
+# Threshold 0.40 matches dedup_embedding_cosine (the fixture embeddings are
+# near-isotropic; a production 0.95 would be vacuous here — see that key).
+_EMB_PAIRS_CTE = """pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+          i -> (CAST(a.embedding[i] AS DOUBLE)
+                / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             * (CAST(b.embedding[i] AS DOUBLE)
+                / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))))
+        >= 0.40
+)"""
+
+
+@query(
+    "dedup_semantic_cc",
+    oracle=f"""
+WITH
+{_EMB_PAIRS_CTE},
+{_CC_CTE},
+cc AS (SELECT n AS vec_id, lbl AS cluster_id FROM cc_final),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY cluster_id)
+SELECT e.vec_id,
+       coalesce(cc.cluster_id, e.vec_id) AS cluster_id,
+       coalesce(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+       (cc.vec_id IS NULL OR cc.cluster_id = e.vec_id) AS keep
+FROM embeddings e
+LEFT JOIN cc ON e.vec_id = cc.vec_id
+LEFT JOIN sizes s ON coalesce(cc.cluster_id, e.vec_id) = s.cluster_id
+UNION ALL
+SELECT -1 AS vec_id, -1 AS cluster_id, CAST(-1 AS BIGINT) AS cluster_size,
+       false AS keep
+FROM cc_unconverged
+""",
+)
+def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): documents
+    whose EMBEDDINGS are near-identical (cosine ≥ threshold) are grouped
+    transitively and every cluster keeps one representative (min vec_id) —
+    the semantic complement of the lexical MinHash/SimHash families, which
+    miss paraphrases that embed identically.
+
+    Composition: exact cosine-threshold pair generation
+    (dedup_embedding_cosine) → connected components via the large-star /
+    small-star alternation (Kiveris et al. SoCC'14 — O(log² n) rounds on
+    ANY component shape, exercising the adversarial-diameter fixpoint) →
+    keep flags joined back over the full embedding table.
+
+    Scale: SemDeDup at 100 TB routes pair generation through k-means cells
+    (sim_ann_ivf_kmeans) so only same-cell pairs are scored; the CC and
+    apply stages here are already cell-independent. The losers table is
+    ≤ the duplicate count, so the final join broadcasts; the embedding
+    corpus itself is never shuffled.
+    """
+    from upflow_spark.io import load
+    from upflow_spark.pipeline.dedup import dedup_embedding_cosine
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    # CC shuffles are sized to the tiny pair/label tables, not the session
+    # default (same pattern as _cc_labels)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        labels = _cc_star_fixpoint(pairs).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    lab = labels.select(
+        F.col("doc_id").alias("m_vec"), F.col("cluster_id").alias("m_cluster")
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        e.join(F.broadcast(lab), e.vec_id == lab.m_vec, "left_outer")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("m_cluster"), F.col("vec_id")).alias("cluster_id"),
+            (F.col("m_vec").isNull() | (F.col("m_cluster") == F.col("vec_id"))).alias(
+                "keep"
+            ),
+        )
+        .join(F.broadcast(sizes), "cluster_id", "left_outer")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+            "keep",
+        )
+    )
+
+
 @query(
     "dedup_apply_canonical",
     oracle=f"""

@@ -258,3 +258,85 @@ def curation_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("mean_div")).alias("mean_diversity"),
         r4(F.col("src_tokens") * F.col("mean_div") / F.col("zt")).alias("mix_weight"),
     )
+
+
+@query(
+    "curation_lang_balance",
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         sum(len({SQL_TOKENS})) AS lang_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(pow(lang_tokens, 0.7)) AS z,
+               CAST(sum(n_docs) AS DOUBLE) AS total_docs
+        FROM per_lang),
+target AS (
+  SELECT lang, n_docs,
+         greatest(CAST(1 AS BIGINT),
+                  least(n_docs,
+                        CAST(floor(pow(lang_tokens, 0.7) / z * total_docs)
+                             AS BIGINT))) AS target_docs
+  FROM per_lang, tot
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                     doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk, t.target_docs
+FROM ranked r JOIN target t ON r.lang = t.lang
+WHERE r.rk <= t.target_docs
+""",
+)
+def curation_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED language rebalancing: the temperature weights of
+    sample_temperature_weights turned into an actual kept-document set.
+    Per language, target_docs = clamp(⌊weight_T=0.7 · total_docs⌋, 1,
+    n_docs); the kept docs are the language's top-target_docs by
+    deterministic content-hash rank (the sample_topk_hashrank order), so
+    the resample is reproducible on any engine, any partitioning, any day.
+
+    Head languages are down-sampled toward the temperature mixture; tail
+    languages cap at their full document set (upsampling is a repeat-factor
+    column at training time, not row replication in the corpus).
+
+    Scale: one corpus scan for the 5-row per-lang rollup (broadcast back),
+    one window ranked WITHIN language (high-cardinality partition key —
+    well-spread shuffle), one broadcast join against the 5-row target
+    table. The corpus never converges anywhere.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col())).cast("long").alias("lang_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum(F.pow("lang_tokens", F.lit(0.7))).alias("z"),
+        F.sum("n_docs").cast("double").alias("total_docs"),
+    )
+    target = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.least(
+                F.col("n_docs"),
+                F.floor(
+                    F.pow("lang_tokens", F.lit(0.7)) / F.col("z") * F.col("total_docs")
+                ).cast("long"),
+            ),
+        ).alias("target_docs"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(target), "lang")
+        .filter(F.col("rk") <= F.col("target_docs"))
+        .select("doc_id", "lang", "rk", "target_docs")
+    )

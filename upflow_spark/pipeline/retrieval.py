@@ -15,11 +15,12 @@ evaluate the identical IEEE expression tree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
 from upflow_spark.parity import r4
+from upflow_spark.pipeline.similarity import _cos, _sql_cos, _unit
 from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
 from upflow_spark.registry import query
 
@@ -43,10 +44,9 @@ def _sql_score() -> str:
     return " + ".join(parts)
 
 
-@query(
-    "bm25_search",
-    oracle=f"""
-WITH tf AS (
+# shared CTE prefix for every key scoring the fixed query: per-doc term
+# frequencies + the 1-row corpus stats table
+_SQL_TF_STATS = f"""tf AS (
   SELECT doc_id,
          CAST(len({SQL_TOKENS}) AS DOUBLE) AS dl,
          {", ".join(f"CAST({_sql_tf(t)} AS DOUBLE) AS tf_{t}" for t in QUERY_TERMS)}
@@ -56,7 +56,13 @@ stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
          {", ".join(f"CAST(count(*) FILTER (tf_{t} > 0) AS DOUBLE) AS df_{t}" for t in QUERY_TERMS)}
   FROM tf
-)
+)"""
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+WITH {_SQL_TF_STATS}
 SELECT doc_id, floor(({_sql_score()}) * 10000 + 0.5) / 10000 AS bm25
 FROM tf CROSS JOIN stats
 ORDER BY ({_sql_score()}) DESC, doc_id ASC
@@ -72,6 +78,16 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_parts_above_avg_price pattern); ranking via orderBy+limit →
     TakeOrderedAndProject. One corpus scan end to end.
     """
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", r4(F.col("score_raw")).alias("bm25"))
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_raw): every document BM25-scored for the fixed query."""
     toks = tokens_col()
 
     def _tf(term: str):  # noqa: ANN202  (closure, NOT a default arg: a
@@ -114,9 +130,107 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"tf_{t}") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
         )
         score = part if score is None else score + part
-    return (
-        scored.withColumn("score_raw", score)
+    return scored.withColumn("score_raw", score).select("doc_id", "score_raw")
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack et al. 2009)
+RRF_DEPTH = 100  # per-arm list depth: docs below rank 100 contribute nothing
+
+
+@query(
+    "search_rrf_hybrid",
+    oracle=f"""
+WITH {_SQL_TF_STATS},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ({_sql_score()}) DESC, doc_id ASC) AS rl
+  FROM tf CROSS JOIN stats
+  WHERE doc_id <> 0
+),
+lex_top AS (SELECT doc_id, rl FROM lex WHERE rl <= {RRF_DEPTH}),
+probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (ORDER BY ({_sql_cos('e.embedding', 'probe.p')}) DESC,
+                            e.vec_id ASC) AS rd
+  FROM embeddings e CROSS JOIN probe
+  WHERE e.vec_id <> 0
+),
+dense_top AS (SELECT doc_id, rd FROM dense WHERE rd <= {RRF_DEPTH}),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_K} + l.rl), 0.0)
+           + coalesce(1.0 / ({RRF_K} + d.rd), 0.0) AS rrf_raw
+  FROM lex_top l FULL OUTER JOIN dense_top d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, floor(rrf_raw * 10000 + 0.5) / 10000 AS rrf
+FROM fused
+ORDER BY rrf_raw DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) arm and
+    a dense (embedding-cosine) arm — the standard production shape for
+    training-data eval mining and RAG candidate generation. Query = the
+    fixed terms {join, filter, scan} for the lexical arm and document 0's
+    embedding for the dense arm (doc 0 itself is excluded from both arms).
+
+    rrf(d) = Σ_arm 1/(60 + rank_arm(d)) over the arms' top-100 lists; docs
+    outside a list contribute 0 from that arm. FP parity: ranks are exact
+    integers (each arm's ordering is the engines' bit-identical score tree,
+    ties broken by doc_id), so the fused score is the same two-term IEEE
+    sum on both engines.
+
+    Scale: each arm is an independent top-k (TakeOrderedAndProject — no
+    global sort); fusion joins two ≤100-row lists. At 100 TB each arm's
+    candidate generation is its own bucketed/ANN path (bm25_search,
+    sim_probe_topk); RRF itself stays a driver-scale list merge, which is
+    exactly why production hybrid search fuses by rank, not by score.
+    """
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
         .orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+    )
+    # rank assignment over an already-limited 100-row list: the unpartitioned
+    # window is a single task over ≤100 rows by construction, not a scale risk
+    lex = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc()))
+        .alias("rl"),
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _unit("embedding").alias("emb")
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("p"))
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col("vec_id").alias("doc_id"), _cos(F.col("emb"), F.col("p")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+    )
+    dense = dense.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_raw").desc(), F.col("doc_id").asc()))
+        .alias("rd"),
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("rd")), F.lit(0.0))
+            ).alias("rrf_raw"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
         .limit(10)
-        .select("doc_id", r4(F.col("score_raw")).alias("bm25"))
+        .select("doc_id", r4(F.col("rrf_raw")).alias("rrf"))
     )

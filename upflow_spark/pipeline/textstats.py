@@ -495,3 +495,70 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+# GPT-2-style pre-tokenization classes, shared Spark/DuckDB: a pretoken is an
+# optionally-space-prefixed letter run, digit run, or other-symbol run. The
+# alternation uses only RE2-safe constructs (non-capturing groups, character
+# classes) so Java regex and DuckDB's RE2 match identically.
+BPE_PRETOK_RE = "(?: ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)"
+_ALPHA_RE = "^ ?[a-z]+$"
+
+
+@query(
+    "tokenize_bpe_pretok",
+    oracle=f"""
+WITH pre AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '{BPE_PRETOK_RE}', 0)) AS pt
+  FROM documents
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_pretokens,
+       CAST(count(DISTINCT pt) AS BIGINT) AS n_vocab,
+       floor((CAST(sum(len(pt)) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000
+         AS avg_pretok_len,
+       floor((CAST(count(*) FILTER (regexp_full_match(pt, ' ?[a-z]+')) AS DOUBLE)
+              / count(*)) * 10000 + 0.5) / 10000 AS alpha_share
+FROM pre
+GROUP BY lang
+""",
+)
+def tokenize_bpe_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style PRE-tokenization statistics per language: split text with
+    the GPT-2 pre-tokenizer shape (space-prefixed letter runs / digit runs /
+    symbol runs) and report pretoken counts, exact pretoken vocabulary size,
+    mean pretoken length, and the alphabetic share — the pass a tokenizer
+    team runs to size a BPE vocabulary and catch pretokenizer regressions
+    before training the merges.
+
+    Whereas text_token_count counts whitespace words, this is the byte-level
+    LM contract: every character lands in exactly one pretoken (spaces
+    attach to the following run), so Σ len(pretoken) = len(text) — asserted
+    in tests as the reconstruction invariant.
+
+    Scale: regexp_extract_all is a codegen'd JVM projection; the explode
+    streams into one groupBy(lang) with exact distinct aggregates. The
+    vocab-sized distinct is the only super-linear state and it's bounded by
+    the (Zipf-capped) true vocabulary, not the corpus.
+    """
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pre = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)).alias("pt"),
+    )
+    return pre.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_pretokens"),
+        F.countDistinct("pt").alias("n_vocab"),
+        r4(F.sum(F.length("pt")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_pretok_len"
+        ),
+        r4(
+            F.count_if(F.col("pt").rlike(_ALPHA_RE)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("alpha_share"),
+    )

@@ -69,6 +69,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.setops  # noqa: F401
     import upflow_spark.operators.sortlimit  # noqa: F401
     import upflow_spark.operators.sql_surfaces  # noqa: F401
+    import upflow_spark.operators.stats_ext  # noqa: F401
     import upflow_spark.operators.timeseries2  # noqa: F401
     import upflow_spark.operators.tpch_shapes  # noqa: F401
     import upflow_spark.operators.tpch_shapes2  # noqa: F401
