@@ -179,3 +179,156 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("codes", "-").alias("pq_code"),
         r4("recon_mse").alias("recon_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension evaluation
+
+MRL_KS = (8, 16, 32, 64)  # prefix dims; 64 = the fixture's full dimension
+MRL_N_PROBES = 50
+
+
+def _sql_pcos(a: str, b: str, k: int) -> str:
+    """DuckDB cosine over the first-k prefix, normalize-elementwise (the
+    _sql_cos FP tree restricted to a slice)."""
+    na = (
+        f"sqrt(list_sum(list_transform({a}[1:{k}], "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform({b}[1:{k}], "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return (
+        f"list_sum(list_transform(range(1, {k} + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) / {na}) * (CAST({b}[i] AS DOUBLE) / {nb})))"
+    )
+
+
+_MRL_STACK = "\nUNION ALL\n".join(
+    f"SELECT probe_id, vec_id, CAST({k} AS BIGINT) AS k, cos_{k} AS cos FROM prs"
+    for k in MRL_KS
+)
+
+
+@query(
+    "emb_matryoshka_agreement",
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+  WHERE vec_id < {MRL_N_PROBES}
+),
+prs AS (
+  SELECT p.probe_id, e.vec_id,
+         {", ".join(f"{_sql_pcos('p.pe', 'e.embedding', k)} AS cos_{k}" for k in MRL_KS)}
+  FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id
+),
+stacked AS (
+{_MRL_STACK}
+),
+top AS (
+  SELECT probe_id, k, vec_id AS neighbor, cos
+  FROM (
+    SELECT probe_id, k, vec_id, cos,
+           row_number() OVER (PARTITION BY probe_id, k
+                              ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM stacked
+  ) WHERE rn = 1
+),
+full64 AS (SELECT probe_id, neighbor AS full_neighbor FROM top WHERE k = 64)
+SELECT t.k, CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(count(*) FILTER (t.neighbor = f.full_neighbor) AS BIGINT) AS n_agree,
+       floor((CAST(count(*) FILTER (t.neighbor = f.full_neighbor) AS DOUBLE)
+              / count(*)) * 10000 + 0.5) / 10000 AS agree_rate,
+       floor((avg(t.cos)) * 10000 + 0.5) / 10000 AS mean_top1_cos
+FROM top t JOIN full64 f ON t.probe_id = f.probe_id
+GROUP BY t.k
+""",
+)
+def emb_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022): for each
+    prefix dimension k ∈ {8,16,32,64}, find every probe's top-1 neighbor
+    using only the first k embedding dims (renormalized) and report how
+    often it AGREES with the full-dimension choice — the measurement that
+    decides how hard embeddings can be truncated (emb_truncate_renorm)
+    before ANN quality degrades.
+
+    One map-side pass precomputes each vector's unit-normalized prefixes
+    (checkpointed — both join sides reuse it), one probe-broadcast join
+    scores all prefixes per pair, a (probe,k)-partitioned window picks
+    top-1, and a 4-row rollup compares against the k=64 column.
+
+    Scale: probe set is fixed (50), so the pair stage is 50·n map-side work
+    under a broadcast — the corpus is scanned once and never shuffled; at
+    100 TB you'd route it through IVF cells first (sim_ann_ivf) exactly as
+    for any other query batch.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def unit_k(k: int):  # noqa: ANN202
+        d = F.transform(F.slice("embedding", 1, k), lambda x: x.cast("double"))
+        norm = F.sqrt(F.aggregate(d, F.lit(0.0), lambda s, v: s + v * v))
+        return F.transform(d, lambda x: x / norm)
+
+    base = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", *[unit_k(k).alias(f"u{k}") for k in MRL_KS])
+        .localCheckpoint()
+    )
+    probes = base.filter(F.col("vec_id") < MRL_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), *[F.col(f"u{k}").alias(f"pu{k}") for k in MRL_KS]
+    )
+    pairs = base.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "vec_id",
+        *[
+            F.aggregate(
+                F.zip_with(f"pu{k}", f"u{k}", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ).alias(f"cos_{k}")
+            for k in MRL_KS
+        ],
+    )
+    stacked = pairs.select(
+        "probe_id",
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"), F.col(f"cos_{k}").alias("cos")
+                    )
+                    for k in MRL_KS
+                ]
+            )
+        ).alias("kc"),
+    ).select("probe_id", "vec_id", "kc.k", "kc.cos")
+    w = Window.partitionBy("probe_id", "k").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "k", F.col("vec_id").alias("neighbor"), "cos")
+    )
+    full = top.filter(F.col("k") == 64).select(
+        "probe_id", F.col("neighbor").alias("full_neighbor")
+    )
+    return (
+        top.join(F.broadcast(full), "probe_id")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.count_if(F.col("neighbor") == F.col("full_neighbor")).alias("n_agree"),
+            r4(
+                F.count_if(F.col("neighbor") == F.col("full_neighbor")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("agree_rate"),
+            r4(F.avg("cos")).alias("mean_top1_cos"),
+        )
+    )
