@@ -160,3 +160,61 @@ def geo_grid_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("c_acctbal")).alias("sum_balance"),
         )
     )
+
+
+KNN_K = 3
+KNN_N_PROBES = 20
+
+
+@query(
+    "geo_knn_join",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS pid, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+  FROM customer WHERE c_custkey < 2000
+),
+probes AS (SELECT pid AS qid, lat AS qlat, lon AS qlon FROM pts WHERE pid < {KNN_N_PROBES}),
+scored AS (
+  SELECT q.qid, p.pid AS neighbor,
+         {_sql_haversine("q.qlat", "q.qlon", "p.lat", "p.lon")} AS dist,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_sql_haversine("q.qlat", "q.qlon", "p.lat", "p.lon")} ASC,
+                                     p.pid ASC) AS rk
+  FROM probes q JOIN pts p ON p.pid <> q.qid
+)
+SELECT qid, neighbor, CAST(rk AS BIGINT) AS rk,
+       floor(dist * 10000 + 0.5) / 10000 AS dist_km
+FROM scored WHERE rk <= {KNN_K}
+""",
+)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor spatial join: each of the {KNN_N_PROBES} probe
+    points gets its {KNN_K} nearest other points by exact haversine — the
+    store-siting / coverage primitive beside the radius join.
+
+    The probe side is small by construction, so the join is a broadcast
+    map-side scan of the point set (no shuffle of points), and per-probe
+    top-k is a (probe)-partitioned window — rank determinism comes from the
+    shared IEEE haversine tree + pid tie-break. At scale with a LARGE probe
+    side, switch to the grid-cell candidate pattern of geo_radius_join with
+    expanding-ring search; the verify step stays this exact formula.
+    """
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir, 2000)
+    probes = pts.filter(F.col("pid") < KNN_N_PROBES).select(
+        F.col("pid").alias("qid"), F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+    )
+    scored = pts.join(
+        F.broadcast(probes), F.col("pid") != F.col("qid")
+    ).select(
+        "qid",
+        F.col("pid").alias("neighbor"),
+        _haversine(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")).alias("dist"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KNN_K)
+        .select("qid", "neighbor", "rk", r4(F.col("dist")).alias("dist_km"))
+    )

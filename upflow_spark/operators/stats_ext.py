@@ -169,3 +169,63 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .select("day", r4(F.col("dev")).alias("cusum_dev"))
     )
+
+
+@query(
+    "ts_seasonal_dow_profile",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+         CAST(sum({_SQL_DEC}) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+),
+prof AS (
+  SELECT dow,
+         CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dow_mean
+  FROM daily GROUP BY dow
+)
+SELECT d.day, d.dow, {R4("d.rev")} AS revenue, {R4("p.dow_mean")} AS dow_mean,
+       {R4("d.rev - p.dow_mean")} AS residual
+FROM daily d JOIN prof p ON d.dow = p.dow
+ORDER BY abs(d.rev - p.dow_mean) DESC, d.day ASC
+LIMIT 5
+""",
+)
+def ts_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily revenue series: a
+    7-row DOW profile (mean revenue per weekday from exact decimal sums),
+    and the 5 days whose residual |revenue − dow_mean| is largest — the
+    seasonality-adjusted outlier detector that complements the raw CUSUM
+    mean-shift scan (a Sunday dip is normal; a Tuesday at Sunday volume is
+    not).
+
+    Two tiny rollups off one corpus-sized groupBy(day) pass; the 7-row
+    profile broadcasts back onto the daily series. Exact DECIMAL sums at
+    both levels keep every float engine-identical.
+    """
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+    ).agg(F.sum(dec).cast("double").alias("rev"))
+    prof = daily.groupBy("dow").agg(
+        (
+            F.sum(F.col("rev").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dow_mean")
+    )
+    return (
+        daily.join(F.broadcast(prof), "dow")
+        .orderBy(F.abs(F.col("rev") - F.col("dow_mean")).desc(), F.col("day").asc())
+        .limit(5)
+        .select(
+            "day",
+            "dow",
+            r4(F.col("rev")).alias("revenue"),
+            r4(F.col("dow_mean")).alias("dow_mean"),
+            r4(F.col("rev") - F.col("dow_mean")).alias("residual"),
+        )
+    )

@@ -494,3 +494,90 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(losers), "doc_id", "left_anti")
         .select("doc_id", "lang", F.length("text").cast("long").alias("content_len"))
     )
+
+
+LPA_ROUNDS = 4
+
+
+def _lpa_cte(rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled synchronous label-propagation CTE (deterministic LPA:
+    argmax neighbor-label frequency, ties -> min label). AS MATERIALIZED
+    throughout — every round is multiply-referenced and DuckDB 1.0 inlines
+    plain CTEs into an exponential plan tree (see _cc_contraction_cte)."""
+    parts = [
+        "lp_e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+        "        UNION SELECT doc_b, doc_a FROM pairs)",
+        "lp_l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lbl FROM lp_e)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"lp_c{k} AS MATERIALIZED (SELECT e.u AS n, l.lbl, count(*) AS c "
+            f"FROM lp_e e JOIN lp_l{k} l ON e.v = l.n GROUP BY e.u, l.lbl)"
+        )
+        parts.append(
+            f"lp_l{k + 1} AS MATERIALIZED (SELECT n, lbl FROM ("
+            f"SELECT n, lbl, row_number() OVER (PARTITION BY n "
+            f"ORDER BY c DESC, lbl ASC) AS rn FROM lp_c{k}) WHERE rn = 1)"
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+WITH
+{_PAIRS_CTE},
+{_lpa_cte()}
+SELECT l.n AS doc_id, l.lbl AS community, s.cs AS community_size
+FROM lp_l{LPA_ROUNDS} l
+JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS cs
+      FROM lp_l{LPA_ROUNDS} GROUP BY lbl) s ON l.lbl = s.lbl
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup document graph via SYNCHRONOUS
+    label propagation (Raghavan et al. 2007), made fully deterministic:
+    each of 4 rounds, every node adopts the most frequent label among its
+    neighbors, ties broken by smallest label. Where connected components
+    answers "which docs are transitively linked", LPA splits dense regions
+    into communities — the topic/template grouping pass over a dedup graph.
+
+    Per round: one edge⋈label shuffle keyed on the edge endpoint, one
+    (node,label) count, one per-node argmax window — all partial-aggregated,
+    lineage cut per round. The fixed round budget (not a convergence loop)
+    is what makes the result engine-portable and oracle-checkable: both
+    engines run the identical 4 synchronous steps.
+    """
+    edges = _cc_edges(spark, sf_dir)  # (u, v), both directions, checkpointed
+    labels = edges.select(F.col("u").alias("n")).distinct().withColumn(
+        "lbl", F.col("n")
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        from pyspark.sql import Window
+
+        for _ in range(LPA_ROUNDS):
+            cnt = (
+                edges.join(labels, edges.v == labels.n)
+                .groupBy(F.col("u"), F.col("lbl"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lbl").asc())
+            labels = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("u").alias("n"), "lbl")
+                .localCheckpoint()  # cut per-round lineage
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    return (
+        labels.join(F.broadcast(sizes), "lbl")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.col("lbl").alias("community"),
+            F.col("cs").alias("community_size"),
+        )
+    )

@@ -340,3 +340,83 @@ def curation_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("target_docs"))
         .select("doc_id", "lang", "rk", "target_docs")
     )
+
+
+@query(
+    "curation_perplexity_buckets",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+total AS (SELECT sum(n) AS tot FROM tf),
+per_doc AS (
+  SELECT doc_id,
+         floor((avg(-ln(CAST(tf.n AS DOUBLE) / total.tot))) * 10000 + 0.5) / 10000
+           AS s4
+  FROM tok JOIN tf USING (term) CROSS JOIN total
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.lang, p.doc_id, p.s4,
+         ntile(3) OVER (PARTITION BY d.lang ORDER BY p.s4 ASC, p.doc_id ASC)
+           AS bucket
+  FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor((CAST(sum(CAST(s4 AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+             * 10000 + 0.5) / 10000 AS mean_surprisal,
+       bucket <= 2 AS is_kept
+FROM ranked
+GROUP BY lang, bucket
+""",
+)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    documents are split into head/middle/tail terciles of unigram surprisal
+    (the LM-perplexity proxy this engine computes exactly — low surprisal =
+    fluent), and the standard curation keep-rule (head+middle) is emitted
+    per bucket. The corpus-relative quality gate between raw dedup and
+    training-set assembly.
+
+    Determinism across engines: the tercile ORDER uses the 4dp-rounded
+    surprisal (bit-identical on both engines — raw per-doc averages can
+    differ in the last ulp from accumulation order) with doc_id
+    tie-breaks, and bucket means are exact DECIMAL sums.
+
+    Scale: the Heaps-law term-frequency table broadcasts (the
+    text_unigram_logprob plan); bucketing is one window per language
+    partition over the per-doc score table — no corpus text in the shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = tf.agg(F.sum("n").cast("double").alias("tot"))
+    per_doc = (
+        tok.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            r4(F.avg(-F.log(F.col("n").cast("double") / F.col("tot")))).alias("s4")
+        )
+    )
+    ranked = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "s4",
+        F.ntile(3)
+        .over(Window.partitionBy("lang").orderBy(F.col("s4").asc(), F.col("doc_id").asc()))
+        .alias("bucket"),
+    )
+    return (
+        ranked.withColumn("bucket", F.col("bucket").cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(
+                F.sum(F.col("s4").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_surprisal"),
+        )
+        .withColumn("is_kept", F.col("bucket") <= 2)
+    )
