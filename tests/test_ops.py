@@ -864,3 +864,109 @@ def test_r6_curation_keys_invariants(spark):
         .count()
     )
     assert len(scores) == expected
+
+
+def test_r8b_keys_not_vacuous(spark):
+    """Second round-8 wave: every new key must exercise its interesting
+    branch on the grading fixture (the r5/r6 vacuity lesson)."""
+    rrf = QUERIES["search_rrf_hybrid"](spark, SF).collect()
+    assert len(rrf) == 10
+    vals = [r["rrf"] for r in rrf]
+    assert vals == sorted(vals, reverse=True) and min(vals) > 0
+    # a single-arm doc can score at most 1/61; anything above proves the
+    # fusion actually merged both ranked lists
+    assert max(vals) > 1.0 / 61, "no doc ranked in BOTH arms — fusion vacuous"
+
+    sc = QUERIES["dedup_semantic_cc"](spark, SF).collect()
+    assert len(sc) > 0 and all(r["cluster_id"] <= r["vec_id"] for r in sc)
+    assert any(not r["keep"] for r in sc), "no semantic dup dropped"
+    by_cluster = {}
+    for r in sc:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(1 for m in members if m["keep"]) == 1, f"cluster {cid}"
+        assert all(m["cluster_size"] == len(members) for m in members)
+
+    lb = QUERIES["curation_lang_balance"](spark, SF).collect()
+    from upflow_spark.io import load as _load
+    from pyspark.sql import functions as _F
+
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in _load(spark, SF, "documents").groupBy("lang").agg(_F.count(_F.lit(1)).alias("n")).collect()
+    }
+    kept = {}
+    for r in lb:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+        assert r["rk"] <= r["target_docs"]
+    assert set(kept) == set(per_lang), "every language must survive"
+    assert any(kept[lg] < per_lang[lg] for lg in kept), "head not downsampled"
+    assert all(kept[lg] <= per_lang[lg] for lg in kept)
+
+    pre = QUERIES["tokenize_bpe_pretok"](spark, SF).collect()
+    # reconstruction invariant: pretokens partition the text exactly, so
+    # per-lang Σ len(pretoken) == Σ len(text)
+    text_chars = {
+        r["lang"]: r["n"]
+        for r in _load(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(_F.sum(_F.length("text")).alias("n"))
+        .collect()
+    }
+    for r in pre:
+        approx_chars = r["avg_pretok_len"] * r["n_pretokens"]
+        assert abs(approx_chars - text_chars[r["lang"]]) <= 0.0001 * r["n_pretokens"]
+        assert r["n_vocab"] > 0 and 0 < r["alpha_share"] <= 1
+
+    w = QUERIES["stat_welch_ttest"](spark, SF).collect()[0]
+    assert w["n_urgent"] > 0 and w["n_low"] > 0
+    assert min(w["n_urgent"], w["n_low"]) - 1 <= w["df_welch"] <= w["n_urgent"] + w["n_low"] - 2
+
+    cs = QUERIES["ts_cusum_changepoint"](spark, SF).collect()
+    assert len(cs) == 3 and all(r["cusum_dev"] != 0 for r in cs)
+
+    dow = QUERIES["ts_seasonal_dow_profile"](spark, SF).collect()
+    assert len(dow) == 5
+    for r in dow:
+        assert abs(r["residual"] - (r["revenue"] - r["dow_mean"])) < 3e-4
+
+    man = QUERIES["scan_manifest_pruned"](spark, SF).collect()[0]
+    assert man["n_buckets_total"] == 8
+    assert 1 <= man["n_buckets_scanned"] < man["n_buckets_total"], "nothing pruned"
+    assert man["n_rows"] > 0 and man["min_orderkey"] >= 0
+
+    mrl = {r["k"]: r for r in QUERIES["emb_matryoshka_agreement"](spark, SF).collect()}
+    assert set(mrl) == {8, 16, 32, 64}
+    assert mrl[64]["agree_rate"] == 1.0 and mrl[64]["n_agree"] == mrl[64]["n_probes"]
+    assert all(mrl[k]["agree_rate"] < 1.0 for k in (8, 16, 32)), "prefix=full?"
+    # low-dim prefixes inflate cosine: mean top-1 cos must fall as k grows
+    cosines = [mrl[k]["mean_top1_cos"] for k in (8, 16, 32, 64)]
+    assert cosines == sorted(cosines, reverse=True)
+
+    knn = QUERIES["geo_knn_join"](spark, SF).collect()
+    by_q = {}
+    for r in knn:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert len(by_q) == 20 and all(len(v) == 3 for v in by_q.values())
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rk"])
+        dists = [r["dist_km"] for r in v]
+        assert dists == sorted(dists) and dists[0] > 0
+
+    pb = QUERIES["curation_perplexity_buckets"](spark, SF).collect()
+    langs = {r["lang"] for r in pb}
+    for lg in langs:
+        rows = sorted([r for r in pb if r["lang"] == lg], key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in rows] == [1, 2, 3]
+        means = [r["mean_surprisal"] for r in rows]
+        assert means == sorted(means), f"{lg}: terciles not ordered by surprisal"
+        assert [r["is_kept"] for r in rows] == [True, True, False]
+
+    lpa = QUERIES["graph_label_propagation"](spark, SF).collect()
+    comms = {}
+    for r in lpa:
+        comms.setdefault(r["community"], 0)
+        comms[r["community"]] += 1
+    assert 1 < len(comms) < len(lpa)
+    for r in lpa:
+        assert r["community_size"] == comms[r["community"]]

@@ -367,3 +367,58 @@ def test_tokenize_cjk_single_pass_no_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
     assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 1
+
+
+def test_rrf_arms_fuse_to_take_ordered(spark):
+    """Both RRF arms and the final fuse must be top-k (per-partition heaps),
+    never a global sort of either scored relation."""
+    plan = plan_of(spark, "search_rrf_hybrid")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_knn_broadcasts_probes(spark):
+    """The probe side is tiny by construction: the pair stage must be a
+    broadcast (nested-loop on the non-equi self-exclusion), never a
+    shuffle join of the point set."""
+    plan = plan_of(spark, "geo_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_matryoshka_broadcasts_probes(spark):
+    plan = plan_of(spark, "emb_matryoshka_agreement")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no Python anywhere: prefix cosines are HOF expressions
+    assert "EvalPython" not in plan
+
+
+def test_bpe_pretok_is_jvm_regex_single_agg(spark):
+    """Pre-tokenization must stay a codegen'd JVM regexp projection —
+    no Python UDF — feeding one explode and one aggregation."""
+    plan = plan_of(spark, "tokenize_bpe_pretok")
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_welch_is_single_scan(spark):
+    """Welch sufficient statistics (count/Σx/Σx² per group) must come from
+    ONE pass over orders — FILTER'd aggregates, not a self-join."""
+    plan = plan_of(spark, "stat_welch_ttest")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Join" not in plan
+
+
+def test_perplexity_buckets_broadcast_tf(spark):
+    """The Heaps-law term-frequency table must broadcast back onto the
+    token stream (the text_unigram_logprob plan contract)."""
+    plan = plan_of(spark, "curation_perplexity_buckets")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lang_balance_broadcasts_targets(spark):
+    plan = plan_of(spark, "curation_lang_balance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
