@@ -970,3 +970,26 @@ def test_r8b_keys_not_vacuous(spark):
     assert 1 < len(comms) < len(lpa)
     for r in lpa:
         assert r["community_size"] == comms[r["community"]]
+
+
+def test_r8c_keys_not_vacuous(spark):
+    """Third round-8 wave: attribution, rolling actives, embedding outliers."""
+    att = QUERIES["events_attribution_last_touch"](spark, SF).collect()
+    channels = {r["channel"] for r in att}
+    assert "organic" in channels and ({"click", "view"} & channels), channels
+    assert all(r["n_conversions"] > 0 and r["revenue"] > 0 for r in att)
+
+    dwm = QUERIES["events_dau_wau_mau"](spark, SF).collect()
+    assert len(dwm) == 30  # the fixture's event span
+    for r in dwm:
+        assert 0 < r["dau"] <= r["wau"] <= r["mau"]
+        assert abs(r["stickiness"] - round(r["dau"] / r["mau"], 4)) < 2e-4
+    # windows must actually accumulate: late days see more than one day
+    assert max(r["mau"] for r in dwm) > max(r["dau"] for r in dwm)
+
+    out = QUERIES["emb_outlier_mahalanobis"](spark, SF).collect()
+    assert len(out) == 20
+    scores = [r["maha_sq"] for r in out]
+    assert scores == sorted(scores, reverse=True) and min(scores) > 0
+    # E[maha²] = d for standardized dims — the top-20 must sit above 64
+    assert min(scores) > 64

@@ -422,3 +422,20 @@ def test_lang_balance_broadcasts_targets(spark):
     plan = plan_of(spark, "curation_lang_balance")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    """Last-touch attribution is the sessionize shape: ONE user_id window
+    shuffle, no join anywhere."""
+    plan = plan_of(spark, "events_attribution_last_touch")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_dau_wau_mau_no_range_join(spark):
+    """Rolling actives use the bounded contribution explode, never a
+    non-equi range join of the activity table."""
+    plan = plan_of(spark, "events_dau_wau_mau")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the 28-day fan-out explode

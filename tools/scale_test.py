@@ -77,6 +77,16 @@ PROBE_KEYS = [
     # language-routed tokenizer (map-side CASE + one lang groupBy)
     ("dedup_substring_exact", "documents 10x (stride-1 re-scan of flagged docs only)"),
     ("text_tokenize_cjk", "documents 10x (CASE-routed char-bigram/whitespace tokens)"),
+    # r8 second wave: retrieval fusion, curation, graph, embedding eval.
+    # dedup_semantic_cc is NOT probed: its pair stage is the brute-force
+    # exact-cosine rail (quadratic by definition, like dedup_embedding_cosine
+    # which it consumes); the 100 TB path routes pairs through IVF cells.
+    ("search_rrf_hybrid", "documents+embeddings 10x (two top-k arms + rank fuse)"),
+    ("tokenize_bpe_pretok", "documents 10x (JVM regex pretokens, one lang agg)"),
+    ("curation_perplexity_buckets", "documents 10x (broadcast TF + per-lang ntile)"),
+    ("curation_lang_balance", "documents 10x (per-lang hash-rank + broadcast targets)"),
+    ("emb_matryoshka_agreement", "embeddings 10x (broadcast 50-probe prefix eval)"),
+    ("graph_label_propagation", "documents 10x (4 sync LPA rounds over the pair graph)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate

@@ -1,0 +1,172 @@
+"""Event-analytics operators, second wave (§2-P): marketing attribution
+and rolling active-user metrics — the two dashboard primitives every
+event pipeline ships.
+
+Both are pure window/aggregate shapes with engine-identical semantics;
+revenue sums are exact DECIMAL (parity.py accumulation-order rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from upflow_spark.io import load
+from upflow_spark.parity import r4
+from upflow_spark.registry import query
+
+TOUCH_TYPES = ("click", "view")
+ATTR_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+         last_value(CASE WHEN event_type IN ('click','view') THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+  FROM events
+),
+conv AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(touch_ts) <= {ATTR_WINDOW_US}
+              THEN touch_type ELSE 'organic' END AS channel,
+         value
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 10000 + 0.5)
+         / 10000 AS revenue
+FROM conv GROUP BY channel
+""",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to the
+    user's most recent preceding click/view within a 7-day lookback, else
+    'organic' — conversions and exact-decimal revenue per channel.
+
+    One per-user ordered window (two IGNORE-NULLS last_value scans over the
+    same frame — null on the same rows, so both come from the same touch
+    event) + one 3-row rollup. The user_id partition key is
+    high-cardinality, so the single shuffle spreads; at 100 TB this is the
+    canonical sessionize-shape plan, and the lookback check is a map-side
+    epoch-µs subtraction, not a join.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*TOUCH_TYPES)
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    in_window = F.col("touch_ts").isNotNull() & (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+        <= ATTR_WINDOW_US
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(in_window, F.col("touch_type")).otherwise("organic").alias("channel"),
+        "value",
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        r4(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")).alias(
+            "revenue"
+        ),
+    )
+
+
+MAU_DAYS = 28
+WAU_DAYS = 7
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day,
+       CAST(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS BIGINT)
+         AS dau,
+       CAST(count(DISTINCT CASE WHEN u.day >= d.day - INTERVAL {WAU_DAYS - 1} DAY
+                                THEN u.user_id END) AS BIGINT) AS wau,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau,
+       floor((CAST(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS DOUBLE)
+              / count(DISTINCT u.user_id)) * 10000 + 0.5) / 10000 AS stickiness
+FROM days d
+JOIN ud u ON u.day <= d.day AND u.day >= d.day - INTERVAL {MAU_DAYS - 1} DAY
+GROUP BY d.day
+""",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user metrics per day: DAU, 7-day WAU, 28-day MAU, and
+    the DAU/MAU stickiness ratio — the engagement dashboard row.
+
+    Spark has no DISTINCT aggregate over a sliding window, so the scale
+    shape is contribution EXPLODE, not a range join: each distinct
+    (user, day) activity row fans out to the ≤28 target days it can count
+    toward (a BOUNDED 28× multiplier, equi-shuffled on target day), then
+    one groupBy(day) computes all three distinct counts with delta-gated
+    CASE arguments. No non-equi join anywhere; at 100 TB the fan-out is
+    map-side and the shuffle keys on ~#days × users.
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {MAU_DAYS - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("target"),
+    ).withColumn("delta", F.datediff("target", "day"))
+    # only observed days emit a row (targets past the series end are
+    # artifacts of the fan-out)
+    obs = contrib.join(
+        F.broadcast(days.select(F.col("day").alias("target"))), "target"
+    )
+    return (
+        obs.groupBy(F.col("target").alias("day"))
+        .agg(
+            F.count_distinct(F.when(F.col("delta") == 0, F.col("user_id"))).alias(
+                "dau"
+            ),
+            F.count_distinct(
+                F.when(F.col("delta") <= WAU_DAYS - 1, F.col("user_id"))
+            ).alias("wau"),
+            F.count_distinct("user_id").alias("mau"),
+            r4(
+                F.count_distinct(
+                    F.when(F.col("delta") == 0, F.col("user_id"))
+                ).cast("double")
+                / F.count_distinct("user_id")
+            ).alias("stickiness"),
+        )
+    )

@@ -332,3 +332,69 @@ def emb_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("cos")).alias("mean_top1_cos"),
         )
     )
+
+
+@query(
+    "emb_outlier_mahalanobis",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dim AS (
+  SELECT pos, CAST(count(*) AS DOUBLE) AS n,
+         avg(v) AS mu, avg(v * v) AS m2
+  FROM ex GROUP BY pos
+),
+scored AS (
+  SELECT e.vec_id,
+         sum((e.v - d.mu) * (e.v - d.mu) / (d.m2 - d.mu * d.mu)) AS score
+  FROM ex e JOIN dim d ON e.pos = d.pos
+  GROUP BY e.vec_id
+)
+SELECT vec_id, floor(score * 10000 + 0.5) / 10000 AS maha_sq
+FROM scored
+ORDER BY score DESC, vec_id ASC
+LIMIT 20
+""",
+)
+def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: top-20 vectors by DIAGONAL Mahalanobis
+    distance² (per-dimension standardized deviation, Σ_j (x_j−μ_j)²/σ²_j) —
+    the cheap corpus-hygiene pass a semantic-dedup pipeline runs first
+    (SemDeDup prunes clusters; this prunes the vectors too WEIRD to cluster:
+    encoder failures, garbage inputs, wrong-modality rows).
+
+    The 64-row per-dimension moment table is a posexplode + groupBy(pos)
+    partial aggregate that broadcasts back; scoring is one more keyed agg.
+    The full covariance version of this statistic is exactly what
+    emb_gram_pca's Gram matrix provides — the diagonal variant keeps it
+    SQL-expressible and oracle-checked.
+
+    Parity note: μ and E[x²] accumulate in engine order (continuous values,
+    4dp-collision-free — the sim_centroid_per_label precedent), and the
+    per-vector sum over 64 dims is likewise continuous.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        ),
+    )
+    dim = ex.groupBy("pos").agg(
+        F.avg("v").alias("mu"), F.avg(F.col("v") * F.col("v")).alias("m2")
+    )
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    dev = F.col("v") - F.col("mu")
+    scored = (
+        ex.join(F.broadcast(dim), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(dev * dev / var).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .select("vec_id", r4(F.col("score")).alias("maha_sq"))
+    )

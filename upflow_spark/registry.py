@@ -56,6 +56,7 @@ def load_all_modules() -> None:
     import upflow_spark.functions.scalar_ext  # noqa: F401
     import upflow_spark.functions.strings  # noqa: F401
     import upflow_spark.operators.aggregates  # noqa: F401
+    import upflow_spark.operators.events_ext  # noqa: F401
     import upflow_spark.operators.analytics  # noqa: F401
     import upflow_spark.operators.geo  # noqa: F401
     import upflow_spark.operators.grouped_pandas  # noqa: F401
