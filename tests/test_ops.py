@@ -993,3 +993,27 @@ def test_r8c_keys_not_vacuous(spark):
     assert scores == sorted(scores, reverse=True) and min(scores) > 0
     # E[maha²] = d for standardized dims — the top-20 must sit above 64
     assert min(scores) > 64
+
+
+def test_r8d_keys_not_vacuous(spark):
+    """Fourth round-8 wave: BFS depth, Spearman, cohort LTV."""
+    bfs = QUERIES["graph_bfs_depth"](spark, SF).collect()
+    depths = {r["depth"] for r in bfs}
+    assert 0 in depths and max(depths) >= 1, depths
+    assert sum(1 for r in bfs if r["depth"] == 0) == 5  # the seeds
+    assert all(0 <= r["depth"] <= 4 for r in bfs)
+
+    sp = QUERIES["stat_spearman_rho"](spark, SF).collect()[0]
+    assert sp["n"] > 0 and -1.0 <= sp["spearman_rho"] <= 1.0
+    assert sp["spearman_rho"] != 0.0  # fixture series is not perfectly flat
+
+    ltv = QUERIES["events_cohort_ltv"](spark, SF).collect()
+    assert len(ltv) > 0
+    by_cohort = {}
+    for r in ltv:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for rows in by_cohort.values():
+        rows.sort(key=lambda r: r["age_week"])
+        vals = [r["cum_ltv_per_user"] for r in rows]
+        assert vals == sorted(vals), "cumulative LTV must be nondecreasing"
+        assert all(r["n_users"] > 0 for r in rows)

@@ -170,3 +170,78 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+rev AS (
+  SELECT f.cohort_week, e.user_id,
+         CAST(floor(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7)
+              AS BIGINT) AS age_week,
+         CAST(e.value AS DECIMAL(18,2)) AS v
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+),
+cohort_size AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+  FROM first_seen GROUP BY cohort_week
+),
+weekly AS (
+  SELECT cohort_week, age_week, sum(v) AS wk_rev
+  FROM rev GROUP BY cohort_week, age_week
+)
+SELECT w.cohort_week, w.age_week, c.n_users,
+       floor((CAST(sum(w.wk_rev) OVER (PARTITION BY w.cohort_week
+                                       ORDER BY w.age_week) AS DOUBLE)
+              / c.n_users) * 10000 + 0.5) / 10000 AS cum_ltv_per_user
+FROM weekly w JOIN cohort_size c ON w.cohort_week = c.cohort_week
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-seen week;
+    for each cohort × age-week, the CUMULATIVE purchase revenue per cohort
+    member — the retention_cohorts companion that prices retention.
+
+    Exact DECIMAL weekly sums, cumulated by an age-ordered window inside
+    each cohort (decimal accumulation is order-insensitive, and the window
+    order pins the prefix anyway); cohort sizes broadcast. Two shuffles
+    total at any scale: min-per-user, then the (cohort, age) rollup.
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("age_week"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    weekly = rev.groupBy("cohort_week", "age_week").agg(F.sum("v").alias("wk_rev"))
+    w = Window.partitionBy("cohort_week").orderBy("age_week")
+    return (
+        weekly.join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            r4(
+                F.sum("wk_rev").over(w).cast("double") / F.col("n_users")
+            ).alias("cum_ltv_per_user"),
+        )
+    )

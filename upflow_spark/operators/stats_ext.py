@@ -229,3 +229,72 @@ def ts_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("rev") - F.col("dow_mean")).alias("residual"),
         )
     )
+
+
+@query(
+    "stat_spearman_rho",
+    oracle="""
+WITH r AS (
+  SELECT row_number() OVER (ORDER BY value, event_id) AS rx,
+         row_number() OVER (ORDER BY epoch_us(ts), event_id) AS ry
+  FROM events
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+         CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+         CAST(sum(ry * ry) AS DOUBLE) AS syy,
+         CAST(sum(rx * ry) AS DOUBLE) AS sxy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       floor(((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+             * 10000 + 0.5) / 10000 AS spearman_rho
+FROM s
+""",
+)
+def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and event time ("does
+    the value distribution drift over the series?") — the robust,
+    outlier-immune monotone-trend test beside Welch's mean comparison.
+
+    Ranks are deterministic integers (row_number with event_id
+    tie-breaks), so every Pearson sufficient statistic is an EXACT integer
+    sum cast to double — no accumulation-order sensitivity anywhere.
+
+    Scale note: the global row_number is a single-partition sort at
+    fixture scale; at 100 TB use the two-phase rank (per-partition counts →
+    offset broadcast — the sample_systematic_every_k note) and the
+    integer-sum statistics stay mergeable partials.
+    """
+    ev = load(spark, sf_dir, "events")
+    r = ev.select(
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .cast("long")
+        .alias("rx"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id"))
+        )
+        .cast("long")
+        .alias("ry"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        r4(num / den).alias("spearman_rho"),
+    )

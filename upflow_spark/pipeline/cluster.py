@@ -581,3 +581,85 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cs").alias("community_size"),
         )
     )
+
+
+BFS_ROUNDS = 4
+BFS_N_SEEDS = 5
+
+
+def _bfs_cte(rounds: int = BFS_ROUNDS) -> str:
+    """Unrolled multi-source BFS: seeds at depth 0, each round relaxes
+    depth(u) = min(depth(u), min_neighbor depth + 1). AS MATERIALIZED per
+    the DuckDB CTE-inlining rule (_cc_contraction_cte)."""
+    parts = [
+        "bfs_e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+        "        UNION SELECT doc_b, doc_a FROM pairs)",
+        "bfs_nodes AS MATERIALIZED (SELECT DISTINCT u AS n FROM bfs_e)",
+        f"bfs_seeds AS MATERIALIZED (SELECT n FROM bfs_nodes ORDER BY n LIMIT {BFS_N_SEEDS})",
+        "bfs_d0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS d FROM bfs_seeds)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"bfs_relax{k} AS MATERIALIZED (SELECT e.u AS n, min(d.d) + 1 AS d "
+            f"FROM bfs_e e JOIN bfs_d{k} d ON e.v = d.n GROUP BY e.u)"
+        )
+        parts.append(
+            f"bfs_d{k + 1} AS MATERIALIZED (SELECT n, min(d) AS d FROM "
+            f"(SELECT n, d FROM bfs_d{k} UNION ALL SELECT n, d FROM bfs_relax{k}) "
+            f"GROUP BY n)"
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "graph_bfs_depth",
+    oracle=f"""
+WITH
+{_PAIRS_CTE},
+{_bfs_cte()}
+SELECT n AS doc_id, d AS depth
+FROM bfs_d{BFS_ROUNDS}
+""",
+)
+def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup graph: hop distance (≤ 4) from
+    the {BFS_N_SEEDS} smallest node ids — the contamination-spread /
+    blast-radius primitive ("everything within k dedup hops of these known
+    bad documents"). Nodes beyond depth 4 are simply absent (unreached).
+
+    Per round: one edge⋈frontier shuffle + a min-combine — the classic
+    iterative-relaxation shape shared with pagerank/CC/LPA, lineage cut
+    per round. The FIXED round budget (bounded-radius BFS) is the
+    engine-portable contract: both engines run the identical 4 relaxations,
+    so the oracle checks the iteration itself.
+    """
+    from pyspark.sql import Window
+
+    edges = _cc_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("u").alias("n"))
+        .distinct()
+        .orderBy("n")
+        .limit(BFS_N_SEEDS)
+        .withColumn("d", F.lit(0).cast("long"))
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        depth = seeds.localCheckpoint()
+        for _ in range(BFS_ROUNDS):
+            relax = (
+                edges.join(depth, edges.v == depth.n)
+                .groupBy(F.col("u").alias("n2"))
+                .agg((F.min("d") + 1).alias("d"))
+                .select(F.col("n2").alias("n"), "d")
+            )
+            depth = (
+                depth.unionByName(relax)
+                .groupBy("n")
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return depth.select(F.col("n").alias("doc_id"), F.col("d").alias("depth"))
