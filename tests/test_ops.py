@@ -1017,3 +1017,31 @@ def test_r8d_keys_not_vacuous(spark):
         vals = [r["cum_ltv_per_user"] for r in rows]
         assert vals == sorted(vals), "cumulative LTV must be nondecreasing"
         assert all(r["n_users"] > 0 for r in rows)
+
+
+def test_r8e_keys_not_vacuous(spark):
+    """Fifth round-8 wave: rolling median fan-out, semantic funnel,
+    file-metadata stats."""
+    med = QUERIES["ts_rolling_median_fanout"](spark, SF).collect()
+    assert len(med) > 30
+    med.sort(key=lambda r: r["day"])
+    # warm-up: day i sees at most i+1 contributing days, capped at 7
+    assert med[0]["n_in_window"] == 1
+    assert max(r["n_in_window"] for r in med) == 7
+    assert all(1 <= r["n_in_window"] <= 7 for r in med)
+    assert all(r["rolling_median"] > 0 for r in med)
+
+    fun = {r["stage"]: r for r in QUERIES["pipeline_semantic_funnel"](spark, SF).collect()}
+    assert set(fun) == {"raw", "outlier_pruned", "semantic_dedup", "train_split"}
+    ns = [fun[s]["n_vecs"] for s in ("raw", "outlier_pruned", "semantic_dedup", "train_split")]
+    assert ns[0] > 0 and ns == sorted(ns, reverse=True)
+    # the 5% outlier cut must actually drop ~5%
+    assert ns[1] == ns[0] - int(ns[0] * 0.05)
+    # every stage must prune something and keep something
+    assert ns[3] > 0 and ns[2] < ns[1] and ns[3] < ns[2]
+
+    meta = QUERIES["scan_file_metadata"](spark, SF).collect()
+    assert len(meta) == 1
+    m = meta[0]
+    assert m["file_name"] == "lineitem.parquet"
+    assert m["n_rows"] > 0 and 0 <= m["min_key"] <= m["max_key"]

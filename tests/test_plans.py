@@ -439,3 +439,31 @@ def test_dau_wau_mau_no_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the 28-day fan-out explode
+
+
+def test_rolling_median_bounded_fanout(spark):
+    """The windowed exact median is a 7-way bounded explode + ONE equi
+    aggregation — never a range self-join of the daily series."""
+    plan = plan_of(spark, "ts_rolling_median_fanout")
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_file_metadata_joinless_pruned_scan(spark):
+    """_metadata.file_path comes from the scan itself: no join against a
+    listing, and the ReadSchema stays pruned to the one data column."""
+    plan = plan_of(spark, "scan_file_metadata")
+    assert "Join" not in plan
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+    assert n_exchanges(plan) == 1
+
+
+def test_semantic_funnel_broadcasts_stats(spark):
+    """Per-dim moments and the CC loser set broadcast back onto the
+    exploded embedding stream; nothing big is sort-merge joined."""
+    plan = plan_of(spark, "pipeline_semantic_funnel")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -298,3 +298,60 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         r4(num / den).alias("spearman_rho"),
     )
+
+
+ROLL_DAYS = 7
+
+
+@query(
+    "ts_rolling_median_fanout",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum({_SQL_DEC}) AS DOUBLE) AS rev
+  FROM orders GROUP BY day
+)
+SELECT day,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       floor((quantile_cont(rev, 0.5) OVER w) * 10000 + 0.5) / 10000
+         AS rolling_median
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL {ROLL_DAYS - 1} DAY PRECEDING
+             AND CURRENT ROW)
+""",
+)
+def ts_rolling_median_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day ROLLING EXACT MEDIAN of daily revenue — a windowed ORDER
+    STATISTIC, which Spark's window frames cannot express (no percentile
+    over a frame). The scale shape is the bounded fan-out: each daily value
+    contributes to the ≤7 target days whose window contains it (map-side
+    explode, equi-shuffled on target day), then one groupBy computes the
+    exact interpolated median per day — the same rewrite events_dau_wau_mau
+    uses for windowed DISTINCT.
+
+    DuckDB runs the literal framed quantile_cont; both engines interpolate
+    identically over the identical ≤7 exact-decimal-derived doubles, so the
+    rewrite itself is what the oracle verifies.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    days = daily.select(F.col("day").alias("target"))
+    fan = daily.select(
+        "rev",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {ROLL_DAYS - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("target"),
+    ).join(F.broadcast(days), "target")
+    return (
+        fan.groupBy(F.col("target").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            r4(F.expr("percentile(rev, 0.5)")).alias("rolling_median"),
+        )
+    )

@@ -663,3 +663,136 @@ def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     return depth.select(F.col("n").alias("doc_id"), F.col("d").alias("depth"))
+
+
+OUTLIER_FRAC = 0.05
+
+
+@query(
+    "pipeline_semantic_funnel",
+    oracle=f"""
+WITH
+{_EMB_PAIRS_CTE},
+{_CC_CTE},
+losers AS (SELECT n AS vec_id FROM cc_final WHERE n <> lbl),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dim AS (SELECT pos, avg(v) AS mu, avg(v * v) AS m2 FROM ex GROUP BY pos),
+maha AS (
+  SELECT e.vec_id,
+         sum((e.v - d.mu) * (e.v - d.mu) / (d.m2 - d.mu * d.mu)) AS sc
+  FROM ex e JOIN dim d ON e.pos = d.pos GROUP BY e.vec_id
+),
+flags AS (
+  SELECT m.vec_id,
+         row_number() OVER (ORDER BY m.sc DESC, m.vec_id ASC)
+           > floor((SELECT count(*) FROM maha) * {OUTLIER_FRAC}) AS s2,
+         l.vec_id IS NULL AS not_loser,
+         CAST(('0x' || substr(md5(CAST(m.vec_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           % 10 < 8 AS in_split
+  FROM maha m LEFT JOIN losers l ON m.vec_id = l.vec_id
+)
+SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_vecs FROM flags
+UNION ALL SELECT CAST(2 AS BIGINT), 'outlier_pruned',
+       CAST(count(*) FILTER (s2) AS BIGINT) FROM flags
+UNION ALL SELECT CAST(3 AS BIGINT), 'semantic_dedup',
+       CAST(count(*) FILTER (s2 AND not_loser) AS BIGINT) FROM flags
+UNION ALL SELECT CAST(4 AS BIGINT), 'train_split',
+       CAST(count(*) FILTER (s2 AND not_loser AND in_split) AS BIGINT) FROM flags
+UNION ALL SELECT CAST(-1 AS BIGINT), 'CC_UNCONVERGED', CAST(-1 AS BIGINT)
+FROM cc_unconverged
+""",
+)
+def pipeline_semantic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-side curation pipeline as one plan: per-stage survivor
+    counts for raw → outlier-pruned (top-5% diagonal-Mahalanobis dropped —
+    the fixture embeddings are near-isotropic, maha² ∈ [61,68], so the cut
+    is rank-based, not an absolute threshold) → semantic dedup (SemDeDup CC
+    losers dropped; cluster resolution runs once over the full corpus, the
+    production choice) → hash train split. The lexical twin is
+    pipeline_curation_funnel; together they are the full modern curation
+    recipe (CCNet quality + SemDeDup).
+
+    Same survival-flag shape as the lexical funnel: per-vector booleans in
+    one pass over the maha table, one count_if aggregate — no per-stage
+    re-scan. The Mahalanobis rank is a global window at fixture scale (at
+    100 TB: two-phase rank or an absolute calibrated threshold); the loser
+    set broadcasts.
+
+    Parity note: maha² sums 64 dims in engine order (continuous values —
+    the sim_centroid_per_label precedent); the rank tie-break is vec_id.
+    """
+    from upflow_spark.io import load
+    from upflow_spark.pipeline.dedup import dedup_embedding_cosine
+    from pyspark.sql import Window
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        labels = _cc_star_fixpoint(pairs).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    losers = labels.filter(~F.col("is_canonical")).select(
+        F.col("doc_id").alias("vec_id"), F.lit(True).alias("is_loser")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        ),
+    )
+    dim = ex.groupBy("pos").agg(
+        F.avg("v").alias("mu"), F.avg(F.col("v") * F.col("v")).alias("m2")
+    )
+    dev = F.col("v") - F.col("mu")
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    maha = (
+        ex.join(F.broadcast(dim), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(dev * dev / var).alias("sc"))
+    )
+    n_total = maha.agg(F.count(F.lit(1)).alias("n"))
+    rank_w = Window.orderBy(F.col("sc").desc(), F.col("vec_id").asc())
+    flags = (
+        maha.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "s2",
+            F.row_number().over(rank_w)
+            > F.floor(F.col("n") * OUTLIER_FRAC),
+        )
+        .join(F.broadcast(losers), "vec_id", "left")
+        .withColumn("not_loser", F.col("is_loser").isNull())
+        .withColumn(
+            "in_split",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7), 16, 10
+                ).cast("long"),
+                F.lit(10),
+            )
+            < 8,
+        )
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count_if("s2").alias("n2"),
+        F.count_if(F.col("s2") & F.col("not_loser")).alias("n3"),
+        F.count_if(F.col("s2") & F.col("not_loser") & F.col("in_split")).alias("n4"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).cast("long").alias("stage_no"), F.lit("raw").alias("stage"), F.col("n1").alias("n_vecs")),
+        F.struct(F.lit(2).cast("long").alias("stage_no"), F.lit("outlier_pruned").alias("stage"), F.col("n2").alias("n_vecs")),
+        F.struct(F.lit(3).cast("long").alias("stage_no"), F.lit("semantic_dedup").alias("stage"), F.col("n3").alias("n_vecs")),
+        F.struct(F.lit(4).cast("long").alias("stage_no"), F.lit("train_split").alias("stage"), F.col("n4").alias("n_vecs")),
+    )
+    return counts.select(F.explode(stages).alias("s")).select(
+        "s.stage_no", "s.stage", "s.n_vecs"
+    )

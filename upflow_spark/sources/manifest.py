@@ -104,3 +104,44 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+SELECT 'lineitem.parquet' AS file_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+FROM lineitem
+GROUP BY file_name
+""",
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file statistics via Spark's hidden file-metadata column
+    (`_metadata.file_path`, populated by the scan itself — no extra I/O, no
+    join against a listing): row counts and key ranges grouped by source
+    file — the primitive a manifest builder (scan_manifest_pruned) or a
+    small-file-compaction planner (sink_compaction) runs first.
+
+    Oracle note: the driver's DuckDB side sees registered VIEWS, not file
+    paths, so the oracle pins the fixture's deterministic basename as a
+    literal — the compare still verifies that Spark's _metadata-derived
+    name resolves to exactly that file and that its per-file stats are the
+    table's. Grouping keys on file identity, which is bounded by file
+    count, not rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.regexp_extract(F.col("_metadata.file_path"), "([^/]+)$", 1).alias(
+                "file_name"
+            ),
+            "l_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
