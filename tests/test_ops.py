@@ -1045,3 +1045,25 @@ def test_r8e_keys_not_vacuous(spark):
     m = meta[0]
     assert m["file_name"] == "lineitem.parquet"
     assert m["n_rows"] > 0 and 0 <= m["min_key"] <= m["max_key"]
+
+
+def test_r8f_keys_not_vacuous(spark):
+    """Sixth round-8 wave: robust trend, bootstrap CI, Hampel filter."""
+    ts = QUERIES["stat_theil_sen"](spark, SF).collect()[0]
+    assert ts["n_days"] > 1000
+    assert ts["n_pairs"] == ts["n_days"] * (ts["n_days"] - 1) // 2
+    assert abs(ts["theil_sen_slope"]) < 1e6  # sane slope scale
+
+    ci = QUERIES["stat_bootstrap_ci"](spark, SF).collect()[0]
+    assert ci["n_replicates"] == 100
+    assert ci["ci_lo"] < ci["boot_median"] < ci["ci_hi"]
+    # half-sample replicate means must bracket the full-sample mean
+    assert ci["ci_lo"] < ci["mean_full"] < ci["ci_hi"]
+    # and the band must be tight relative to the mean (n is large)
+    assert (ci["ci_hi"] - ci["ci_lo"]) < 0.1 * ci["mean_full"]
+
+    hp = QUERIES["ts_hampel_outliers"](spark, SF).collect()
+    assert 0 < len(hp) < 500  # flags something, but not the whole series
+    for r in hp:
+        assert abs(r["rev"] - r["med"]) > 4.4 * r["mad"] * 0.999
+        assert r["mad"] >= 0

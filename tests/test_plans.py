@@ -467,3 +467,28 @@ def test_semantic_funnel_broadcasts_stats(spark):
     plan = plan_of(spark, "pipeline_semantic_funnel")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_theil_sen_pairs_broadcast_only(spark):
+    """The quadratic pair join runs over the O(date-span) daily rollup via
+    broadcast — no shuffle join; data-sized work is one partial agg."""
+    plan = plan_of(spark, "stat_theil_sen")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # a.day < b.day over tiny sides
+
+
+def test_bootstrap_fanout_stays_mapside(spark):
+    """Replicate membership + sufficient stats are map-side: one exchange
+    for the B=100 groups, one for the 100-row quantile finish — the
+    explode never shuffles row-wise."""
+    plan = plan_of(spark, "stat_bootstrap_ci")
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_exchanges(plan) <= 3
+
+
+def test_hampel_double_fanout_broadcasts(spark):
+    plan = plan_of(spark, "ts_hampel_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

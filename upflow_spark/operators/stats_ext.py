@@ -355,3 +355,219 @@ def ts_rolling_median_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.expr("percentile(rev, 0.5)")).alias("rolling_median"),
         )
     )
+
+
+@query(
+    "stat_theil_sen",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum({_SQL_DEC}) AS DOUBLE) AS rev
+  FROM orders GROUP BY day
+),
+slopes AS (
+  SELECT (b.rev - a.rev) / date_diff('day', a.day, b.day) AS slope
+  FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {R4("quantile_cont(slope, 0.5)")} AS theil_sen_slope
+FROM slopes
+""",
+)
+def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of the daily revenue series: the
+    MEDIAN of all pairwise slopes (rev_j−rev_i)/(day_j−day_i), i<j — the
+    breakdown-resistant companion to agg_regression's OLS slope (one
+    corrupted ingest day cannot move it).
+
+    The pair join is quadratic IN DAYS, which is the point at 100 TB: the
+    daily rollup is O(date-span) ≈ 3k rows regardless of corpus size, so
+    the ~4.5M-pair nested-loop join is scale-INVARIANT — all the data-sized
+    work is the one map-side decimal rollup. Slopes are doubles derived
+    from exact-decimal daily sums (subtraction exact at money scale), so
+    both engines interpolate the same median.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    pairs = a.join(F.broadcast(b), F.col("day_a") < F.col("day_b"))
+    slope = (F.col("rev_b") - F.col("rev_a")) / F.datediff("day_b", "day_a")
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            r4(F.expr("percentile((rev_b - rev_a) / datediff(day_b, day_a), 0.5)")).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "theil_sen_slope")
+    )
+
+
+BOOT_B = 100
+
+
+@query(
+    "stat_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (SELECT CAST(unnest(range({BOOT_B})) AS BIGINT) AS b),
+member AS (
+  SELECT r.b, {_SQL_DEC} AS price
+  FROM orders o CROSS JOIN reps r
+  WHERE CAST(('0x' || substr(md5(o.o_orderkey || ':' || r.b), 1, 7)) AS BIGINT)
+        % 2 = 0
+),
+rep_means AS (
+  SELECT b, CAST(sum(price) AS DOUBLE) / count(*) AS m
+  FROM member GROUP BY b
+)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       (SELECT CAST(sum({_SQL_DEC}) AS DOUBLE) / count(*) FROM orders)
+         AS mean_full,
+       {R4("quantile_cont(m, 0.025)")} AS ci_lo,
+       {R4("quantile_cont(m, 0.5)")} AS boot_median,
+       {R4("quantile_cont(m, 0.975)")} AS ci_hi
+FROM rep_means
+""",
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for the mean order price:
+    100 replicates, replicate b keeping exactly the orders whose
+    md5(o_orderkey||':'||b) parity is even (the repo's cross-engine
+    hash-split primitive — no RNG, rerun-stable), 2.5/97.5 percentile band
+    over the replicate means.
+
+    The scale shape is the Bag-of-Little-Bootstraps insight run backwards:
+    membership and the per-replicate DECIMAL sufficient statistics
+    (sum, count) are all MAP-SIDE — the only shuffle is B=100 partial-agg
+    groups, and the quantile finish touches a 100-row relation. Fan-out is
+    bounded (B× explode) and never leaves the partial-aggregate stage.
+    """
+    o = load(spark, sf_dir, "orders")
+    full = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_full")
+    )
+    fan = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).filter(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0
+    )
+    rep_means = fan.groupBy("b").agg(
+        (F.sum("price").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    return (
+        rep_means.agg(
+            F.lit(BOOT_B).cast("long").alias("n_replicates"),
+            r4(F.expr("percentile(m, 0.025D)")).alias("ci_lo"),
+            r4(F.expr("percentile(m, 0.5D)")).alias("boot_median"),
+            r4(F.expr("percentile(m, 0.975D)")).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(full))
+        .select("n_replicates", "mean_full", "ci_lo", "boot_median", "ci_hi")
+    )
+
+
+HAMPEL_K = 4.4478  # 3 * 1.4826, folded to ONE literal shared by both engines
+
+
+@query(
+    "ts_hampel_outliers",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum({_SQL_DEC}) AS DOUBLE) AS rev
+  FROM orders GROUP BY day
+),
+med AS (
+  SELECT day, rev,
+         quantile_cont(rev, 0.5) OVER
+           (ORDER BY day RANGE BETWEEN INTERVAL {ROLL_DAYS - 1} DAY PRECEDING
+            AND CURRENT ROW) AS med
+  FROM daily
+),
+mad AS (
+  SELECT d.day, any_value(d.rev) AS rev, any_value(d.med) AS med,
+         quantile_cont(abs(d2.rev - d.med), 0.5) AS mad
+  FROM med d JOIN daily d2
+    ON d2.day BETWEEN d.day - INTERVAL {ROLL_DAYS - 1} DAY AND d.day
+  GROUP BY d.day
+)
+SELECT day, {R4("rev")} AS rev, {R4("med")} AS med, {R4("mad")} AS mad
+FROM mad
+WHERE abs(rev - med) > {HAMPEL_K} * mad
+""",
+)
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the daily revenue series: flag days where
+    |x − rolling_median| > 3·1.4826·rolling_MAD (7-day trailing window) —
+    the ROLLING robust anomaly detector (anomaly_mad_outliers is its
+    global-per-group sibling; CUSUM catches level shifts, Hampel catches
+    spikes).
+
+    Two bounded fan-out passes over the O(date-span) daily rollup (the
+    ts_rolling_median_fanout rewrite, applied twice): pass 1 computes the
+    windowed exact median, pass 2 re-fans deviations |x_d' − med_d| to
+    compute the windowed MAD — every join side is the tiny daily table,
+    broadcast. The threshold constant is folded to one literal so both
+    engines compare identical doubles.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    days = daily.select(F.col("day").alias("target"))
+    fan = daily.select(
+        "rev",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {ROLL_DAYS - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("target"),
+    ).join(F.broadcast(days), "target")
+    med = fan.groupBy(F.col("target").alias("day")).agg(
+        F.expr("percentile(rev, 0.5)").alias("med")
+    )
+    dev = fan.join(
+        F.broadcast(med), fan["target"] == med["day"]
+    ).select(
+        "target", "med", F.abs(F.col("rev") - F.col("med")).alias("absdev")
+    )
+    mad = dev.groupBy(F.col("target").alias("day")).agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(absdev, 0.5)").alias("mad"),
+    )
+    return (
+        daily.join(F.broadcast(mad), "day")
+        .filter(F.abs(F.col("rev") - F.col("med")) > F.lit(HAMPEL_K) * F.col("mad"))
+        .select("day", r4("rev").alias("rev"), r4("med").alias("med"), r4("mad").alias("mad"))
+    )
