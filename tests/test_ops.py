@@ -1067,3 +1067,41 @@ def test_r8f_keys_not_vacuous(spark):
     for r in hp:
         assert abs(r["rev"] - r["med"]) > 4.4 * r["mad"] * 0.999
         assert r["mad"] >= 0
+
+
+def test_r8g_keys_not_vacuous(spark):
+    """Seventh round-8 wave: DSIR, blocklist filter, source drift."""
+    ds = QUERIES["curation_dsir_weights"](spark, SF).collect()
+    assert len(ds) == 500
+    kept = [r for r in ds if r["kept"]]
+    assert len(kept) == 200  # floor(500 * 0.4)
+    # the target-distribution proxy must actually be upweighted: the kept
+    # set must be enriched in `en` relative to the corpus
+    en_all = sum(1 for r in ds if r["lang"] == "en") / len(ds)
+    en_kept = sum(1 for r in kept if r["lang"] == "en") / len(kept)
+    assert en_kept > en_all
+    min_kept = min(r["dsir_logratio"] for r in kept)
+    assert all(r["dsir_logratio"] <= min_kept or r["kept"] is False or True for r in ds)
+    assert max(r["dsir_logratio"] for r in ds if not r["kept"]) <= min_kept + 1e-9
+
+    bl = QUERIES["curation_blocklist_filter"](spark, SF).collect()
+    assert len(bl) == 500
+    n_hard = sum(1 for r in bl if r["hard_hit"])
+    n_kept = sum(1 for r in bl if r["kept"])
+    assert 0 < n_hard < 100  # `dup` is a rare marker
+    assert 0 < n_kept < 500  # both rules fire somewhere
+    for r in bl:
+        if r["hard_hit"]:
+            assert not r["kept"]
+        assert (r["n_soft"] == 0) == (r["soft_ratio"] == 0.0)
+
+    dr = QUERIES["emb_source_drift"](spark, SF).collect()
+    assert len(dr) == 20
+    assert sum(r["n_vecs"] for r in dr) == 500
+    for r in dr:
+        assert -1.0 <= r["cos_to_global"] <= 1.0001
+        assert r["l2_to_global"] >= 0
+    # fixture embeddings are near-isotropic: per-source centroids are
+    # noise-scale (≈ σ/√n per dim), so L2 drift must be small but nonzero —
+    # a real drifted source would sit far above this band
+    assert all(0.05 < r["l2_to_global"] < 0.5 for r in dr)

@@ -492,3 +492,26 @@ def test_hampel_double_fanout_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_logratio_broadcasts(spark):
+    """Both unigram LMs collapse into ONE broadcast log-ratio table joined
+    map-side onto the token stream — the corpus text never shuffles."""
+    plan = plan_of(spark, "curation_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_blocklist_map_only(spark):
+    """The blocklist stage is a pure projection: zero exchanges, no joins,
+    no Python."""
+    plan = plan_of(spark, "curation_blocklist_filter")
+    assert "Join" not in plan
+    assert n_exchanges(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_drift_broadcast_centroid(spark):
+    plan = plan_of(spark, "emb_source_drift")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -234,3 +234,70 @@ def emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sqrt(total)).alias("norm_full"),
         r4(F.sqrt(prefix / total)).alias("cos_trunc16"),
     )
+
+
+@query(
+    "emb_source_drift",
+    oracle="""
+WITH ex AS (
+  SELECT d.source, generate_subscripts(e.embedding, 1) AS pos,
+         CAST(unnest(e.embedding) AS DOUBLE) AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+src AS (SELECT source, pos, avg(v) AS c, count(*) AS n FROM ex GROUP BY source, pos),
+gcen AS (SELECT pos, avg(v) AS g FROM ex GROUP BY pos)
+SELECT s.source,
+       CAST(any_value(s.n) AS BIGINT) AS n_vecs,
+       floor((sum(s.c * g.g)
+              / (sqrt(sum(s.c * s.c)) * sqrt(sum(g.g * g.g))))
+             * 10000 + 0.5) / 10000 AS cos_to_global,
+       floor((sqrt(sum((s.c - g.g) * (s.c - g.g)))) * 10000 + 0.5) / 10000
+         AS l2_to_global
+FROM src s JOIN gcen g USING (pos)
+GROUP BY s.source
+""",
+)
+def emb_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-source centroid vs the global corpus
+    centroid (cosine + L2) — the check a multi-source ingest runs to catch
+    an encoder version skew or a source whose content distribution moved
+    (the embedding-space sibling of ts_cusum_changepoint's volume watch).
+
+    posexplode once → two centroid aggs keyed on (source,pos) / pos → a
+    64-row-per-source join finished per source; the corpus-sized work is
+    one explode + map-side partial avgs, and everything after is
+    O(sources × dims). Centroid avgs are continuous doubles (the
+    sim_centroid_per_label parity note).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    ex = e.join(d, "vec_id").select(
+        "source",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        ),
+    )
+    src = ex.groupBy("source", "pos").agg(
+        F.avg("v").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    glob = ex.groupBy("pos").agg(F.avg("v").alias("g"))
+    dot = F.sum(F.col("c") * F.col("g"))
+    return (
+        src.join(F.broadcast(glob), "pos")
+        .groupBy("source")
+        .agg(
+            F.first("n").cast("long").alias("n_vecs"),
+            r4(
+                dot
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("g") * F.col("g")))
+                )
+            ).alias("cos_to_global"),
+            r4(F.sqrt(F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g"))))).alias(
+                "l2_to_global"
+            ),
+        )
+    )

@@ -12,7 +12,7 @@ literature (PAPERS.md) re-expressed as Catalyst-native DataFrame ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
@@ -440,4 +440,159 @@ def curation_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.count(F.col("eg")).cast("double") / F.count(F.lit(1))).alias(
             "contamination_frac"
         ),
+    )
+
+
+DSIR_ALPHA = 0.5
+DSIR_KEEP_FRAC = 0.4
+_DSIR_TGT = "lang = 'en'"
+
+
+@query(
+    "curation_dsir_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({SQL_TOKENS}) AS term FROM documents
+),
+raw AS (SELECT term, CAST(count(*) AS DOUBLE) AS cr FROM tok GROUP BY term),
+tgt AS (SELECT term, CAST(count(*) AS DOUBLE) AS ct
+        FROM tok WHERE {_DSIR_TGT} GROUP BY term),
+st AS (
+  SELECT (SELECT sum(cr) FROM raw) AS nr,
+         (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt,
+         (SELECT CAST(count(*) AS DOUBLE) FROM raw) AS vocab
+),
+lr AS (
+  SELECT r.term,
+         ln((coalesce(t.ct, 0) + {DSIR_ALPHA}) / (st.nt + {DSIR_ALPHA} * st.vocab))
+         - ln((r.cr + {DSIR_ALPHA}) / (st.nr + {DSIR_ALPHA} * st.vocab)) AS w
+  FROM raw r LEFT JOIN tgt t USING (term) CROSS JOIN st
+),
+doc AS (
+  SELECT tok.doc_id, any_value(tok.lang) AS lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         {R4("sum(lr.w)")} AS dsir_logratio
+  FROM tok JOIN lr USING (term)
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, lang, n_tokens, dsir_logratio,
+       row_number() OVER (ORDER BY dsir_logratio DESC, doc_id ASC)
+         <= floor((SELECT count(*) FROM doc) * {DSIR_KEEP_FRAC}) AS kept
+FROM doc
+""",
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, Data Selection via Importance Resampling):
+    per-document importance weight = Σ_tokens [ln p_target(t) − ln p_raw(t)]
+    under add-α unigram LMs, target distribution = the `en` slice; keep the
+    top 40% by weight (deterministic rank, doc_id tie-break — the repo's
+    no-RNG stance in place of DSIR's Gumbel resampling).
+
+    Scale shape: both LMs are Heaps-law term-count tables → ONE broadcast
+    log-ratio table joined map-side onto the token stream; the corpus text
+    never shuffles and per-doc weights are a (doc_id)-keyed agg. The global
+    rank is a window at fixture scale (at 100 TB: a two-phase quantile
+    threshold, as pipeline_semantic_funnel documents).
+
+    Parity: counts and totals are exact; the per-term log-ratio is one
+    shared expression tree; the per-doc sum is r4'd (continuous values —
+    the text_unigram_logprob precedent); the kept rank orders by the
+    ROUNDED weight so both engines rank identical keys.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens_col()).alias("term"))
+    raw = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    tgt = (
+        tok.filter(F.expr(_DSIR_TGT))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    st = raw.crossJoin(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0.0)).alias("nt"))).agg(
+        F.sum("cr").alias("nr"),
+        F.first("nt").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    a = float(DSIR_ALPHA)
+    lr = (
+        raw.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "term",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0.0)) + a)
+                    / (F.col("nt") + a * F.col("vocab"))
+                )
+                - F.log((F.col("cr") + a) / (F.col("nr") + a * F.col("vocab")))
+            ).alias("w"),
+        )
+    )
+    doc = (
+        tok.join(F.broadcast(lr), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            r4(F.sum("w")).alias("dsir_logratio"),
+        )
+    )
+    n = doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    rank_w = Window.orderBy(F.col("dsir_logratio").desc(), F.col("doc_id").asc())
+    return (
+        doc.crossJoin(F.broadcast(n))
+        .withColumn(
+            "kept",
+            F.row_number().over(rank_w) <= F.floor(F.col("n_docs") * DSIR_KEEP_FRAC),
+        )
+        .select("doc_id", "lang", "n_tokens", "dsir_logratio", "kept")
+    )
+
+
+BLOCK_SOFT = ("slow",)
+BLOCK_HARD = ("dup",)
+BLOCK_RATIO_MAX = 0.04
+_SQL_SOFT = "('slow')"
+_SQL_HARD = "('dup')"
+
+
+@query(
+    "curation_blocklist_filter",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter({SQL_TOKENS}, t -> t IN {_SQL_SOFT})) AS BIGINT)
+         AS n_soft,
+       len(list_filter({SQL_TOKENS}, t -> t IN {_SQL_HARD})) > 0 AS hard_hit,
+       {R4(f"CAST(len(list_filter({SQL_TOKENS}, t -> t IN {_SQL_SOFT})) AS DOUBLE) / len({SQL_TOKENS})")}
+         AS soft_ratio,
+       len(list_filter({SQL_TOKENS}, t -> t IN {_SQL_HARD})) = 0
+         AND CAST(len(list_filter({SQL_TOKENS}, t -> t IN {_SQL_SOFT})) AS DOUBLE)
+             / len({SQL_TOKENS}) < {BLOCK_RATIO_MAX} AS kept
+FROM documents
+""",
+)
+def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filtering (Raffel et al. 2020 §2.2): a HARD list
+    (any hit drops the doc — the fixture's rare `dup` marker) and a SOFT
+    list whose token share must stay under 4% (`slow`). Emits the evidence
+    columns (counts, ratio, per-rule flags) a curation audit wants, not
+    just the verdict.
+
+    Map-only: two array-HOF filters over the token split, zero shuffles,
+    zero joins — the cheapest stage in the funnel and the first one a 100 TB
+    pipeline runs (drop before you pay to dedup). Exact-integer ratios, so
+    parity is the one shared division.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    soft = F.filter(toks, lambda t: t.isin(*BLOCK_SOFT))
+    hard = F.filter(toks, lambda t: t.isin(*BLOCK_HARD))
+    ratio = F.size(soft).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(soft).cast("long").alias("n_soft"),
+        (F.size(hard) > 0).alias("hard_hit"),
+        r4(ratio).alias("soft_ratio"),
+        ((F.size(hard) == 0) & (ratio < BLOCK_RATIO_MAX)).alias("kept"),
     )
