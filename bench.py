@@ -66,6 +66,10 @@ def main() -> None:
         # r8 additions: the stride-1 exact pass + routed tokenization
         "dedup_substring_exact": "dedup_substring_exact",
         "tokenize_cjk": "text_tokenize_cjk",
+        # r8 second-wave flagships: DSIR data selection + the embedding-side
+        # curation funnel (Mahalanobis prune -> SemDeDup CC -> split)
+        "dsir_weights": "curation_dsir_weights",
+        "semantic_funnel": "pipeline_semantic_funnel",
     }
 
     # global JIT/codegen warm-up: drive shuffle + agg + window codepaths a

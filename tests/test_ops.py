@@ -1105,3 +1105,25 @@ def test_r8g_keys_not_vacuous(spark):
     # noise-scale (≈ σ/√n per dim), so L2 drift must be small but nonzero —
     # a real drifted source would sit far above this band
     assert all(0.05 < r["l2_to_global"] < 0.5 for r in dr)
+
+
+def test_r8h_keys_not_vacuous(spark):
+    """Eighth round-8 wave: two-proportion z-test, STL-lite decomposition."""
+    zt = QUERIES["stat_proportions_ztest"](spark, SF).collect()[0]
+    assert zt["n_high_disc"] > 0 and zt["n_low_disc"] > 0
+    assert 0 < zt["rate_high"] < 1 and 0 < zt["rate_low"] < 1
+    # z must carry the sign of the rate difference
+    assert (zt["z_score"] > 0) == (zt["rate_high"] > zt["rate_low"])
+
+    stl = QUERIES["ts_stl_decompose"](spark, SF).collect()
+    assert len(stl) > 1000
+    for r in stl[:50] + stl[-50:]:
+        assert abs(r["rev"] - (r["trend"] + r["seasonal"] + r["residual"])) < 5e-4
+    # seasonal takes exactly 7 values (one per DOW), summing ~0 weighted
+    seas = {r["seasonal"] for r in stl}
+    assert len(seas) == 7
+    # trend must smooth: its variance is below the raw series' variance
+    import statistics
+    assert statistics.pvariance([r["trend"] for r in stl]) < statistics.pvariance(
+        [r["rev"] for r in stl]
+    )

@@ -515,3 +515,18 @@ def test_source_drift_broadcast_centroid(spark):
     plan = plan_of(spark, "emb_source_drift")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_proportions_ztest_single_scan(spark):
+    """Four FILTER'd counts in ONE pass — no self-join of the fact table,
+    one exchange for the 1-row final agg."""
+    plan = plan_of(spark, "stat_proportions_ztest")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert n_exchanges(plan) == 1
+
+
+def test_stl_joins_stay_broadcast(spark):
+    plan = plan_of(spark, "ts_stl_decompose")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -571,3 +571,144 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("rev") - F.col("med")) > F.lit(HAMPEL_K) * F.col("mad"))
         .select("day", r4("rev").alias("rev"), r4("med").alias("med"), r4("mad").alias("mad"))
     )
+
+
+_ZT_A = "l_discount >= 0.05"
+_ZT_B = "l_discount < 0.05"
+_ZT_HIT = "l_returnflag = 'R'"
+
+
+@query(
+    "stat_proportions_ztest",
+    oracle=f"""
+WITH st AS (
+  SELECT CAST(count(*) FILTER ({_ZT_A}) AS DOUBLE) AS na,
+         CAST(count(*) FILTER ({_ZT_A} AND {_ZT_HIT}) AS DOUBLE) AS xa,
+         CAST(count(*) FILTER ({_ZT_B}) AS DOUBLE) AS nb,
+         CAST(count(*) FILTER ({_ZT_B} AND {_ZT_HIT}) AS DOUBLE) AS xb
+  FROM lineitem
+)
+SELECT CAST(na AS BIGINT) AS n_high_disc, CAST(nb AS BIGINT) AS n_low_disc,
+       {R4("xa / na")} AS rate_high, {R4("xb / nb")} AS rate_low,
+       {R4("(xa / na - xb / nb) / sqrt(((xa + xb) / (na + nb)) * (1 - (xa + xb) / (na + nb)) * (1 / na + 1 / nb))")}
+         AS z_score
+FROM st
+""",
+)
+def stat_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled): is the return rate different between
+    high-discount (≥5%) and low-discount line items? The categorical-outcome
+    sibling of stat_welch_ttest (means) — the conversion-rate / defect-rate
+    A/B primitive.
+
+    ONE scan of four FILTER'd counts (exact integers), 1-row double finish
+    with a single shared expression tree — the cheapest possible
+    inferential shape at any scale (map-side partials, no shuffle of rows).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.count_if(F.expr(_ZT_A)).cast("double").alias("na"),
+        F.count_if(F.expr(f"{_ZT_A} AND {_ZT_HIT}")).cast("double").alias("xa"),
+        F.count_if(F.expr(_ZT_B)).cast("double").alias("nb"),
+        F.count_if(F.expr(f"{_ZT_B} AND {_ZT_HIT}")).cast("double").alias("xb"),
+    )
+    pa = F.col("xa") / F.col("na")
+    pb = F.col("xb") / F.col("nb")
+    pool = (F.col("xa") + F.col("xb")) / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(
+        pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb"))
+    )
+    return st.select(
+        F.col("na").cast("long").alias("n_high_disc"),
+        F.col("nb").cast("long").alias("n_low_disc"),
+        r4(pa).alias("rate_high"),
+        r4(pb).alias("rate_low"),
+        r4(z).alias("z_score"),
+    )
+
+
+@query(
+    "ts_stl_decompose",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum({_SQL_DEC}) AS DOUBLE) AS rev
+  FROM orders GROUP BY day
+),
+tr AS (
+  SELECT day, rev,
+         sum(CAST(rev AS DECIMAL(18,2))) OVER w AS tsum,
+         count(*) OVER w AS tn
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL {ROLL_DAYS - 1} DAY PRECEDING
+               AND CURRENT ROW)
+),
+dow AS (
+  SELECT dayofweek(day) AS dw,
+         CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS dow_mean
+  FROM daily GROUP BY dw
+),
+gm AS (
+  SELECT CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS g
+  FROM daily
+)
+SELECT t.day, {R4("t.rev")} AS rev,
+       {R4("CAST(t.tsum AS DOUBLE) / t.tn")} AS trend,
+       {R4("d.dow_mean - gm.g")} AS seasonal,
+       {R4("t.rev - CAST(t.tsum AS DOUBLE) / t.tn - (d.dow_mean - gm.g)")}
+         AS residual
+FROM tr t JOIN dow d ON dayofweek(t.day) = d.dw CROSS JOIN gm
+""",
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the daily revenue series:
+    trend (7-day trailing mean) + day-of-week seasonal (DOW mean −
+    grand mean) + residual — the decomposition behind capacity planning
+    and anomaly baselining (ts_seasonal_dow_profile reports the profile;
+    this key applies it to every day).
+
+    FP parity by construction: every AGGREGATE here (trailing sum, DOW
+    mean, grand mean) accumulates in exact DECIMAL — order-insensitive on
+    both engines — and only the final per-row arithmetic is IEEE double,
+    one shared expression tree. The trailing window is a RANGE interval
+    frame on both sides; all joins are against ≤7-row tables.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-(ROLL_DAYS - 1) * 86400, 0)
+    )
+    tr = daily.select(
+        "day",
+        "rev",
+        F.sum(F.col("rev").cast("decimal(18,2)")).over(w).alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+    )
+    dow = daily.groupBy(F.dayofweek("day").alias("dw")).agg(
+        (
+            F.sum(F.col("rev").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dow_mean")
+    )
+    gm = daily.agg(
+        (
+            F.sum(F.col("rev").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("g")
+    )
+    trend = F.col("tsum").cast("double") / F.col("tn")
+    seasonal = F.col("dow_mean") - F.col("g")
+    return (
+        tr.join(F.broadcast(dow), F.dayofweek("day") == F.col("dw"))
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "day",
+            r4("rev").alias("rev"),
+            r4(trend).alias("trend"),
+            r4(seasonal).alias("seasonal"),
+            r4(F.col("rev") - trend - seasonal).alias("residual"),
+        )
+    )
