@@ -87,6 +87,31 @@ PROBE_KEYS = [
     ("curation_lang_balance", "documents 10x (per-lang hash-rank + broadcast targets)"),
     ("emb_matryoshka_agreement", "embeddings 10x (broadcast 50-probe prefix eval)"),
     ("graph_label_propagation", "documents 10x (4 sync LPA rounds over the pair graph)"),
+    # r8 third/fourth waves: events analytics, graph BFS, embedding outliers
+    ("events_dau_wau_mau", "events 10x (bounded 28x contribution explode)"),
+    ("events_attribution_last_touch", "events 10x (ONE per-user window, no join)"),
+    ("events_cohort_ltv", "events 10x (cohort rollup + age-ordered cumsum)"),
+    ("graph_bfs_depth", "documents 10x (4 relaxation rounds, lineage cut)"),
+    ("emb_outlier_mahalanobis", "embeddings 10x (explode + broadcast moments + topk)"),
+    ("geo_knn_join", "customer 10x (broadcast probes, map-side haversine)"),
+    # r8 fifth-eighth waves: order statistics via bounded fan-out, DSIR,
+    # deterministic bootstrap, drift monitors, map-only blocklist.
+    # pipeline_semantic_funnel is NOT probed: like dedup_semantic_cc it
+    # consumes the brute-force exact-cosine rail (quadratic by definition);
+    # its scale path swaps in the IVF candidate generator.
+    # stat_theil_sen's pair stage is quadratic IN DAYS (constant here by
+    # construction — the replica keeps the date span); the probe verifies
+    # the data-sized rollup is what scales.
+    ("ts_rolling_median_fanout", "orders 10x (7x bounded fan-out, exact median)"),
+    ("ts_hampel_outliers", "orders 10x (fan-out twice: median then MAD)"),
+    ("ts_stl_decompose", "orders 10x (decimal rollup + RANGE frame + DOW join)"),
+    ("stat_theil_sen", "orders 10x (O(days^2) pairs — constant; rollup scales)"),
+    ("stat_bootstrap_ci", "orders 10x (B=100 map-side membership + 100-group agg)"),
+    ("stat_proportions_ztest", "lineitem 10x (one scan, four FILTER'd counts)"),
+    ("curation_dsir_weights", "documents 10x (broadcast log-ratio onto token stream)"),
+    ("curation_blocklist_filter", "documents 10x (map-only array HOFs)"),
+    ("emb_source_drift", "embeddings+documents 10x (explode + partial avgs)"),
+    ("scan_file_metadata", "lineitem 10x (_metadata grouping, 1-col ReadSchema)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
