@@ -72,6 +72,13 @@ SHOWCASE = [
     # r8 showcases
     ("dedup_substring_exact", "two-phase stride-1 pass: the flagged-doc set from the stride-10 scan comes back as a BROADCAST semi-join onto the corpus, so the stride-1 window explosion runs over flagged docs only — no pair join at either phase"),
     ("text_tokenize_cjk", "language-routed tokenization as a CASE over per-row expressions — the char-bigram and whitespace branches both evaluate in the SAME project feeding one explode + one groupBy(lang); no UDF, no per-language scan"),
+    # r8 second-wave (§2-P) showcases
+    ("events_dau_wau_mau", "windowed DISTINCT via the bounded-contribution rewrite: each event contributes to ≤28 target days through ONE map-side explode + equi-shuffle on (day) — never a non-equi range self-join; distinct counts are delta-gated inside the single aggregate"),
+    ("ts_rolling_median_fanout", "a rolling EXACT order statistic Spark frames cannot express: daily values explode to their ≤7 covering windows (broadcast day-list semi-join), one groupBy computes the interpolated median — same fan-out shape as DAU/WAU/MAU, no range join"),
+    ("stat_bootstrap_ci", "B=100 deterministic replicates: the RoundRobin exchange sits BELOW the Generate so the 100x fan-out is spread BEFORE it multiplies (the shuffle moves 1/B of the post-explode bytes); membership + sufficient stats stay map-side into a 100-group partial agg"),
+    ("search_rrf_hybrid", "both retrieval arms end in TakeOrderedAndProject (top-100 each) before the rank windows, so the full-outer RRF fuse joins two ≤100-row relations — corpus-sized data never reaches the join"),
+    ("curation_dsir_weights", "both unigram LMs fold into ONE broadcast log-ratio table hash-joined map-side onto the token stream — the corpus text is never shuffled; the per-doc surprisal sum is a partial aggregate"),
+    ("events_attribution_last_touch", "last-touch credit without a join: two IGNORE NULLS last_value frames over the SAME per-user ordered window resolve the preceding touch, then a map-side epoch-µs lookback check — one exchange total, no self-join"),
 ]
 
 
