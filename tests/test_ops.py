@@ -1127,3 +1127,40 @@ def test_r8h_keys_not_vacuous(spark):
     assert statistics.pvariance([r["trend"] for r in stl]) < statistics.pvariance(
         [r["rev"] for r in stl]
     )
+
+
+def test_r8i_keys_not_vacuous(spark):
+    """Ninth round-8 wave: one-way ANOVA, k-core peeling, Z-order layout."""
+    av = QUERIES["stat_anova_f"](spark, SF).collect()[0]
+    assert av["k_groups"] == 5 and av["n_total"] > 1000
+    assert av["df_between"] == 4 and av["df_within"] == av["n_total"] - 5
+    assert av["f_stat"] > 0 and 0 <= av["eta_sq"] < 1
+
+    kc = QUERIES["graph_k_core"](spark, SF).collect()
+    from upflow_spark.pipeline.cluster import KCORE_K
+
+    assert len(kc) > 0
+    assert all(r["doc_id"] != -1 for r in kc), "k-core peeling unconverged"
+    assert all(r["core_degree"] >= KCORE_K for r in kc)
+    # peeling must actually remove something: the core is a strict subset
+    # of the pair-graph node set
+    pairs = QUERIES["dedup_simhash_pairs"](spark, SF).collect()
+    nodes = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert 0 < len(kc) < len(nodes), "peeling removed nothing (vacuous)"
+    assert {r["doc_id"] for r in kc} <= nodes
+
+    zo = QUERIES["scan_zorder_cluster"](spark, SF).collect()[0]
+    assert zo["n_files_total"] == 8
+    # the 2-D corner box must prune most z-range files — that IS the key
+    assert zo["n_files_scanned"] < zo["n_files_total"] / 2
+    assert zo["n_rows"] > 0 and zo["revenue"] > 0
+    # pruned+filtered result must equal the plain full-scan filter
+    from upflow_spark.io import load as _load
+    from pyspark.sql import functions as _F
+
+    li = _load(spark, SF, "lineitem")
+    mxp, mxs = li.agg(_F.max("l_partkey"), _F.max("l_suppkey")).collect()[0]
+    exact = li.filter(
+        (_F.col("l_partkey") <= mxp // 4) & (_F.col("l_suppkey") <= mxs // 4)
+    ).count()
+    assert zo["n_rows"] == exact

@@ -534,3 +534,26 @@ def test_stl_joins_stay_broadcast(spark):
     plan = plan_of(spark, "ts_stl_decompose")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_anova_single_scan_sufficient_stats(spark):
+    """One groupBy collapses the corpus to 5 sufficient-stat rows; the F
+    finish folds that tiny table — no sort-merge join, no row-scale work
+    after the first exchange."""
+    plan = plan_of(spark, "stat_anova_f")
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert n_exchanges(plan) <= 3
+
+
+def test_zorder_pruned_read_is_selective(spark):
+    """The manifest-pruned read must scan the SELECTED z-range directory
+    only (1 of 8 at every sf), with both box predicates pushed to it."""
+    plan = plan_of(spark, "scan_zorder_cluster")
+    assert "SortMergeJoin" not in plan
+    scans = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert any("zfile=0" in ln for ln in scans)
+    assert not any("zfile=7" in ln for ln in scans)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_partkey" in pushed and "l_suppkey" in pushed

@@ -742,3 +742,75 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("rev") - trend - seasonal).alias("residual"),
         )
     )
+
+
+@query(
+    "stat_anova_f",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum({_SQL_DEC}) AS DOUBLE) AS s,
+         CAST(sum({_SQL_DEC2}) AS DOUBLE) AS q
+  FROM orders GROUP BY o_orderpriority
+),
+parts AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, sum(n) AS nn,
+         sum(s) * sum(s) / sum(n) AS cf,
+         sum(s * s / n) AS t, sum(q) AS qq
+  FROM g
+)
+SELECT k AS k_groups, CAST(nn AS BIGINT) AS n_total,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(nn - k AS BIGINT) AS df_within,
+       {R4("((t - cf) / (k - 1)) / ((qq - t) / (nn - k))")} AS f_stat,
+       {R4("(t - cf) / (qq - cf)")} AS eta_sq
+FROM parts
+""",
+)
+def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test: does mean order value differ across the FIVE
+    order-priority groups? The k-group generalization of stat_welch_ttest
+    (2 means) and stat_proportions_ztest (2 rates) — the slice-comparison
+    primitive a curation pipeline runs over sources/languages before
+    trusting a per-slice knob. Emits k, N, dfs, F, and eta-squared
+    (SSB/SST, the effect size).
+
+    Plan shape: ONE scan, ONE groupBy collapsing the corpus to k rows of
+    mergeable sufficient statistics (count / Σx / Σx² per group,
+    accumulated in exact DECIMAL), then ONE fold of those k rows via the
+    computational-formula identities SSB = Σ(s²/n) − S²/N and
+    SSW = Σq − Σ(s²/n) — no join, no second scan; at 100 TB it is a
+    map-side partial aggregate into a k-row table and nothing else moves.
+    FP parity: every double derives from exact decimal sums through one
+    shared expression tree; the S²/N cancellation costs ~ulp(1e15) ≈ 0.1
+    absolute on an SSB ≥ 1e9, i.e. ≤1e-9 relative on the scale-free F and
+    η² outputs — the same profile as stat_welch_ttest's variance terms,
+    hash-stable at 4dp.
+    """
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("q"),
+    )
+    parts = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").alias("nn"),
+        (F.sum("s") * F.sum("s") / F.sum("n")).alias("cf"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("t"),
+        F.sum("q").alias("qq"),
+    )
+    ssb = F.col("t") - F.col("cf")
+    ssw = F.col("qq") - F.col("t")
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("nn") - F.col("k")).cast("long").alias("df_within"),
+        r4(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+        ).alias("f_stat"),
+        r4(ssb / (F.col("qq") - F.col("cf"))).alias("eta_sq"),
+    )

@@ -796,3 +796,93 @@ def pipeline_semantic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(F.explode(stages).alias("s")).select(
         "s.stage_no", "s.stage", "s.n_vecs"
     )
+
+
+KCORE_K = 4
+KCORE_ROUNDS = 8  # synchronous peel depth ≤5 measured at all three sfs
+
+
+def _kcore_cte(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled synchronous k-core peeling: each round drops every node
+    whose CURRENT induced degree is < k, together (synchronous), then
+    re-induces the edge set. AS MATERIALIZED per the DuckDB CTE-inlining
+    rule (_cc_contraction_cte)."""
+    parts = [
+        "kc_e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+        "        UNION SELECT doc_b, doc_a FROM pairs)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"kc_keep{r} AS MATERIALIZED (SELECT u FROM kc_e{r} "
+            f"GROUP BY u HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"kc_e{r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM kc_e{r} e "
+            f"JOIN kc_keep{r} a ON e.u = a.u JOIN kc_keep{r} b ON e.v = b.u)"
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "graph_k_core",
+    oracle=f"""
+WITH
+{_PAIRS_CTE},
+{_kcore_cte()}
+SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM kc_e{KCORE_ROUNDS} GROUP BY u
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS core_degree
+  FROM (SELECT u FROM kc_e{KCORE_ROUNDS} GROUP BY u
+        HAVING count(*) < {KCORE_K}) LIMIT 1
+)
+""",
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the near-dup graph: iteratively peel every node
+    whose induced degree falls below {KCORE_K} until stable; emit the
+    surviving nodes with their in-core degree. The density-curation
+    primitive: a k-core over the duplicate graph isolates template/boiler-
+    plate families (dense near-dup neighborhoods) from incidental pairs,
+    which tree-shaped CC components cannot distinguish.
+
+    Synchronous peeling, FIXED {KCORE_ROUNDS}-round budget (measured peel
+    depth ≤5 at sf0.001/0.01/0.1): both engines run the identical rounds,
+    so the oracle checks the iteration itself, and a poison row (-1,-1)
+    appears on BOTH sides if any sub-{KCORE_K} node survives the budget
+    (the ADVICE-r7 loud-non-convergence rule). Per round: one degree
+    groupBy + two semi-joins over the (shrinking) edge set, lineage cut
+    per round — the same iterative-relaxation class as BFS/LPA/CC, linear
+    in edges per round at any scale.
+    """
+    edges = _cc_edges(spark, sf_dir)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        e = edges
+        for _ in range(KCORE_ROUNDS):
+            keep = (
+                e.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= KCORE_K)
+                .select("u")
+            )
+            e = (
+                e.join(keep, "u", "left_semi")
+                .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    core = deg.select(F.col("u").alias("doc_id"), "core_degree")
+    poison = (
+        deg.filter(F.col("core_degree") < KCORE_K)
+        .limit(1)
+        .select(
+            F.lit(-1).cast("long").alias("doc_id"),
+            F.lit(-1).cast("long").alias("core_degree"),
+        )
+    )
+    return core.unionByName(poison)

@@ -145,3 +145,109 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_orderkey").alias("max_key"),
         )
     )
+
+
+ZBITS = 4  # 4 bits per dimension -> 8-bit Morton code -> 8 z-range files
+
+
+def _z_formula(xb: str, yb: str, intdiv: str) -> str:
+    """Shared Morton-interleave arithmetic (bit i of xb -> z bit 2i+1, bit i
+    of yb -> z bit 2i), spelled with each engine's integer-division operator
+    (`DIV` in Spark SQL, `//` in DuckDB) — pure integer ops, exact on both."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(({xb} {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({yb} {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@query(
+    "scan_zorder_cluster",
+    oracle=f"""
+WITH m AS (SELECT max(l_partkey) AS mxp, max(l_suppkey) AS mxs FROM lineitem),
+b AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+         ({_z_formula(f"(l_partkey * {1 << ZBITS} // (mxp + 1))",
+                      f"(l_suppkey * {1 << ZBITS} // (mxs + 1))", "//")})
+           // 32 AS zfile,
+         mxp // 4 AS hip, mxs // 4 AS his
+  FROM lineitem, m
+),
+man AS (
+  SELECT zfile, min(l_partkey) AS mnp, max(l_partkey) AS mxkp,
+         min(l_suppkey) AS mns, max(l_suppkey) AS mxks
+  FROM b GROUP BY zfile
+),
+sel AS (
+  SELECT man.zfile FROM man, (SELECT mxp // 4 AS hip, mxs // 4 AS his FROM m) q
+  WHERE man.mnp <= q.hip AND man.mns <= q.his
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM man) AS n_files_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM sel) AS n_files_scanned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {R4("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")}
+         AS revenue
+FROM b JOIN sel ON b.zfile = sel.zfile
+WHERE l_partkey <= hip AND l_suppkey <= his
+""",
+)
+def scan_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER with no format dependency: lineitem is laid out by
+    the Morton (Z-order) interleave of its partkey/suppkey bucket bits and
+    written as {1 << (2 * ZBITS - 5)} z-range files; a manifest of per-file
+    [min,max] on BOTH raw keys then answers the 2-D corner box
+    `partkey ≤ max/4 AND suppkey ≤ max/4` scanning ONE file of 8 — the
+    multi-dimensional generalization of scan_manifest_pruned (whose 1-D
+    contiguous buckets cannot prune on a second column: a partkey sort
+    spreads any suppkey range across every file). The pruning decision
+    (n_files_scanned) is part of the oracle-checked output.
+
+    The interleave is pure integer arithmetic on bucket ids (shared
+    formula, engine-specific integer-division spelling) so both engines
+    assign every row the identical file; Spark additionally performs the
+    REAL partitioned write, manifest parquet, and selective directory
+    read. Driver-side state: two max() scalars and the ≤8-row manifest
+    selection — planner decisions, bounded by file count at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    mxp, mxs = li.agg(F.max("l_partkey"), F.max("l_suppkey")).collect()[0]
+    hip, his = int(mxp // 4), int(mxs // 4)
+    z = _z_formula(
+        f"(l_partkey * {1 << ZBITS} DIV {int(mxp) + 1})",
+        f"(l_suppkey * {1 << ZBITS} DIV {int(mxs) + 1})",
+        "DIV",
+    )
+    base = tempfile.mkdtemp(prefix="upflow_zorder_") + "/lineitem"
+    li.withColumn("zfile", F.expr(f"({z}) DIV 32")).write.mode(
+        "overwrite"
+    ).partitionBy("zfile").parquet(base)
+    written = spark.read.parquet(base)
+    man_path = base + "_manifest"
+    written.groupBy("zfile").agg(
+        F.min("l_partkey").alias("mnp"),
+        F.max("l_partkey").alias("mxkp"),
+        F.min("l_suppkey").alias("mns"),
+        F.max("l_suppkey").alias("mxks"),
+    ).write.mode("overwrite").parquet(man_path)
+    man = spark.read.parquet(man_path)
+    sel = [
+        r["zfile"]
+        for r in man.filter((F.col("mnp") <= hip) & (F.col("mns") <= his)).collect()
+    ]
+    n_total = man.count()
+    pruned = spark.read.option("basePath", base).parquet(
+        *[f"{base}/zfile={zf}" for zf in sorted(sel)]
+    )
+    return (
+        pruned.filter((F.col("l_partkey") <= hip) & (F.col("l_suppkey") <= his))
+        .agg(
+            F.lit(n_total).cast("long").alias("n_files_total"),
+            F.lit(len(sel)).cast("long").alias("n_files_scanned"),
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            ).alias("revenue"),
+        )
+    )
