@@ -112,6 +112,10 @@ PROBE_KEYS = [
     ("curation_blocklist_filter", "documents 10x (map-only array HOFs)"),
     ("emb_source_drift", "embeddings+documents 10x (explode + partial avgs)"),
     ("scan_file_metadata", "lineitem 10x (_metadata grouping, 1-col ReadSchema)"),
+    # r8 ninth wave: k-group inference, graph density, multi-dim layout
+    ("stat_anova_f", "orders 10x (one scan, 5-row sufficient-stat fold)"),
+    ("graph_k_core", "documents 10x (8 sync peel rounds over the pair graph)"),
+    ("scan_zorder_cluster", "lineitem 10x (Morton write + 2-col manifest prune)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
