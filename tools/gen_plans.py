@@ -79,6 +79,9 @@ SHOWCASE = [
     ("search_rrf_hybrid", "both retrieval arms end in TakeOrderedAndProject (top-100 each) before the rank windows, so the full-outer RRF fuse joins two ≤100-row relations — corpus-sized data never reaches the join"),
     ("curation_dsir_weights", "both unigram LMs fold into ONE broadcast log-ratio table hash-joined map-side onto the token stream — the corpus text is never shuffled; the per-doc surprisal sum is a partial aggregate"),
     ("events_attribution_last_touch", "last-touch credit without a join: two IGNORE NULLS last_value frames over the SAME per-user ordered window resolve the preceding touch, then a map-side epoch-µs lookback check — one exchange total, no self-join"),
+    # r8 third-wave (§2-Q) showcases
+    ("stat_anova_f", "k-group inference in ONE scan: a single groupBy collapses the corpus to five sufficient-stat rows and the F/η² finish folds them via SSB = Σ(s²/n) − S²/N — no join, no re-scan, nothing row-scale after the first exchange"),
+    ("scan_zorder_cluster", "the Morton-clustered read scans ONLY the selected z-range directory (1 of 8) with BOTH box predicates pushed to parquet — multi-dimensional pruning a 1-D layout cannot express"),
 ]
 
 
