@@ -408,3 +408,97 @@ def test_cc_contraction_cte_poisons_on_nonconvergence():
     con.close()
     assert poisoned == 1, "undersized budget must poison the output"
     assert clean == 0, "production budget must converge with no poison row"
+
+
+def _py_kcore(pairs, k):
+    """Reference synchronous peeling in plain python."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = set(adj)
+    while True:
+        rem = {n for n in nodes if sum(1 for m in adj[n] if m in nodes) < k}
+        if not rem:
+            break
+        nodes -= rem
+    return {n: sum(1 for m in adj[n] if m in nodes) for n in nodes}
+
+
+def test_kcore_peel_matches_reference_on_adversarial_shapes(spark):
+    """The Spark peeling loop must agree with plain-python synchronous
+    peeling on shapes that stress it differently: a chain (everything
+    peels), a clique (nothing peels), a barbell (bridge peels away), and a
+    clique with pendant tails (cascading removal)."""
+    from pyspark.sql import functions as F
+
+    from upflow_spark.pipeline.cluster import _kcore_peel
+
+    clique = [(i, j) for i in range(10, 16) for j in range(10, 16) if i < j]
+    shapes = {
+        "chain": [(i, i + 1) for i in range(30)],
+        "clique6": clique,
+        "barbell": clique
+        + [(i, j) for i in range(20, 26) for j in range(20, 26) if i < j]
+        + [(15, 20)],
+        "tails": clique + [(15, 100), (100, 101), (101, 102)],
+    }
+    for name, pairs in shapes.items():
+        ref = _py_kcore(pairs, 4)
+        edges = (
+            spark.createDataFrame(pairs, "u: long, v: long")
+            .select("u", "v")
+            .unionByName(
+                spark.createDataFrame(
+                    [(b, a) for a, b in pairs], "u: long, v: long"
+                )
+            )
+            .distinct()
+        )
+        got = {
+            r["doc_id"]: r["core_degree"]
+            for r in _kcore_peel(spark, edges, k=4, rounds=8).collect()
+        }
+        assert -1 not in got, f"{name}: unconverged within budget"
+        assert got == ref, f"{name}: {got} != {ref}"
+
+
+def test_kcore_poison_fires_on_undersized_budget(spark):
+    """A 0-round budget leaves sub-k nodes in place — the poison row must
+    appear instead of silently plausible output (the ADVICE-r7 rule)."""
+    from upflow_spark.pipeline.cluster import _kcore_peel
+
+    pairs = [(i, i + 1) for i in range(10)]  # chain: 4-core is empty
+    edges = (
+        spark.createDataFrame(pairs, "u: long, v: long")
+        .unionByName(
+            spark.createDataFrame([(b, a) for a, b in pairs], "u: long, v: long")
+        )
+        .distinct()
+    )
+    rows = _kcore_peel(spark, edges, k=4, rounds=0).collect()
+    assert any(r["doc_id"] == -1 for r in rows), "poison row missing"
+
+
+def test_zorder_interleave_formula_is_a_morton_bijection():
+    """The shared Morton formula (DuckDB spelling evaluates as plain
+    python) must reproduce the reference bit-interleave for every bucket
+    pair — and therefore be a bijection onto 0..255."""
+    from upflow_spark.sources.manifest import ZBITS, _z_formula
+
+    def ref(xb, yb):
+        z = 0
+        for i in range(ZBITS):
+            z |= ((xb >> i) & 1) << (2 * i + 1)
+            z |= ((yb >> i) & 1) << (2 * i)
+        return z
+
+    seen = set()
+    for xb in range(1 << ZBITS):
+        for yb in range(1 << ZBITS):
+            z = eval(_z_formula(str(xb), str(yb), "//"))
+            assert z == ref(xb, yb), (xb, yb)
+            seen.add(z)
+    assert seen == set(range(1 << (2 * ZBITS)))

@@ -857,15 +857,27 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     in edges per round at any scale.
     """
     edges = _cc_edges(spark, sf_dir)
+    return _kcore_peel(spark, edges)
+
+
+def _kcore_peel(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """Synchronous k-core peeling over a directed-both-ways edge set
+    (columns u, v) — the engine behind graph_k_core, kept separate so the
+    property tests can drive it with synthetic graph shapes."""
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         e = edges
-        for _ in range(KCORE_ROUNDS):
+        for _ in range(rounds):
             keep = (
                 e.groupBy("u")
                 .agg(F.count(F.lit(1)).alias("c"))
-                .filter(F.col("c") >= KCORE_K)
+                .filter(F.col("c") >= k)
                 .select("u")
             )
             e = (
@@ -878,7 +890,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     core = deg.select(F.col("u").alias("doc_id"), "core_degree")
     poison = (
-        deg.filter(F.col("core_degree") < KCORE_K)
+        deg.filter(F.col("core_degree") < k)
         .limit(1)
         .select(
             F.lit(-1).cast("long").alias("doc_id"),
