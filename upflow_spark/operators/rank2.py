@@ -1,0 +1,265 @@
+"""Two-phase DISTRIBUTED global rank / ntile / cumulative aggregates.
+
+The round-8 verdict's one systemic scale defect was a family of 15 keys
+computing `row_number()/ntile()/sum() OVER (ORDER BY ...)` with no
+PARTITION BY — Spark executes that as a single-partition sort ("WARN
+WindowExec: No Partition Defined"), a plan that melts at 100 TB. This
+module is the shared primitive that replaces every one of them with the
+classic two-phase shape (the same decomposition a range-partitioned
+terasort rank uses):
+
+1. `repartitionByRange(P, sort keys)` — parallel range shuffle; equal keys
+   land in one partition (RangePartitioner maps key → partition), so local
+   ranks are globally consistent.
+2. per-partition window (partitioned by `spark_partition_id()`, so every
+   partition sorts independently) computes the LOCAL rank / cumsum /
+   prev-max.
+3. a tiny per-partition summary (one row per partition — bounded by the
+   shuffle-partition CONFIG, never by data) is cumulated into per-partition
+   OFFSETS and broadcast-joined back; the global value is
+   `local ⊕ offset(previous partitions)` map-side.
+
+The only unpartitioned window left is step 3's cumsum over the ≤P-row
+summary relation — P is `spark.sql.shuffle.partitions`, a config constant.
+Its internal columns are prefixed `__r2_` so tests/test_plans.py's
+no-unpartitioned-window guard can recognize the sanctioned tiny window
+structurally instead of by key whitelist.
+
+Grouped variants (`partition_by=`) serve the per-language curation keys:
+range-partitioning on (group, order) keeps each partition's group-slices
+contiguous, the local window partitions by (pid, group), and the offsets
+window partitions by group — P×|groups| summary rows, still tiny, and the
+offsets window is then PARTITIONED (no single-partition stage at all).
+
+Determinism: all routed keys order by a total order (unique tie-break
+columns), so the global rank is independent of partition boundaries; for
+cumulative SUMS the value must be integer-exact (longs / decimals) because
+two-phase addition re-associates — float cumsums are the caller's bug, not
+this module's (abc_pareto_parts routes 4dp-scaled longs for exactly this
+reason).
+
+No reference implementation exists to cite (/root/reference is empty —
+SURVEY §0); the decomposition is the textbook distributed order-statistics
+shape (sample-sort / terasort ranking lineage).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__r2_pid"
+_CNT = "__r2_cnt"
+_OFF = "__r2_off"
+_TOT = "__r2_tot"
+_LOC = "__r2_loc"
+_KEY = "__r2_k"
+
+OrderSpec = Iterable  # elements: str | Column | (str | Column, bool_asc | "asc" | "desc")
+
+
+def _normalize(order: OrderSpec) -> list[tuple[Column, bool]]:
+    out: list[tuple[Column, bool]] = []
+    for o in order:
+        if isinstance(o, tuple):
+            col, d = o
+            asc = (d != "desc") if isinstance(d, str) else bool(d)
+        else:
+            col, asc = o, True
+        out.append((F.col(col) if isinstance(col, str) else col, asc))
+    return out
+
+
+def _staged(
+    df: DataFrame, order: OrderSpec, partition_by: Iterable[str]
+) -> tuple[DataFrame, list[Column], list[str], list[str]]:
+    """Materialize sort keys, range-partition, attach the partition id.
+
+    Returns (staged df, sort exprs over the materialized keys, group col
+    names, materialized key names to drop afterwards).
+    """
+    specs = _normalize(order)
+    groups = list(partition_by)
+    key_names = [f"{_KEY}{i}" for i in range(len(specs))]
+    staged = df
+    for name, (col, _) in zip(key_names, specs):
+        staged = staged.withColumn(name, col)
+    sort_exprs = [
+        (F.col(n).asc() if asc else F.col(n).desc())
+        for n, (_, asc) in zip(key_names, specs)
+    ]
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    range_keys = [F.col(g).asc() for g in groups] + sort_exprs
+    staged = staged.repartitionByRange(p, *range_keys).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    return staged, sort_exprs, groups, key_names
+
+
+def _offsets(
+    staged: DataFrame,
+    groups: list[str],
+    summaries: Mapping[str, Column],
+    cum_of: Mapping[str, tuple[str, str]],
+    totals: Mapping[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per-(group, pid) summary → broadcastable offsets relation.
+
+    summaries: name -> aggregate over the staged rows of one partition.
+    cum_of: out -> (summary name, "sum" | "max") cumulated over STRICTLY
+    EARLIER partitions of the same group (None/0 for the first).
+    totals: out -> (summary name, "sum" | "max") over ALL partitions of the
+    group (for ntile's N / pareto's grand total).
+    """
+    per = staged.groupBy(*groups, _PID).agg(
+        *[c.alias(n) for n, c in summaries.items()]
+    )
+    w_prev = (
+        Window.partitionBy(*groups).orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+        if groups
+        else Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*groups)
+        if groups
+        else Window.partitionBy(F.lit(1))
+    )
+    out = per
+    for out_name, (src, how) in cum_of.items():
+        agg = F.sum(src) if how == "sum" else F.max(src)
+        out = out.withColumn(out_name, agg.over(w_prev))
+    for out_name, (src, how) in (totals or {}).items():
+        agg = F.sum(src) if how == "sum" else F.max(src)
+        out = out.withColumn(out_name, agg.over(w_all))
+    return out.drop(*summaries.keys())
+
+
+def global_row_number(
+    df: DataFrame,
+    order: OrderSpec,
+    out: str = "rn",
+    partition_by: Iterable[str] = (),
+    total_out: str | None = None,
+) -> DataFrame:
+    """`row_number() OVER ([PARTITION BY groups] ORDER BY order)` as long,
+    computed two-phase (no single-partition sort). With `total_out`, also
+    attaches the (group's) total row count."""
+    staged, sort_exprs, groups, keys = _staged(df, order, partition_by)
+    w_loc = Window.partitionBy(_PID, *groups).orderBy(*sort_exprs)
+    local = staged.withColumn(_LOC, F.row_number().over(w_loc).cast("long"))
+    offs = _offsets(
+        local,
+        groups,
+        {_CNT: F.count(F.lit(1)).cast("long")},
+        {_OFF: (_CNT, "sum")},
+        {_TOT: (_CNT, "sum")} if total_out else None,
+    )
+    res = local.join(F.broadcast(offs), [*groups, _PID]).withColumn(
+        out, F.col(_LOC) + F.coalesce(F.col(_OFF), F.lit(0))
+    )
+    if total_out:
+        res = res.withColumn(total_out, F.col(_TOT))
+    return res.drop(_PID, _LOC, _OFF, _TOT, *keys)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: OrderSpec,
+    values: Mapping[str, Column],
+    partition_by: Iterable[str] = (),
+    totals: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Running `sum(value) OVER (ORDER BY order)` INCLUDING the current row,
+    for each out_name -> value column in `values`; `totals` maps a name in
+    `values` to an extra output column carrying that value's grand total
+    over the whole (group's) relation.
+
+    Two-phase addition RE-ASSOCIATES: pass integer/decimal-exact values
+    (longs, counts, 4dp-scaled money) so the result is order-free exact.
+    """
+    staged, sort_exprs, groups, keys = _staged(df, order, partition_by)
+    w_loc = (
+        Window.partitionBy(_PID, *groups)
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = staged
+    names = list(values)
+    for n in names:
+        local = local.withColumn(f"{_LOC}{n}", F.sum(values[n]).over(w_loc))
+    summaries = {f"{_CNT}{n}": F.sum(values[n]) for n in names}
+    cum_of = {f"{_OFF}{n}": (f"{_CNT}{n}", "sum") for n in names}
+    tot_map = {f"{_TOT}{n}": (f"{_CNT}{n}", "sum") for n in (totals or {})}
+    offs = _offsets(local, groups, summaries, cum_of, tot_map)
+    res = local.join(F.broadcast(offs), [*groups, _PID])
+    drop = [_PID, *keys]
+    for n in names:
+        res = res.withColumn(
+            n, F.col(f"{_LOC}{n}") + F.coalesce(F.col(f"{_OFF}{n}"), F.lit(0))
+        )
+        drop += [f"{_LOC}{n}", f"{_OFF}{n}"]
+    for n, out_name in (totals or {}).items():
+        res = res.withColumn(out_name, F.col(f"{_TOT}{n}"))
+        drop.append(f"{_TOT}{n}")
+    return res.drop(*drop)
+
+
+def global_cummax_before(
+    df: DataFrame, order: OrderSpec, value: Column, out: str
+) -> DataFrame:
+    """`max(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)` — the running prev-max behind sort-filter-skyline — as
+    greatest(local prev-max, max over earlier partitions), null when no
+    predecessor exists. max is idempotent-mergeable, so floats are fine."""
+    staged, sort_exprs, groups, keys = _staged(df, order, ())
+    w_loc = (
+        Window.partitionBy(_PID)
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = staged.withColumn(_LOC, F.max(value).over(w_loc))
+    offs = _offsets(
+        local, groups, {_CNT: F.max(value)}, {_OFF: (_CNT, "max")}
+    )
+    return (
+        local.join(F.broadcast(offs), _PID)
+        # greatest() skips nulls (null only when BOTH are null) — exactly
+        # the first-row / first-partition semantics the frame has
+        .withColumn(out, F.greatest(F.col(_LOC), F.col(_OFF)))
+        .drop(_PID, _LOC, _OFF, *keys)
+    )
+
+
+def ntile_of(rn: Column, total: Column, n: int) -> Column:
+    """SQL NTILE(n) from a 1-based global row number and the total count —
+    the map-side finisher over global_row_number(..., total_out=...).
+
+    Standard semantics (Spark == DuckDB): q = N div n, r = N mod n; the
+    first r buckets hold q+1 rows. Integer-exact below 2^53."""
+    q = F.floor(total / F.lit(n)).cast("long")
+    r = total - q * n
+    qp = q + F.lit(1)
+    cut = r * qp
+    first = F.ceil(rn / qp)
+    # greatest() guards the (never-taken) q=0 branch against ANSI div-0
+    rest = r + F.ceil((rn - cut) / F.greatest(q, F.lit(1)))
+    return F.when(rn <= cut, first).otherwise(rest).cast("long")
+
+
+def global_ntile(
+    df: DataFrame,
+    order: OrderSpec,
+    n: int,
+    out: str = "tile",
+    partition_by: Iterable[str] = (),
+) -> DataFrame:
+    """`ntile(n) OVER ([PARTITION BY groups] ORDER BY order)` two-phase."""
+    rn_col, tot_col = f"{_KEY}rn", f"{_KEY}tot"
+    res = global_row_number(
+        df, order, out=rn_col, partition_by=partition_by, total_out=tot_col
+    )
+    return res.withColumn(out, ntile_of(F.col(rn_col), F.col(tot_col), n)).drop(
+        rn_col, tot_col
+    )
