@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.operators.rank2 import global_ntile
 from upflow_spark.parity import r4
 from upflow_spark.registry import query
 
@@ -701,16 +702,21 @@ def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-WIDTH one). ntile over a (value, key) total order makes bucket
     assignment deterministic under price ties on both engines.
 
-    Scale note: a global ntile is a single-partition sort — fine for
-    boundary COMPUTATION on a sample, which is how query optimizers build
-    these; the full-data formulation at 100 TB is approx_percentile
-    boundaries + one grouped pass (agg_percentile_approx covers that
-    regime).
+    Scale: rank2.global_ntile — two-phase range shuffle + local rank +
+    broadcast offsets, with the exact SQL NTILE bucket arithmetic applied
+    map-side from the global row number and total. No single-partition
+    sort; identical buckets to the oracle's window because the order is a
+    total order. (approx_percentile boundaries remain the sketch
+    alternative — agg_percentile_approx covers that regime.)
     """
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("tile"))
+        global_ntile(
+            o.select("o_totalprice", "o_orderkey"),
+            ["o_totalprice", "o_orderkey"],
+            10,
+            "tile",
+        )
         .groupBy("tile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

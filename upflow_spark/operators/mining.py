@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.operators.rank2 import global_cumsum, global_ntile, global_row_number
 from upflow_spark.parity import r4
 from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
 from upflow_spark.registry import query
@@ -163,10 +164,13 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ECDFs evaluated at every distinct pooled value.
 
     Plan: one groupBy(value) collapses the stream to distinct values with
-    per-sample counts, a single ordered window builds both cumulative
-    counts in one pass, then a global max. One shuffle on value + the
-    window sort; the ECDF division is the only float op and the max of
-    |Δ| is taken before rounding.
+    per-sample counts, then rank2.global_cumsum builds BOTH cumulative
+    counts two-phase (range shuffle + per-partition running sums +
+    broadcast offsets — no single-partition sort; the distinct-value
+    relation grows with data, measured 17,792 values at 100k events).
+    Counts are integers so the re-associated two-phase addition is exact;
+    the ECDF division is the only float op and the max of |Δ| is taken
+    before rounding.
     """
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
@@ -177,10 +181,9 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("isb"),
     )
     g = x.groupBy("value").agg(F.sum("isa").alias("ca"), F.sum("isb").alias("cb"))
-    w = Window.orderBy("value")
-    cum = g.select(
-        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
-    )
+    cum = global_cumsum(
+        g, ["value"], {"fa": F.col("ca"), "fb": F.col("cb")}
+    ).select("fa", "fb")
     tot = x.agg(F.sum("isa").alias("na"), F.sum("isb").alias("nb"))
     d = cum.crossJoin(F.broadcast(tot)).select(
         (
@@ -221,22 +224,30 @@ def seg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spend is quantized to integer cents BEFORE ranking — ntile over a raw
     double sum would let partial-agg addition order flip neighbors whose
     sums differ only in ULPs; cents + custkey tie-break make every ordering
-    integer-deterministic across engines. Three ntile windows share one
-    aggregated ~15k-row input; global ntile is a single-partition sort at
-    this cardinality — at 100 TB replace with percent_rank bucketing or
-    approx quantile cutpoints (windowless, fully parallel).
+    integer-deterministic across engines. Three rank2.global_ntile passes
+    (two-phase: range shuffle + local rank + broadcast offsets + exact SQL
+    NTILE arithmetic from global rn and total — no single-partition sort)
+    share one localCheckpoint'd per-customer aggregate and re-join on
+    custkey; each ordering is a total order so the quintiles are identical
+    to the oracle's global windows at any partitioning.
     """
     o = load(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         F.floor(F.sum("o_totalprice") * 100 + 0.5).alias("spend_cents"),
-    )
-    return m.select(
-        "o_custkey",
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).cast("long").alias("r_score"),
-        F.ntile(5).over(Window.orderBy("n_orders", "o_custkey")).cast("long").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("spend_cents", "o_custkey")).cast("long").alias("m_score"),
+    ).localCheckpoint()  # read by three independent rank passes
+    r = global_ntile(
+        m.select("o_custkey", "last_order"), ["last_order", "o_custkey"], 5, "r_score"
+    ).select("o_custkey", "r_score")
+    f = global_ntile(
+        m.select("o_custkey", "n_orders"), ["n_orders", "o_custkey"], 5, "f_score"
+    ).select("o_custkey", "f_score")
+    mo = global_ntile(
+        m.select("o_custkey", "spend_cents"), ["spend_cents", "o_custkey"], 5, "m_score"
+    ).select("o_custkey", "m_score")
+    return r.join(f, "o_custkey").join(mo, "o_custkey").select(
+        "o_custkey", "r_score", "f_score", "m_score"
     )
 
 
@@ -265,26 +276,27 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC/Pareto classification of parts by cumulative revenue share
     (A = first 70% of revenue, B = to 90%, C = tail).
 
-    Revenue is 4dp-rounded BEFORE the cumulative window so both engines
-    accumulate identical addends in identical (revenue DESC, partkey)
-    order; the class cut compares the ROUNDED share, keeping the A/B/C
-    boundary decision integer-deterministic. The global-ordered cumsum is
-    one sort at 20k groups; at 100 TB, pre-aggregate per partition and
-    two-phase the running total (or accept the classic single reducer for
-    a ranking this small — the groupBy upstream did the data-volume work).
+    Revenue is 4dp-rounded BEFORE the cumulative sum, then scaled to exact
+    integer 4dp-units (longs) for rank2's TWO-PHASE ordered cumsum — the
+    re-associated addition is bit-exact, so Spark's cumulative total is the
+    true Σkᵢ/10000 regardless of partitioning (DuckDB's float window sum
+    sits within ulps of the same rational; the ROUNDED share comparison
+    absorbs it, as it did for the old sequential-window formulation). No
+    single-partition WindowExec; the grand total rides the same broadcast
+    offsets relation.
     """
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").desc(), "l_partkey")
-    c = rev.select(
-        "l_partkey",
-        "revenue",
-        F.sum("revenue").over(w).alias("cum"),
-        F.sum("revenue").over(Window.partitionBy()).alias("tot"),
+    units = F.round(F.col("revenue") * 10000).cast("long")
+    c = global_cumsum(
+        rev.withColumn("u", units),
+        [("revenue", "desc"), "l_partkey"],
+        {"cum_u": F.col("u")},
+        totals={"cum_u": "tot_u"},
     )
-    share = r4(F.col("cum") / F.col("tot"))
+    share = r4(F.col("cum_u").cast("double") / F.col("tot_u").cast("double"))
     return c.select(
         "l_partkey",
         "revenue",
@@ -740,18 +752,18 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spend quantized to integer cents so ranks are engine-deterministic
     (ties broken by the stable sort on equal cents are rank-sum invariant:
     equal x values contribute the same Σ i·x for any permutation of their
-    positions). One agg + one global rank window over n_customers rows.
+    positions). One agg + rank2's two-phase global rank (no
+    single-partition sort); n and Σx ride a broadcast 1-row aggregate
+    instead of unpartitioned scalar windows.
     """
     o = load(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         F.floor(F.sum("o_totalprice") * 100 + 0.5).alias("spend_cents")
     )
-    r = s.select(
-        "spend_cents",
-        F.row_number().over(Window.orderBy("spend_cents")).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("spend_cents").over(Window.partitionBy()).alias("tot"),
+    nt = s.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("spend_cents").alias("tot")
     )
+    r = global_row_number(s, ["spend_cents"], out="i").crossJoin(F.broadcast(nt))
     gini = (
         2.0 * F.sum(F.col("i") * F.col("spend_cents"))
         / (F.max("n") * F.max("tot"))
@@ -844,7 +856,9 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All quantities are integers or exact half-integers below 2⁵³, so the
     sums are bit-exact across engines despite being doubles. One
-    groupBy(value) + one ordered window, same plan skeleton as the KS key.
+    groupBy(value) + rank2's two-phase cumulative count (integer-exact
+    under re-association; no single-partition sort), same plan skeleton as
+    the KS key; before_cnt = inclusive cumsum − own count.
     """
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
@@ -855,11 +869,10 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("isb"),
     )
     g = x.groupBy("value").agg(F.sum("isa").alias("ca"), F.sum("isb").alias("cb"))
-    w = Window.orderBy("value")
     c = F.col("ca") + F.col("cb")
-    r = g.select(
+    r = global_cumsum(g, ["value"], {"cum": c}).select(
         "ca",
-        (F.sum(c).over(w) - c).alias("before_cnt"),
+        (F.col("cum") - c).alias("before_cnt"),
         c.alias("c"),
     )
     tot = x.agg(F.sum("isa").alias("na"), F.sum("isb").alias("nb"))
@@ -1025,9 +1038,9 @@ def sweepline_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("t_close").alias("t"), F.lit(-1).alias("delta"))
     )
     per_t = ev.groupBy("t").agg(F.sum("delta").alias("d"))
-    sw = per_t.select(
-        F.sum("d").over(Window.orderBy("t")).alias("n_open")
-    )
+    # two-phase ordered cumsum (rank2): integer deltas, so the re-associated
+    # addition is exact and no single-partition WindowExec exists in the plan
+    sw = global_cumsum(per_t, ["t"], {"n_open": F.col("d")}).select("n_open")
     return sw.agg(
         F.count(F.lit(1)).alias("n_change_points"),
         F.max("n_open").cast("long").alias("peak_open_orders"),

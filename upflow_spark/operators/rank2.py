@@ -38,6 +38,15 @@ two-phase addition re-associates — float cumsums are the caller's bug, not
 this module's (abc_pareto_parts routes 4dp-scaled longs for exactly this
 reason).
 
+The locally-ranked relation is localCheckpoint'd before the offsets pass:
+the per-row branch and the per-partition summary branch are two subplans,
+and Spark re-executes the range shuffle per subplan with a FRESH
+RangePartitioner whose boundary sample is seeded by the RDD id — two
+executions can draw different boundaries, silently desynchronizing local
+ranks from their offsets (measured: 11 ntile(10) buckets at sf0.01).
+Pinning the ranked relation makes both branches read one materialization —
+the same single-materialization contract a distributed terasort rank has.
+
 No reference implementation exists to cite (/root/reference is empty —
 SURVEY §0); the decomposition is the textbook distributed order-statistics
 shape (sample-sort / terasort ranking lineage).
@@ -148,7 +157,9 @@ def global_row_number(
     attaches the (group's) total row count."""
     staged, sort_exprs, groups, keys = _staged(df, order, partition_by)
     w_loc = Window.partitionBy(_PID, *groups).orderBy(*sort_exprs)
-    local = staged.withColumn(_LOC, F.row_number().over(w_loc).cast("long"))
+    local = staged.withColumn(
+        _LOC, F.row_number().over(w_loc).cast("long")
+    ).localCheckpoint()  # one materialization feeds both the row and offsets branches
     offs = _offsets(
         local,
         groups,
@@ -189,6 +200,9 @@ def global_cumsum(
     names = list(values)
     for n in names:
         local = local.withColumn(f"{_LOC}{n}", F.sum(values[n]).over(w_loc))
+    # values columns must survive for the offsets aggregate; pin ONE
+    # materialization so both branches see identical range boundaries
+    local = local.localCheckpoint()
     summaries = {f"{_CNT}{n}": F.sum(values[n]) for n in names}
     cum_of = {f"{_OFF}{n}": (f"{_CNT}{n}", "sum") for n in names}
     tot_map = {f"{_TOT}{n}": (f"{_CNT}{n}", "sum") for n in (totals or {})}
@@ -219,7 +233,7 @@ def global_cummax_before(
         .orderBy(*sort_exprs)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = staged.withColumn(_LOC, F.max(value).over(w_loc))
+    local = staged.withColumn(_LOC, F.max(value).over(w_loc)).localCheckpoint()
     offs = _offsets(
         local, groups, {_CNT: F.max(value)}, {_OFF: (_CNT, "max")}
     )

@@ -56,7 +56,13 @@ LIMIT 50
 )
 def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESC NULLS LAST ordering made observable via row_number; customers
-    who never ordered (null last_order) sink to the bottom."""
+    who never ordered (null last_order) sink to the bottom.
+
+    Scale: TakeOrderedAndProject does the distributed work (global top-50
+    via per-partition top-50 merge); the row_number window then ranks the
+    LIMIT 50 result — 50 rows, never the customers-sized relation (the r9
+    no-unpartitioned-window audit; the prior shape windowed all customers).
+    """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     agg = (
@@ -66,11 +72,12 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("last_order").desc_nulls_last(), F.col("c_custkey").asc())
+    order = [F.col("last_order").desc_nulls_last(), F.col("c_custkey").asc()]
+    top = agg.orderBy(*order).limit(50)
+    w = Window.orderBy(*order)
     return (
-        agg.withColumn("rn", F.row_number().over(w).cast("long"))
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
         .orderBy("rn")
-        .limit(50)
         .select("c_custkey", "last_order", "rn")
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.operators.rank2 import global_row_number
 from upflow_spark.parity import R4, r4
 from upflow_spark.registry import query
 
@@ -263,24 +264,26 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks), so every Pearson sufficient statistic is an EXACT integer
     sum cast to double — no accumulation-order sensitivity anywhere.
 
-    Scale note: the global row_number is a single-partition sort at
-    fixture scale; at 100 TB use the two-phase rank (per-partition counts →
-    offset broadcast — the sample_systematic_every_k note) and the
-    integer-sum statistics stay mergeable partials.
+    Scale: both rank relations come from rank2.global_row_number (range
+    shuffle + per-partition sort + broadcast offsets — no single-partition
+    WindowExec anywhere), re-joined on event_id; the integer-sum statistics
+    are mergeable partials. Rank values are identical to the oracle's
+    global windows because (value, event_id) / (ts, event_id) are total
+    orders.
     """
     ev = load(spark, sf_dir, "events")
-    r = ev.select(
-        F.row_number()
-        .over(Window.orderBy("value", "event_id"))
-        .cast("long")
-        .alias("rx"),
-        F.row_number()
-        .over(
-            Window.orderBy(F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id"))
-        )
-        .cast("long")
-        .alias("ry"),
-    )
+    rx = global_row_number(
+        ev.select("event_id", "value"), ["value", "event_id"], out="rx"
+    ).select("event_id", "rx")
+    ry = global_row_number(
+        ev.select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        ),
+        ["tsu", "event_id"],
+        out="ry",
+    ).select("event_id", "ry")
+    r = rx.join(ry, "event_id")
     s = r.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("rx").cast("double").alias("sx"),

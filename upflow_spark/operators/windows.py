@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.operators.rank2 import global_cummax_before
 from upflow_spark.parity import r4
 from upflow_spark.registry import query
 
@@ -314,24 +315,23 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact full-row duplicates keep only their first (deterministic by
     orderkey) — the standard distinct-skyline convention, shared by the
-    oracle formulation by construction. Scale: sort-filter-skyline is one
-    global sort; partition-wise local skylines + a final merge (the
-    standard distributed SFS) when one sort partition won't hold the data.
+    oracle formulation by construction. Scale: distributed SFS via
+    rank2.global_cummax_before — range shuffle on the dominance order,
+    per-partition running prev-max, and the cross-partition prev-max
+    merged from the broadcast per-partition summary (max is idempotent, so
+    the two-phase merge is exact for floats too). No single-partition
+    sort.
     """
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    w = (
-        Window.orderBy(
-            F.col("o_totalprice").desc(),
-            F.col("o_orderdate").desc(),
-            F.col("o_orderkey").asc(),
-        )
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    s = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        "o_orderdate",
-        F.max("o_orderdate").over(w).alias("best_prev_date"),
+    s = global_cummax_before(
+        o.select("o_orderkey", "o_totalprice", "o_orderdate"),
+        [
+            ("o_totalprice", "desc"),
+            ("o_orderdate", "desc"),
+            ("o_orderkey", "asc"),
+        ],
+        F.col("o_orderdate"),
+        "best_prev_date",
     )
     return s.filter(
         F.col("best_prev_date").isNull()

@@ -719,16 +719,17 @@ def pipeline_semantic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same survival-flag shape as the lexical funnel: per-vector booleans in
     one pass over the maha table, one count_if aggregate — no per-stage
-    re-scan. The Mahalanobis rank is a global window at fixture scale (at
-    100 TB: two-phase rank or an absolute calibrated threshold); the loser
-    set broadcasts.
+    re-scan. The Mahalanobis cut is rank2's two-phase global rank (range
+    shuffle + local rank + broadcast offsets; the vector total rides the
+    same offsets relation) — no single-partition WindowExec anywhere in the
+    funnel; the loser set broadcasts.
 
     Parity note: maha² sums 64 dims in engine order (continuous values —
     the sim_centroid_per_label precedent); the rank tie-break is vec_id.
     """
     from upflow_spark.io import load
+    from upflow_spark.operators.rank2 import global_row_number
     from upflow_spark.pipeline.dedup import dedup_embedding_cosine
-    from pyspark.sql import Window
 
     pairs = dedup_embedding_cosine(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
@@ -759,15 +760,14 @@ def pipeline_semantic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(dev * dev / var).alias("sc"))
     )
-    n_total = maha.agg(F.count(F.lit(1)).alias("n"))
-    rank_w = Window.orderBy(F.col("sc").desc(), F.col("vec_id").asc())
     flags = (
-        maha.crossJoin(F.broadcast(n_total))
-        .withColumn(
-            "s2",
-            F.row_number().over(rank_w)
-            > F.floor(F.col("n") * OUTLIER_FRAC),
+        global_row_number(
+            maha,
+            [("sc", "desc"), ("vec_id", "asc")],
+            out="__rk",
+            total_out="__n",
         )
+        .withColumn("s2", F.col("__rk") > F.floor(F.col("__n") * OUTLIER_FRAC))
         .join(F.broadcast(losers), "vec_id", "left")
         .withColumn("not_loser", F.col("is_loser").isNull())
         .withColumn(

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.operators.rank2 import global_row_number
 from upflow_spark.parity import R4, r4
 from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
 from upflow_spark.registry import query
@@ -490,9 +491,10 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both LMs are Heaps-law term-count tables → ONE broadcast
     log-ratio table joined map-side onto the token stream; the corpus text
-    never shuffles and per-doc weights are a (doc_id)-keyed agg. The global
-    rank is a window at fixture scale (at 100 TB: a two-phase quantile
-    threshold, as pipeline_semantic_funnel documents).
+    never shuffles and per-doc weights are a (doc_id)-keyed agg. The keep
+    rank is rank2.global_row_number (two-phase: range shuffle + local rank
+    + broadcast offsets, with the doc total riding the same offsets
+    relation) — no single-partition WindowExec in the selection stage.
 
     Parity: counts and totals are exact; the per-term log-ratio is one
     shared expression tree; the per-doc sum is r4'd (continuous values —
@@ -536,16 +538,15 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("w")).alias("dsir_logratio"),
         )
     )
-    n = doc.agg(F.count(F.lit(1)).alias("n_docs"))
-    rank_w = Window.orderBy(F.col("dsir_logratio").desc(), F.col("doc_id").asc())
-    return (
-        doc.crossJoin(F.broadcast(n))
-        .withColumn(
-            "kept",
-            F.row_number().over(rank_w) <= F.floor(F.col("n_docs") * DSIR_KEEP_FRAC),
-        )
-        .select("doc_id", "lang", "n_tokens", "dsir_logratio", "kept")
+    ranked = global_row_number(
+        doc,
+        [("dsir_logratio", "desc"), ("doc_id", "asc")],
+        out="__rk",
+        total_out="__n_docs",
     )
+    return ranked.withColumn(
+        "kept", F.col("__rk") <= F.floor(F.col("__n_docs") * DSIR_KEEP_FRAC)
+    ).select("doc_id", "lang", "n_tokens", "dsir_logratio", "kept")
 
 
 BLOCK_SOFT = ("slow",)

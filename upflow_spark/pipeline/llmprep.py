@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.operators.rank2 import global_ntile, global_row_number
 from upflow_spark.parity import r4
 from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
 from upflow_spark.registry import query
@@ -304,9 +305,13 @@ def curation_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     column at training time, not row replication in the corpus).
 
     Scale: one corpus scan for the 5-row per-lang rollup (broadcast back),
-    one window ranked WITHIN language (high-cardinality partition key —
-    well-spread shuffle), one broadcast join against the 5-row target
-    table. The corpus never converges anywhere.
+    then rank2's GROUPED two-phase rank — a language is a low-cardinality
+    partition key (one language ≈ corpus/5 rows in a single window
+    partition, the skew wall the r8 verdict flagged), so the rank range-
+    partitions on (lang, hash-order), ranks per (partition, lang) slice,
+    and merges via broadcast per-(lang, partition) offsets; the offsets
+    window itself is partitioned by lang. One broadcast join against the
+    5-row target table; the corpus never converges anywhere.
     """
     d = load(spark, sf_dir, "documents")
     per_lang = d.groupBy("lang").agg(
@@ -329,12 +334,16 @@ def curation_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("target_docs"),
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), F.col("doc_id")
-    )
-    ranked = d.select(
-        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rk")
-    )
+    ranked = global_row_number(
+        d.select(
+            "doc_id",
+            "lang",
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))).alias("hk"),
+        ),
+        ["hk", "doc_id"],
+        out="rk",
+        partition_by=["lang"],
+    ).select("doc_id", "lang", "rk")
     return (
         ranked.join(F.broadcast(target), "lang")
         .filter(F.col("rk") <= F.col("target_docs"))
@@ -386,8 +395,11 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks, and bucket means are exact DECIMAL sums.
 
     Scale: the Heaps-law term-frequency table broadcasts (the
-    text_unigram_logprob plan); bucketing is one window per language
-    partition over the per-doc score table — no corpus text in the shuffle.
+    text_unigram_logprob plan); the terciles come from rank2's GROUPED
+    two-phase ntile (range shuffle on (lang, s4, doc_id) + per-slice rank +
+    broadcast per-(lang, partition) offsets + exact SQL NTILE arithmetic) —
+    one language never converges into one window partition, the skew wall
+    the r8 verdict flagged. No corpus text in the shuffle.
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
@@ -401,16 +413,15 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg(-F.log(F.col("n").cast("double") / F.col("tot")))).alias("s4")
         )
     )
-    ranked = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
-        "lang",
-        "s4",
-        F.ntile(3)
-        .over(Window.partitionBy("lang").orderBy(F.col("s4").asc(), F.col("doc_id").asc()))
-        .alias("bucket"),
-    )
+    ranked = global_ntile(
+        per_doc.join(d.select("doc_id", "lang"), "doc_id"),
+        [("s4", "asc"), ("doc_id", "asc")],
+        3,
+        "bucket",
+        partition_by=["lang"],
+    ).select("lang", "s4", "bucket")
     return (
-        ranked.withColumn("bucket", F.col("bucket").cast("long"))
-        .groupBy("lang", "bucket")
+        ranked.groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             r4(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
+from upflow_spark.operators.rank2 import global_row_number
 from upflow_spark.parity import r4
 from upflow_spark.registry import query
 
@@ -189,13 +190,27 @@ def sample_topk_hashrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a reproducible, engine-portable order (md5), no RNG state. The
     pattern behind balanced eval-set carving: same inputs → same sample on
     any engine, any partitioning, any day.
+
+    Scale (bounded k): TWO-LEVEL top-k, the topk_two_level shape — a
+    language is a low-cardinality partition key (one language ≈ corpus/5
+    rows in one window partition at fixture shape, a skew wall at 100 TB),
+    so each (lang, 32-way hash sub-bucket) keeps its local top-3 and the
+    final per-lang window ranks ≤96 survivors. Global top-k ⊆ ∪ bucket
+    top-ks, so the prune is lossless and the result identical to the
+    oracle's single window.
     """
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), F.col("doc_id")
+    hkey = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    sub = F.pmod(F.hash("doc_id"), F.lit(32))
+    w_local = Window.partitionBy("lang", sub).orderBy("hk", "doc_id")
+    pruned = (
+        d.select("doc_id", "lang", hkey.alias("hk"))
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= 3)
     )
+    w_final = Window.partitionBy("lang").orderBy("hk", "doc_id")
     return (
-        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        pruned.withColumn("rk", F.row_number().over(w_final).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "lang", "rk")
     )
@@ -219,15 +234,11 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash or Bernoulli sampling, guarantees exactly ⌈n/k⌉ rows and uniform
     coverage of the key range.
 
-    A global row_number is a single-partition sort at fixture scale; at
-    100 TB use the two-phase rank (per-partition counts → offset
-    broadcast) or, when doc_ids are dense, the pure map-side
-    `doc_id % 20` filter this sample is equivalent to.
+    The rank is rank2.global_row_number — range shuffle + per-partition
+    sort + broadcast offsets, no single-partition WindowExec — so the
+    1-in-20 selection is fully parallel at any scale. (When doc_ids are
+    dense the pure map-side `doc_id % 20` filter is equivalent and free.)
     """
     d = load(spark, sf_dir, "documents")
-    r = d.select(
-        "doc_id", "lang", F.row_number().over(Window.orderBy("doc_id")).alias("rn")
-    )
-    return r.filter(F.col("rn") % 20 == 1).select(
-        "doc_id", "lang", F.col("rn").cast("long").alias("rn")
-    )
+    r = global_row_number(d.select("doc_id", "lang"), ["doc_id"], out="rn")
+    return r.filter(F.col("rn") % 20 == 1).select("doc_id", "lang", "rn")
