@@ -557,3 +557,71 @@ def test_zorder_pruned_read_is_selective(spark):
     assert not any("zfile=7" in ln for ln in scans)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     assert "l_partkey" in pushed and "l_suppkey" in pushed
+
+
+# ---------------------------------------------------------------------------
+# r9: the no-unpartitioned-window guard. A Window with an empty partitionSpec
+# moves ALL data to one partition ("WARN WindowExec: No Partition Defined") —
+# the r8 verdict's systemic scale defect. Every registered key's optimized
+# plan is swept; an unpartitioned window is allowed only when it is
+# (a) rank2's internal offsets cumsum — provably ≤ spark.sql.shuffle.partitions
+#     rows, recognized structurally by its __r2_-prefixed order columns — or
+# (b) a key in TINY_WINDOW_OK, each with the reason its windowed relation is
+#     bounded regardless of input scale.
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+
+def _unpartitioned_windows(df) -> list[list[str]]:
+    nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    hits = []
+    for n in nodes:
+        if not n.get("class", "").endswith(".Window"):
+            continue
+        if len(n.get("partitionSpec") or []) == 0:
+            names = []
+            for spec in n.get("orderSpec") or []:
+                for expr in spec:
+                    if isinstance(expr, dict) and "name" in expr:
+                        names.append(expr["name"])
+            hits.append(names)
+    return hits
+
+
+TINY_WINDOW_OK = {
+    # per-day pre-aggregates: the window input is ≤ #days rows at any scale
+    "events_uniques_daily_growth": "window over per-day uniques rollup",
+    "stat_autocorr_lag1": "lag over the per-day revenue series",
+    "ts_cusum_changepoint": "cusum over the per-day series",
+    "ts_gapfill_ffill": "ffill over the 30-day spine",
+    "ts_stl_decompose": "trend/seasonal windows over the per-day series",
+    "win_moving_avg": "range frame over the per-day revenue rollup",
+    # small grouped views / bounded result sets
+    "q_top_supplier_revenue": "scalar max window over the ~100-group revenue view (Q15 decorrelation)",
+    "ratio_to_report": "share window over the 25-row nation aggregate",
+    "search_rrf_hybrid": "rank fuse over two ≤100-row TakeOrdered retrieval arms",
+    "sort_nulls_ordering": "row_number over the LIMIT 50 TakeOrdered result",
+    "text_zipf_slope": "rank over the bounded (Heaps-law) term vocabulary",
+    "stat_theil_sen": "median rank over O(day-span²) slope pairs — scale-invariant in rows",
+    # §2-E window-primitive key: tests Spark's own unpartitioned frame per
+    # the SURVEY contract
+    "win_percent_cume": "§2-E primitive key — the unpartitioned frame IS the surface",
+}
+
+
+def test_no_unpartitioned_window_over_data_sized_relation(spark):
+    offenders: dict[str, list[list[str]]] = {}
+    for key in sorted(QUERIES):
+        df = QUERIES[key](spark, SF)
+        wins = [
+            names
+            for names in _unpartitioned_windows(df)
+            if not any(n.startswith("__r2_") for n in names)
+        ]
+        if wins and key not in TINY_WINDOW_OK:
+            offenders[key] = wins
+    assert not offenders, (
+        "unpartitioned (single-partition) windows over unbounded relations: "
+        f"{offenders} — route through operators/rank2.py or justify in TINY_WINDOW_OK"
+    )

@@ -17,7 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def unpartitioned_windows(df) -> list[str]:
-    """Window nodes with an empty partitionSpec in the optimized plan."""
+    """Window nodes with an empty partitionSpec in the optimized plan.
+
+    Each returned string is the comma-joined attribute names referenced by
+    that window's orderSpec (each spec is a FLATTENED expression tree: a
+    SortOrder head followed by its child expressions — collect every node
+    carrying a name).
+    """
     nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
     hits = []
     for n in nodes:
@@ -25,13 +31,11 @@ def unpartitioned_windows(df) -> list[str]:
             continue
         part = n.get("partitionSpec") or []
         if len(part) == 0:
-            order = n.get("orderSpec") or []
             names = []
-            for o in order:
-                try:
-                    names.append(o[0]["child"][0].get("name", "?"))
-                except Exception:
-                    names.append("?")
+            for spec in n.get("orderSpec") or []:
+                for expr in spec:
+                    if isinstance(expr, dict) and "name" in expr:
+                        names.append(expr["name"])
             hits.append(",".join(names) or "<no-order>")
     return hits
 

@@ -133,7 +133,13 @@ def _offsets(
     w_all = (
         Window.partitionBy(*groups)
         if groups
-        else Window.partitionBy(F.lit(1))
+        # ordered full frame (not partitionBy(lit)): Catalyst folds a
+        # literal partition spec away, leaving an anonymous unpartitioned
+        # window the plan guard can't attribute — ordering by __r2_pid
+        # keeps the ≤P-row window structurally recognizable
+        else Window.orderBy(_PID).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
     )
     out = per
     for out_name, (src, how) in cum_of.items():
