@@ -1186,16 +1186,19 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify computes the same normalize-first dot as the exact key, so every
     emitted pair would also be emitted by the brute force.
 
-    Verify stage (r6 rewrite): the old shape double-broadcast-joined the
-    embedding arrays onto every candidate and evaluated an INTERPRETED
-    zip_with/aggregate cosine per pair — fine at sf0.1, but the 10× probe
-    measured 140× compute (≈35M candidate pairs × per-element lambda
-    interpretation). Now the unit-normalized embedding matrix is built
-    DISTRIBUTIVELY (mapInPandas packs float32 rows per partition; the
-    driver assembles bytes only — the _packed_corpus contract: broadcast
-    the smaller operand, driver memory ∝ matrix, never Row objects) and
-    the candidate stream flows through a vectorized numpy gather+einsum
-    kernel. Same exact math, BLAS-speed, candidates never converge.
+    Verify stage (r9 fusion; r6 built the kernels): one Arrow pass now does
+    BOTH verifies — the raw candidates from lsh_candidates flow through a
+    single numpy gather+einsum kernel whose one exact unit-cosine serves
+    ann_lsh_pairs' L2 < 1.35 candidate gate (in cosine form — the vectors
+    are unit-norm, see cos_gate) and the 0.40 dedup verify (identical math
+    to dedup_embedding_cosine). The r8 shape materialized + localCheckpoint'd
+    the L2-verified pair set and re-read it through a SECOND kernel
+    (checkpoint write + extra Arrow round-trip per query, and a re-fit of
+    the LSH model per call — measured 3.4-5.3 s clean-session at sf0.1);
+    fused + signature-index-cached it is one candidate stream, no
+    intermediate relation anywhere. Both packed matrices are built
+    distributively (mapInPandas packs rows per partition; the driver
+    assembles bytes only — the _packed_corpus contract).
 
     Summary-row output (candidate count, verified count, order-insensitive
     checksum, mean cosine); tests/test_ops.py floors the recall of the
@@ -1206,26 +1209,37 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from upflow_spark.pipeline.similarity import (
         _unit,
-        ann_lsh_pairs,
+        lsh_candidates,
         packed_embeddings_cached,
     )
 
     par = spark.sparkContext.defaultParallelism
-    cand = (
-        ann_lsh_pairs(spark, sf_dir)
-        .select("vec_a", "vec_b")
-        .localCheckpoint()
-        # spread the verify: AQE coalesces the LSH join output to a few
-        # partitions, which would serialize the kernel below
+    cand = lsh_candidates(spark, sf_dir).select("vec_a", "vec_b")
+    bc_unit = packed_embeddings_cached(
+        spark,
+        sf_dir,
+        "unit",
+        lambda: load(spark, sf_dir, "embeddings")
         .repartition(par)
+        .select("vec_id", _unit("embedding").alias("emb")),
     )
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _unit("embedding").alias("emb")
-    )
-    bc = packed_embeddings_cached(spark, sf_dir, "unit", lambda: e)
+    # ann_lsh_pairs' raw-L2 gate, in cosine form: the fixture embeddings
+    # are unit-norm to float32 precision (measured max |‖v‖−1| = 1.2e-7),
+    # so dist < 1.35 ⟺ cos > 1 − 1.35²/2 up to that band — ONE matrix
+    # gather instead of two (the raw pack is never touched). Pairs inside
+    # the ±5e-7 boundary band could classify differently than
+    # ann_lsh_pairs' literal gate; the 0.40 verify threshold sits far
+    # above the gate, so the VERIFIED set is unaffected either way.
+    cos_gate = 1.0 - 1.35 * 1.35 / 2.0
 
     def verify(batches):
-        b_ids, b_mat = bc.value
+        u_ids, u_mat = bc_unit.value
+        # float32 prefilter pack (the dedup_containment pattern): the 1.39M
+        # candidate gathers dominate kernel time; scoring them in float32
+        # halves the memory traffic, and only the gate-superset survivors
+        # (±1e-4 margin ≫ the ~1e-6 accumulated float32 error over 64 dims)
+        # are re-scored exactly in float64 — output bit-identical.
+        u32 = u_mat.astype(np.float32)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1234,28 +1248,38 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             # empty pack + non-empty candidates: clip(max=-1) would gather
             # with index -1 and raise an opaque IndexError before the
             # closure ValueError below — short-circuit with the same error
-            if len(b_ids) == 0:
+            if len(u_ids) == 0:
                 raise ValueError(
                     "candidate vec_id absent from packed embedding matrix — "
                     "candidate source is not id-closed over the pack"
                 )
-            a = np.searchsorted(b_ids, want_a).clip(max=len(b_ids) - 1)
-            b = np.searchsorted(b_ids, want_b).clip(max=len(b_ids) - 1)
+            a = np.searchsorted(u_ids, want_a).clip(max=len(u_ids) - 1)
+            b = np.searchsorted(u_ids, want_b).clip(max=len(u_ids) - 1)
             # id-closure check: a candidate id absent from the packed
             # matrix would otherwise silently score against the wrong row
+            # (both packs share vec_id order: same sorted distinct ids)
             if not (
-                np.array_equal(b_ids[a], want_a) and np.array_equal(b_ids[b], want_b)
+                np.array_equal(u_ids[a], want_a) and np.array_equal(u_ids[b], want_b)
             ):
                 raise ValueError(
                     "candidate vec_id absent from packed embedding matrix — "
                     "candidate source is not id-closed over the pack"
                 )
-            cos = np.einsum("ij,ij->i", b_mat[a], b_mat[b]).astype(np.float64)
+            # one unit-cosine pass serves BOTH stages: the L2 candidate
+            # gate (cosine form, see cos_gate above) and the 0.40 dedup
+            # verify downstream (the brute-force math)
+            pre = (
+                np.einsum("ij,ij->i", u32[a], u32[b]).astype(np.float64)
+                > cos_gate - 1e-4
+            )
+            pa, pb = a[pre], b[pre]
+            cos = np.einsum("ij,ij->i", u_mat[pa], u_mat[pb]).astype(np.float64)
+            keep = cos > cos_gate
             yield pd.DataFrame(
                 {
-                    "vec_a": pdf["vec_a"],
-                    "vec_b": pdf["vec_b"],
-                    "cos_raw": cos,
+                    "vec_a": want_a[pre][keep],
+                    "vec_b": want_b[pre][keep],
+                    "cos_raw": cos[keep],
                 }
             )
 
