@@ -1164,3 +1164,28 @@ def test_r8i_keys_not_vacuous(spark):
         (_F.col("l_partkey") <= mxp // 4) & (_F.col("l_suppkey") <= mxs // 4)
     ).count()
     assert zo["n_rows"] == exact
+
+
+def test_semantic_funnel_ann_path_invariants(spark):
+    """pipeline_semantic_funnel_ann (production pair path) vs the exact
+    oracle key: stages 1-2 identical (they don't touch pairs); ANN edges
+    are a SUBSET of exact edges, so ANN components refine exact components
+    and every ANN CC loser is an exact loser — stage-3 survivors must be a
+    superset of the exact key's; recall floor: ANN removes at least half
+    of the losers the exact CC removes."""
+    exact = {
+        r["stage_no"]: r["n_vecs"]
+        for r in QUERIES["pipeline_semantic_funnel"](spark, SF).collect()
+    }
+    ann = {
+        r["stage_no"]: r["n_vecs"]
+        for r in QUERIES["pipeline_semantic_funnel_ann"](spark, SF).collect()
+    }
+    assert ann[1] == exact[1] and ann[2] == exact[2]
+    assert exact[3] <= ann[3] <= ann[2]
+    dropped_exact = exact[2] - exact[3]
+    dropped_ann = ann[2] - ann[3]
+    assert dropped_ann <= dropped_exact
+    if dropped_exact:
+        assert dropped_ann >= 0.5 * dropped_exact, (dropped_ann, dropped_exact)
+    assert ann[4] <= ann[3]

@@ -726,14 +726,51 @@ def pipeline_semantic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity note: maha² sums 64 dims in engine order (continuous values —
     the sim_centroid_per_label precedent); the rank tie-break is vec_id.
+
+    Pair generation is the EXACT all-pairs cosine here — that is the
+    ORACLE RAIL (DuckDB verifies the identical pair set); the production
+    100 TB path is pipeline_semantic_funnel_ann below, which feeds the CC
+    stage from the staged LSH candidates instead (bucket-local generation
+    + exact cosine verify at the same 0.40 threshold — never O(n²)).
     """
+    return _semantic_funnel(spark, sf_dir, pair_source="exact")
+
+
+@query("pipeline_semantic_funnel_ann")  # rows-only: LSH recall < 1 by design
+def pipeline_semantic_funnel_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_semantic_funnel's PRODUCTION pair-generation path: the CC
+    stage consumes the staged ANN near-dup edges (ann_scored_pairs —
+    bucket-local LSH candidates, exact unit-cosine verify ≥ the same 0.40
+    threshold) instead of the exact all-pairs rail. Stage semantics and
+    every other stage's math are byte-identical to the oracle key.
+
+    Guaranteed invariants (tests/test_ops.py): stages 1-2 are identical to
+    the exact key (they don't touch pairs); ANN edges ⊆ exact edges, so
+    every ANN component refines an exact component and every ANN CC loser
+    is an exact-CC loser — stage-3 survivors are a SUPERSET of the exact
+    key's, floored by the measured LSH recall. Rows-only by design: recall
+    < 1 means the counts legitimately differ from any exact oracle.
+    """
+    return _semantic_funnel(spark, sf_dir, pair_source="ann")
+
+
+def _semantic_funnel(
+    spark: SparkSession, sf_dir: str, pair_source: str
+) -> DataFrame:
     from upflow_spark.io import load
     from upflow_spark.operators.rank2 import global_row_number
-    from upflow_spark.pipeline.dedup import dedup_embedding_cosine
+    from upflow_spark.pipeline.dedup import ann_scored_pairs, dedup_embedding_cosine
 
-    pairs = dedup_embedding_cosine(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
+    if pair_source == "exact":
+        pairs = dedup_embedding_cosine(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    else:
+        pairs = (
+            ann_scored_pairs(spark, sf_dir)
+            .filter(F.col("cos_raw") >= 0.40)
+            .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        )
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -1177,32 +1177,12 @@ def text_knn_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "neighbor_id", "rn", r4("jaccard").alias("jaccard"))
 
 
-@query("emb_dedup_ann_verified")  # rows-only: candidates come from LSH buckets
-def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The actual two-stage embedding dedup promised by
-    dedup_embedding_cosine's scale note: random-projection-LSH candidate
-    generation (ann_lsh_pairs, bucket-local) followed by EXACT cosine ≥
-    0.40 verification — candidates ∝ near pairs, never O(n²), and the
-    verify computes the same normalize-first dot as the exact key, so every
-    emitted pair would also be emitted by the brute force.
-
-    Verify stage (r9 fusion; r6 built the kernels): one Arrow pass now does
-    BOTH verifies — the raw candidates from lsh_candidates flow through a
-    single numpy gather+einsum kernel whose one exact unit-cosine serves
-    ann_lsh_pairs' L2 < 1.35 candidate gate (in cosine form — the vectors
-    are unit-norm, see cos_gate) and the 0.40 dedup verify (identical math
-    to dedup_embedding_cosine). The r8 shape materialized + localCheckpoint'd
-    the L2-verified pair set and re-read it through a SECOND kernel
-    (checkpoint write + extra Arrow round-trip per query, and a re-fit of
-    the LSH model per call — measured 3.4-5.3 s clean-session at sf0.1);
-    fused + signature-index-cached it is one candidate stream, no
-    intermediate relation anywhere. Both packed matrices are built
-    distributively (mapInPandas packs rows per partition; the driver
-    assembles bytes only — the _packed_corpus contract).
-
-    Summary-row output (candidate count, verified count, order-insensitive
-    checksum, mean cosine); tests/test_ops.py floors the recall of the
-    verified set against dedup_embedding_cosine's exact pairs.
+def ann_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate pairs passing the L2 candidate gate, with their EXACT
+    unit cosine (cos_raw) — the pair-level core of emb_dedup_ann_verified;
+    pipeline_semantic_funnel_ann consumes the cos_raw >= 0.40 slice as the
+    production near-dup edge set. See emb_dedup_ann_verified for the full
+    design story (fused kernel, float32 prefilter, cached LSH index).
     """
     import numpy as np
     import pandas as pd
@@ -1224,10 +1204,10 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _unit("embedding").alias("emb")),
     )
     # ann_lsh_pairs' raw-L2 gate, in cosine form: the fixture embeddings
-    # are unit-norm to float32 precision (measured max |‖v‖−1| = 1.2e-7),
-    # so dist < 1.35 ⟺ cos > 1 − 1.35²/2 up to that band — ONE matrix
+    # are unit-norm to float32 precision (measured max |.v.-1| = 1.2e-7),
+    # so dist < 1.35 <=> cos > 1 - 1.35^2/2 up to that band - ONE matrix
     # gather instead of two (the raw pack is never touched). Pairs inside
-    # the ±5e-7 boundary band could classify differently than
+    # the +-5e-7 boundary band could classify differently than
     # ann_lsh_pairs' literal gate; the 0.40 verify threshold sits far
     # above the gate, so the VERIFIED set is unaffected either way.
     cos_gate = 1.0 - 1.35 * 1.35 / 2.0
@@ -1237,8 +1217,8 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         # float32 prefilter pack (the dedup_containment pattern): the 1.39M
         # candidate gathers dominate kernel time; scoring them in float32
         # halves the memory traffic, and only the gate-superset survivors
-        # (±1e-4 margin ≫ the ~1e-6 accumulated float32 error over 64 dims)
-        # are re-scored exactly in float64 — output bit-identical.
+        # (+-1e-4 margin >> the ~1e-6 accumulated float32 error over 64
+        # dims) are re-scored exactly in float64 - output bit-identical.
         u32 = u_mat.astype(np.float32)
         for pdf in batches:
             if not len(pdf):
@@ -1247,22 +1227,21 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             want_b = pdf["vec_b"].to_numpy(np.int64)
             # empty pack + non-empty candidates: clip(max=-1) would gather
             # with index -1 and raise an opaque IndexError before the
-            # closure ValueError below — short-circuit with the same error
+            # closure ValueError below - short-circuit with the same error
             if len(u_ids) == 0:
                 raise ValueError(
-                    "candidate vec_id absent from packed embedding matrix — "
+                    "candidate vec_id absent from packed embedding matrix - "
                     "candidate source is not id-closed over the pack"
                 )
             a = np.searchsorted(u_ids, want_a).clip(max=len(u_ids) - 1)
             b = np.searchsorted(u_ids, want_b).clip(max=len(u_ids) - 1)
             # id-closure check: a candidate id absent from the packed
             # matrix would otherwise silently score against the wrong row
-            # (both packs share vec_id order: same sorted distinct ids)
             if not (
                 np.array_equal(u_ids[a], want_a) and np.array_equal(u_ids[b], want_b)
             ):
                 raise ValueError(
-                    "candidate vec_id absent from packed embedding matrix — "
+                    "candidate vec_id absent from packed embedding matrix - "
                     "candidate source is not id-closed over the pack"
                 )
             # one unit-cosine pass serves BOTH stages: the L2 candidate
@@ -1283,7 +1262,37 @@ def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = cand.mapInPandas(verify, "vec_a long, vec_b long, cos_raw double")
+    return cand.mapInPandas(verify, "vec_a long, vec_b long, cos_raw double")
+
+
+@query("emb_dedup_ann_verified")  # rows-only: candidates come from LSH buckets
+def emb_dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual two-stage embedding dedup promised by
+    dedup_embedding_cosine's scale note: random-projection-LSH candidate
+    generation (ann_lsh_pairs, bucket-local) followed by EXACT cosine ≥
+    0.40 verification — candidates ∝ near pairs, never O(n²), and the
+    verify computes the same normalize-first dot as the exact key, so every
+    emitted pair would also be emitted by the brute force.
+
+    Verify stage (r9 fusion; r6 built the kernels): one Arrow pass now does
+    BOTH verifies — the raw candidates from lsh_candidates flow through a
+    single numpy gather+einsum kernel whose one exact unit-cosine serves
+    ann_lsh_pairs' L2 < 1.35 candidate gate (in cosine form — the vectors
+    are unit-norm, see cos_gate) and the 0.40 dedup verify (identical math
+    to dedup_embedding_cosine). The r8 shape materialized + localCheckpoint'd
+    the L2-verified pair set and re-read it through a SECOND kernel
+    (checkpoint write + extra Arrow round-trip per query, and a re-fit of
+    the LSH model per call — measured 3.4-5.3 s clean-session at sf0.1);
+    fused + signature-index-cached it is one candidate stream, no
+    intermediate relation anywhere. The packed matrix is built
+    distributively (mapInPandas packs rows per partition; the driver
+    assembles bytes only — the _packed_corpus contract).
+
+    Summary-row output (candidate count, verified count, order-insensitive
+    checksum, mean cosine); tests/test_ops.py floors the recall of the
+    verified set against dedup_embedding_cosine's exact pairs.
+    """
+    scored = ann_scored_pairs(spark, sf_dir)
     ph = (
         F.col("vec_a") * F.lit(2654435761) + F.col("vec_b") * F.lit(40503)
     ) % F.lit(4294967296)
