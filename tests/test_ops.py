@@ -1189,3 +1189,32 @@ def test_semantic_funnel_ann_path_invariants(spark):
     if dropped_exact:
         assert dropped_ann >= 0.5 * dropped_exact, (dropped_ann, dropped_exact)
     assert ann[4] <= ann[3]
+
+
+def test_doc_bitmasks_never_collects_vocab(spark, monkeypatch):
+    """r9 guard: the bitmask mask build assigns dense term ids via the
+    distributed zipWithIndex relation — the vocabulary must never converge
+    on the driver. DataFrame.collect is patched to raise for the whole
+    build + consumption."""
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from upflow_spark.pipeline.dedup import _doc_bitmasks
+
+    items = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b"), (2, "c"), (3, "a")],
+        "doc_id long, item string",
+    )
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver collect inside the bitmask mask path")
+
+    monkeypatch.setattr(_DF, "collect", boom)
+    masks, n_words = _doc_bitmasks(spark, items)
+    assert n_words == 1
+    assert masks.count() == 3
+    # every doc's popcount must equal its item count
+    ok = masks.filter(
+        F.expr("bit_count(m0)") == F.col("n_items")
+    ).count()
+    assert ok == 3

@@ -236,20 +236,20 @@ def _doc_bitmasks(spark, items: DataFrame):
     48.9 s → 11 s at sf0.1 for dedup_ngram_jaccard before materialization.
     """
     items = items.localCheckpoint()
-    # BOUNDED vocabulary by contract (open vocab routes to LSH): collect the
-    # distinct items once and assign dense term ids on the driver — a few
-    # hundred strings. This replaces the r3 row_number()-window + checkpoint
-    # + broadcast-ranking pass (3 extra jobs, measured 4.4 s → ~1.5 s for
-    # the bigram mask build); the id table is then a broadcast-joined
-    # driver-built DataFrame, exactly what a 100 TB run would do with a
-    # dictionary smaller than one executor heap.
-    vocab = sorted(r["item"] for r in items.select("item").distinct().collect())
-    n_vocab = len(vocab)
-    n_words = max(1, (n_vocab + 61) // 62)
-    vid = spark.createDataFrame(
-        [(item, i) for i, item in enumerate(vocab)], "item string, tid int"
+    # Dense term ids via the distributed zipWithIndex relation (_dense_ids,
+    # the _packed_corpus pattern) — the vocabulary never converges on the
+    # driver (r9: this was the engine's LAST vocabulary driver-collect).
+    # Any consistent term→id bijection yields identical masks, so the
+    # arbitrary-but-frozen zipWithIndex order replaces the old sorted
+    # driver-side assignment unchanged. The id table is broadcast-joined
+    # below the same dictionary-fits-one-heap ceiling the GEMM pack uses.
+    vocab_ids, n_vocab = _dense_ids(
+        spark, items.select(F.col("item").alias("t"))
     )
-    t = items.join(F.broadcast(vid), "item").select("doc_id", "tid")
+    n_words = max(1, (n_vocab + 61) // 62)
+    vid = vocab_ids.withColumnRenamed("t", "item")
+    vmap = F.broadcast(vid) if n_vocab <= VOCAB_BROADCAST_MAX_TERMS else vid
+    t = items.join(vmap, "item").select("doc_id", "tid")
     word_of = F.floor(F.col("tid") / 62).cast("int")
     # SQL shiftleft takes column args; the pyspark wrapper insists on an int
     bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 62 AS INT))")
@@ -383,19 +383,26 @@ def _unpack_block_row(ids_bin, packed_bin, counts_bin, n_vocab: int):
 VOCAB_BROADCAST_MAX_TERMS = 1 << 22
 
 
-def _dense_vocab_ids(spark, docs: DataFrame):
-    """Distributed dense term-id assignment: explode → distinct →
-    RDD.zipWithIndex. The vocabulary NEVER converges on the driver — ids
-    are assigned by zipWithIndex's two distributed jobs (per-partition
-    counts, then offset+position) and consumed via a join; the only value
-    the driver holds is n_vocab, a single long. Returns
-    (vocab_ids DataFrame (t, tid), n_vocab)."""
-    vocab = docs.select(F.explode("terms").alias("t")).distinct()
+def _dense_ids(spark, terms: DataFrame):
+    """Distributed dense id assignment over a single-column relation of
+    terms: distinct → RDD.zipWithIndex. The vocabulary NEVER converges on
+    the driver — ids are assigned by zipWithIndex's two distributed jobs
+    (per-partition counts, then offset+position) and consumed via a join;
+    the only value the driver holds is n_vocab, a single long. Returns
+    (vocab_ids DataFrame (t, tid), n_vocab). Shared by the GEMM corpus
+    pack and the bitmask mask build (r9 — the LAST vocabulary
+    driver-collect, _doc_bitmasks', now routes here too)."""
+    vocab = terms.distinct()
     vocab_ids = spark.createDataFrame(
         vocab.rdd.map(lambda r: r[0]).zipWithIndex(), "t string, tid long"
     ).localCheckpoint()  # freeze the assignment: ids must be identical
     # across every later read (A pack, B pack, grid blocks)
     return vocab_ids, vocab_ids.count()
+
+
+def _dense_vocab_ids(spark, docs: DataFrame):
+    """_dense_ids over a (doc_id, terms array) relation's exploded terms."""
+    return _dense_ids(spark, docs.select(F.explode("terms").alias("t")))
 
 
 def _packed_corpus(spark, docs: DataFrame):
