@@ -1218,3 +1218,52 @@ def test_doc_bitmasks_never_collects_vocab(spark, monkeypatch):
         F.expr("bit_count(m0)") == F.col("n_items")
     ).count()
     assert ok == 3
+
+
+def _ref_bpe(pt: str, merges) -> list[str]:
+    """Reference BPE apply: lowest-rank pair present, merged left-to-right
+    non-overlapping, until no table pair remains."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+    seq = list(pt)
+    while True:
+        pairs = [(rank.get((seq[i], seq[i + 1])), i) for i in range(len(seq) - 1)]
+        present = [r for r, _ in pairs if r is not None]
+        if not present:
+            return seq
+        best = min(present)
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and rank.get((seq[i], seq[i + 1])) == best:
+                out.append(seq[i] + seq[i + 1])
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+
+
+def test_bpe_apply_matches_reference(spark):
+    """The window-arithmetic merge loop must reproduce a plain-Python BPE
+    for every distinct pretoken in the corpus — and the merges must
+    actually FIRE (multi-char tokens, second-order merges included)."""
+    from pyspark.sql import functions as F
+
+    from upflow_spark.pipeline.bpe import MERGES, bpe_tokens_per_pretoken
+
+    got = {}
+    for r in bpe_tokens_per_pretoken(spark, SF).groupBy("pt").agg(
+        F.collect_list("sym").alias("syms")
+    ).collect():
+        got[r["pt"]] = sorted(r["syms"])
+    assert got, "no pretokens"
+    fired = 0
+    second_order = 0
+    for pt, syms in got.items():
+        ref = _ref_bpe(pt, MERGES)
+        assert sorted(ref) == syms, (pt, ref, syms)
+        if len(ref) < len(pt):
+            fired += 1
+        if any(len(s) >= 3 for s in ref):
+            second_order += 1
+    assert fired >= len(got) // 2, "merges barely fire — table mismatch with corpus"
+    assert second_order >= 1, "no second-order merge ever applied"

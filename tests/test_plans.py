@@ -625,3 +625,15 @@ def test_no_unpartitioned_window_over_data_sized_relation(spark):
         "unpartitioned (single-partition) windows over unbounded relations: "
         f"{offenders} — route through operators/rank2.py or justify in TINY_WINDOW_OK"
     )
+
+
+def test_bpe_apply_is_jvm_only_partitioned_windows(spark):
+    """r9: the BPE merge loop must stay entirely JVM-side (map-literal rank
+    lookup + pretoken-partitioned windows — no Python workers), and the
+    corpus join against the token-count cache must broadcast."""
+    plan = plan_of(spark, "tokenize_bpe_apply")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan
+    df = QUERIES["tokenize_bpe_apply"](spark, SF)
+    assert not _unpartitioned_windows(df), "merge loop windows must partition by pt"
