@@ -138,7 +138,8 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(floor({_LAT_SQL} / 1.0) AS BIGINT) AS cell_lat,
        CAST(floor({_LON_SQL} / 1.0) AS BIGINT) AS cell_lon,
        count(*) AS n_points,
-       floor((sum(c_acctbal)) * 10000 + 0.5) / 10000 AS sum_balance
+       floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 10000 + 0.5)
+         / 10000 AS sum_balance
 FROM customer
 GROUP BY cell_lat, cell_lon
 """,
@@ -146,7 +147,12 @@ GROUP BY cell_lat, cell_lon
 def geo_grid_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial binning: 1-degree grid cells with per-cell point count and
     balance sum — the map-side density rollup behind heatmaps and spatial
-    partitioning decisions. One grouped pass, cell id computed inline."""
+    partitioning decisions. One grouped pass, cell id computed inline.
+
+    The money sum accumulates in exact DECIMAL(18,2) on BOTH engines (the
+    repo's accumulation-order parity rule, stats_ext precedent): a raw
+    double sum near a .00005 rounding boundary can hash-diverge when
+    partition merge order differs from DuckDB's scan order (ADVICE r8)."""
     c = load(spark, sf_dir, "customer")
     return (
         c.select(
@@ -157,7 +163,9 @@ def geo_grid_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_lat", "cell_lon")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            r4(F.sum("c_acctbal")).alias("sum_balance"),
+            r4(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")).alias(
+                "sum_balance"
+            ),
         )
     )
 

@@ -424,7 +424,10 @@ def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
     ).agg(
         F.first("n").alias("n_pairs"),
-        r4(F.avg("s")).alias("theil_sen_slope"),
+        # even n_pairs: DuckDB's quantile_cont computes lo + 0.5*(hi-lo),
+        # which is NOT bit-identical to avg's (lo+hi)/2 IEEE tree — use the
+        # same expression shape (ADVICE r8; odd n degenerates to lo exactly)
+        r4(F.min("s") + 0.5 * (F.max("s") - F.min("s"))).alias("theil_sen_slope"),
     )
     n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
     return med.crossJoin(F.broadcast(n_days)).select(

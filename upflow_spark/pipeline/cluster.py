@@ -52,8 +52,13 @@ def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    if len(_EDGE_CACHE) >= 4:  # bound memory across many-session test runs
-        _EDGE_CACHE.clear()
+    # evict only STALE entries (other applications / other fixtures): a
+    # blanket clear() also wiped the live session's checkpointed edge
+    # tables, forcing the expensive SimHash pair stage to re-run, while
+    # dead sessions' DataFrames lingered until the next insert (ADVICE r8)
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _EDGE_CACHE if k[0] != app]:
+        _EDGE_CACHE.pop(stale)
     _EDGE_CACHE[key] = edges
     return edges
 
@@ -213,8 +218,10 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = _cc_fixpoint(edges, labels0).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    if len(_LABEL_CACHE) >= 4:
-        _LABEL_CACHE.clear()
+    # stale-only eviction — see _EDGE_CACHE above (ADVICE r8)
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _LABEL_CACHE if k[0] != app]:
+        _LABEL_CACHE.pop(stale)
     _LABEL_CACHE[key] = labels
     return labels
 

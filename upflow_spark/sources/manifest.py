@@ -14,6 +14,9 @@ manifest-pruned read → aggregate, with the pruning decision itself
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +27,31 @@ from upflow_spark.parity import R4, r4
 from upflow_spark.registry import query
 
 N_BUCKETS = 8
+
+
+def _work_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Deterministic per-(session, fixture) scratch directory, cleaned at
+    process exit. The r8 shape mkdtemp'd a FRESH data-sized directory per
+    invocation and never removed it (ADVICE r8) — repeated bench/test
+    sweeps leaked one copy of orders/lineitem each. Keyed on applicationId
+    (no cross-session write race) + fixture identity (regeneration gets a
+    fresh dir); every write below uses mode("overwrite"), so re-invocations
+    reuse the same path instead of multiplying it."""
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    name = (
+        f"upflow_{kind}_{spark.sparkContext.applicationId}_"
+        f"{st.st_mtime_ns}_{st.st_size}"
+    )
+    path = os.path.join(tempfile.gettempdir(), name)
+    if path not in _WORK_DIRS:
+        _WORK_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+_WORK_DIRS: set[str] = set()
+
 
 
 @query(
@@ -70,7 +98,7 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = o.agg(F.max("o_orderkey")).collect()[0][0]
     step = int((mx + N_BUCKETS) // N_BUCKETS)
     hi = int(mx // 5)
-    base = tempfile.mkdtemp(prefix="upflow_manifest_") + "/orders"
+    base = _work_dir(spark, sf_dir, "manifest") + "/orders"
     o.withColumn("bucket", F.floor(F.col("o_orderkey") / F.lit(step))).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(base)
@@ -219,7 +247,7 @@ def scan_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(l_suppkey * {1 << ZBITS} DIV {int(mxs) + 1})",
         "DIV",
     )
-    base = tempfile.mkdtemp(prefix="upflow_zorder_") + "/lineitem"
+    base = _work_dir(spark, sf_dir, "zorder") + "/lineitem"
     li.withColumn("zfile", F.expr(f"({z}) DIV 32")).write.mode(
         "overwrite"
     ).partitionBy("zfile").parquet(base)
