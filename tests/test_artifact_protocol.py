@@ -78,3 +78,39 @@ def test_bench_detail_covers_registry_exactly():
         f"BENCH_DETAIL.md is missing registry keys {missing} — regenerate "
         f"it from scratch on final code (rm the partial first)"
     )
+
+
+def _git(args: list[str]) -> str:
+    import subprocess
+
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def test_artifacts_postdate_last_source_commit():
+    """VERDICT r8 item (process): "artifacts last" must mean LAST —
+    including refactors. r8's final snapshot edited pipeline/cluster.py 70
+    minutes AFTER the sims were regenerated (harmless that time, verified
+    by diff — but the r7 breach was exactly this shape). This guard fails
+    whenever any commit touching upflow_spark/ is NEWER than the commit
+    that last touched the newest driver-sim artifact, or when upflow_spark/
+    has uncommitted changes: either means the committed evidence no longer
+    describes the shipped source. Mid-round red is by design."""
+    path = _latest_sim_path()
+    if path is None:
+        pytest.skip("no committed driver-sim artifact yet")
+    dirty = _git(["status", "--porcelain", "--", "upflow_spark"])
+    assert not dirty, (
+        "upflow_spark/ has uncommitted changes newer than the committed "
+        f"sims — regenerate artifacts on final code:\n{dirty}"
+    )
+    art_ts = _git(["log", "-1", "--format=%ct", "--", os.path.basename(path)])
+    src_ts = _git(["log", "-1", "--format=%ct", "--", "upflow_spark"])
+    if not art_ts or not src_ts:
+        pytest.skip("artifact or source not in git history yet")
+    assert int(src_ts) <= int(art_ts), (
+        f"upflow_spark/ was committed at {src_ts}, AFTER the newest sims "
+        f"artifact ({os.path.basename(path)} at {art_ts}) — rerun the "
+        "end-of-round regeneration (verify skill) on final code"
+    )
