@@ -245,3 +245,47 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+@query(
+    "events_user_overlap_jaccard",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(has_c) AS BIGINT) AS n_click_users,
+       CAST(sum(has_p) AS BIGINT) AS n_purchase_users,
+       CAST(sum(has_c * has_p) AS BIGINT) AS n_both,
+       floor((CAST(sum(has_c * has_p) AS DOUBLE)
+              / (sum(has_c) + sum(has_p) - sum(has_c * has_p)))
+             * 10000 + 0.5) / 10000 AS jaccard
+FROM per_user
+""",
+)
+def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience-overlap: |click users ∩ purchase users| and the
+    Jaccard of the two cohorts — the set-intersection question theta/HLL
+    sketches answer approximately, computed exactly with ONE user-keyed
+    aggregate (per-user boolean flags, then integer sums: no distinct-pair
+    join, no second shuffle; the same flags extend to any number of
+    cohorts as extra columns)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_p"
+        ),
+    )
+    both = F.sum(F.col("has_c") * F.col("has_p"))
+    return per_user.agg(
+        F.sum("has_c").cast("long").alias("n_click_users"),
+        F.sum("has_p").cast("long").alias("n_purchase_users"),
+        both.cast("long").alias("n_both"),
+        r4(
+            both.cast("double")
+            / (F.sum("has_c") + F.sum("has_p") - both)
+        ).alias("jaccard"),
+    )

@@ -65,6 +65,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.mining  # noqa: F401
     import upflow_spark.operators.misc_surfaces  # noqa: F401
     import upflow_spark.operators.projection  # noqa: F401
+    import upflow_spark.operators.quantiles2  # noqa: F401
     import upflow_spark.operators.reshape  # noqa: F401
     import upflow_spark.operators.scale_patterns  # noqa: F401
     import upflow_spark.operators.setops  # noqa: F401
