@@ -70,6 +70,11 @@ def main() -> None:
         # curation funnel (Mahalanobis prune -> SemDeDup CC -> split)
         "dsir_weights": "curation_dsir_weights",
         "semantic_funnel": "pipeline_semantic_funnel",
+        # r9 additions: the funnel's production ANN pair path, real BPE
+        # encode, and the one-pass exact multi-quantile (rank2 flagship)
+        "semantic_funnel_ann": "pipeline_semantic_funnel_ann",
+        "tokenize_bpe": "tokenize_bpe_apply",
+        "quantiles_exact": "agg_quantiles_exact_multi",
     }
 
     # global JIT/codegen warm-up: drive shuffle + agg + window codepaths a
