@@ -34,8 +34,8 @@ SHOWCASE = [
     ("sink_bucketed_join", "bucket-aligned SortMergeJoin with ZERO shuffle exchanges before the final groupBy (both scans `Bucketed: true`)"),
     ("dedup_simhash_pairs", "band equi-join BROADCAST on the few-hundred-KB band table (r5: ≤1024 distinct band keys skew a shuffle join; broadcast-hash keeps stream-side parallelism), never a nested-loop all-pairs"),
     ("graph_triangle_count", "wedge-then-close triangle plan: BOTH closing joins broadcast the edge table, the wedge stream never shuffles"),
-    ("stat_ks_two_sample", "both ECDFs built in ONE window pass over one shuffle on value"),
-    ("win_skyline_pareto", "sort-filter-skyline: ONE sort + ONE running-max window, no NOT-EXISTS self-join (no Join operator in the plan at all)"),
+    ("stat_ks_two_sample", "both ECDFs via rank2's two-phase cumsum: range exchange + per-partition running sums + broadcast offsets join — NO unpartitioned Window over the distinct-value relation (r9)"),
+    ("win_skyline_pareto", "distributed sort-filter-skyline: two-phase running prev-max (range exchange + local frame window + broadcast per-partition maxes), no NOT-EXISTS self-join, no single-partition sort (r9)"),
     ("win_session_window_fn", "native session_window aggregation: one shuffle on the grouping key with merge-able session state"),
     ("cdc_apply_changes", "copy-on-write MERGE topology: broadcast anti-join on the touched-key set + union of upserts — base table never shuffles"),
     ("win_time_range_frame", "RANGE frame window after one shuffle on user_id"),
@@ -82,6 +82,12 @@ SHOWCASE = [
     # r8 third-wave (§2-Q) showcases
     ("stat_anova_f", "k-group inference in ONE scan: a single groupBy collapses the corpus to five sufficient-stat rows and the F/η² finish folds them via SSB = Σ(s²/n) − S²/N — no join, no re-scan, nothing row-scale after the first exchange"),
     ("scan_zorder_cluster", "the Morton-clustered read scans ONLY the selected z-range directory (1 of 8) with BOTH box predicates pushed to parquet — multi-dimensional pruning a 1-D layout cannot express"),
+    # r9 showcases: the two-phase rank family + the fused ANN verify + BPE
+    ("agg_quantiles_exact_multi", "ONE two-phase global rank pass (range exchange -> pid-local row_number -> broadcast offsets) feeding a map-side <=2-rows-per-quantile filter; no percentile UDAF, no single-partition sort"),
+    ("agg_median_per_group_two_phase", "GROUPED two-phase rank: 5 hot groups range-partitioned across ALL partitions; offsets window partitioned by group"),
+    ("curation_dsir_weights", "selection stage scale-true (r9): global keep-rank via rank2 with the doc total riding the broadcast offsets relation"),
+    ("emb_dedup_ann_verified", "fused single-kernel verify: ONE MapInPandas over the raw LSH candidate stream (no intermediate pair relation, no second Arrow pass), candidate joins broadcast on the KB-scale bucket table"),
+    ("tokenize_bpe_apply", "BPE merge loop as pretoken-partitioned window stages (JVM-only, zero Python), corpus joins the vocab-sized token-count cache via BroadcastHashJoin"),
 ]
 
 

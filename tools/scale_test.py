@@ -116,6 +116,15 @@ PROBE_KEYS = [
     ("stat_anova_f", "orders 10x (one scan, 5-row sufficient-stat fold)"),
     ("graph_k_core", "documents 10x (8 sync peel rounds over the pair graph)"),
     ("scan_zorder_cluster", "lineitem 10x (Morton write + 2-col manifest prune)"),
+    # r9 additions: the two-phase rank family (the reworked selection
+    # stage), the fused ANN funnel path, and the real BPE encode
+    ("agg_quantiles_exact_multi", "lineitem 10x (ONE two-phase rank pass, 5 quantiles)"),
+    ("agg_median_per_group_two_phase", "orders 10x (grouped two-phase rank, 5 hot groups)"),
+    ("seg_rfm_scores", "orders 10x (three two-phase ntiles + custkey re-joins)"),
+    ("stat_ks_two_sample", "events 10x (distinct-value cumsum via two-phase)"),
+    ("win_skyline_pareto", "orders 10x (two-phase running prev-max SFS)"),
+    ("pipeline_semantic_funnel_ann", "embeddings 10x (LSH pair path + CC + two-phase rank)"),
+    ("tokenize_bpe_apply", "documents 10x (vocab-bounded merge loop + broadcast join)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
