@@ -289,3 +289,61 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("has_c") + F.sum("has_p") - both)
         ).alias("jaccard"),
     )
+
+
+SEQ_MAX = 16
+
+
+@query(
+    "seq_assemble_user_events",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         list_slice(list(event_type ORDER BY ts, event_id), 1, {SEQ_MAX}) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(seq) AS BIGINT) AS seq_len,
+       seq[1] AS first_type,
+       seq[len(seq)] AS last_type,
+       md5(array_to_string(seq, '>')) AS seq_fp
+FROM s
+""",
+)
+def seq_assemble_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-SEQUENCE assembly: each user's time-ordered event-type
+    sequence, truncated to {SEQ_MAX} steps — the log-to-sequence transform
+    behind behavioral-model training data (and the sequence twin of
+    pack_token_bins). Verified via an order-sensitive fingerprint (md5 of
+    the '>'-joined sequence), so the oracle checks the ORDERING, not just
+    membership.
+
+    Plan: ONE user-keyed aggregate — collect_list of (ts, event_id, type)
+    structs, array_sort (struct order = field order, exactly the (ts, id)
+    tie-broken event order), slice, transform to types. No window, no
+    second shuffle; per-user state is bounded by the true sequence length
+    (truncate-at-collect would cap even that via a slice pushdown at scale).
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = F.slice(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        1,
+        SEQ_MAX,
+    )
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("seq")
+    )
+    return s.select(
+        "user_id",
+        "n_events",
+        F.size("seq").cast("long").alias("seq_len"),
+        F.element_at("seq", 1).alias("first_type"),
+        F.element_at("seq", -1).alias("last_type"),
+        F.md5(F.concat_ws(">", "seq")).alias("seq_fp"),
+    )

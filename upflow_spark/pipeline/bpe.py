@@ -399,3 +399,64 @@ def bpe_tokens_per_pretoken(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the per-pretoken count). Shares _bpe_final_state's checkpoint
     with the count consumer — one merge-loop run serves both."""
     return _bpe_final_state(spark, sf_dir).select("pt", "sym")
+
+
+@query(
+    "tokenize_bpe_vocab_ids",
+    oracle=f"""
+WITH
+{_bpe_cte()},
+pre AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(text, '{BPE_PRETOK_RE}', 0)) AS pt
+  FROM documents
+),
+occ AS MATERIALIZED (
+  SELECT pt, CAST(count(*) AS BIGINT) AS n_occ FROM pre GROUP BY pt
+),
+per_sym AS (
+  SELECT s.sym, CAST(sum(o.n_occ) AS BIGINT) AS n_occurrences
+  FROM s{N_ITER} s JOIN occ o ON s.pt = o.pt
+  GROUP BY s.sym
+)
+SELECT sym,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, sym ASC) AS BIGINT)
+         AS vocab_id,
+       n_occurrences
+FROM per_sym
+""",
+)
+def tokenize_bpe_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-tokenizer VOCABULARY artifact: every encoded symbol the
+    merge loop produces over this corpus, with its corpus-wide occurrence
+    count and a dense frequency-ranked id (ties by symbol — the
+    deterministic id assignment a tokenizer ships). Completes the BPE
+    story: MERGES (fixed table) + encode (tokenize_bpe_apply) + vocab/ids
+    (this key) are the three artifacts a real tokenizer pipeline persists.
+
+    The id rank runs through rank2.global_row_number — the vocabulary is
+    Heaps-bounded, but the engine's no-single-partition-window rule is
+    absolute, and the two-phase rank costs nothing at this size.
+    """
+    state = _bpe_final_state(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    occ = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)
+            ).alias("pt")
+        )
+        .groupBy("pt")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    per_sym = (
+        state.join(F.broadcast(occ), "pt")
+        .groupBy("sym")
+        .agg(F.sum("n_occ").cast("long").alias("n_occurrences"))
+    )
+    from upflow_spark.operators.rank2 import global_row_number
+
+    return global_row_number(
+        per_sym,
+        [("n_occurrences", "desc"), ("sym", "asc")],
+        out="vocab_id",
+    ).select("sym", "vocab_id", "n_occurrences")

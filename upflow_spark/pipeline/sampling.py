@@ -242,3 +242,63 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     r = global_row_number(d.select("doc_id", "lang"), ["doc_id"], out="rn")
     return r.filter(F.col("rn") % 20 == 1).select("doc_id", "lang", "rn")
+
+
+AES_K = 50
+_AES_SCALE = float(1 << 60)
+
+
+@query(
+    "sample_weighted_aes",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+         floor((ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT + 1)
+                   / {_AES_SCALE}) / n_chars) * 10000 + 0.5) / 10000 AS k4
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, w, k4
+FROM keyed
+ORDER BY k4 DESC, doc_id ASC
+LIMIT {AES_K}
+""",
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (Efraimidis–
+    Spirakis A-ES): every doc gets key u^(1/w) — here ranked by the
+    monotone-equivalent ln(u)/w — with u a content-hash uniform instead of
+    RNG state (the repo's no-RNG stance: same corpus ⇒ same sample on any
+    engine, any partitioning, any day). Weights = n_chars, so longer
+    documents are proportionally more likely to be kept — the
+    quality/length-weighted corpus subsampling step of LLM data prep,
+    exact and reproducible.
+
+    Parity: u = (md5-derived 60-bit int + 1) / 2⁶⁰ is bit-identical on
+    both engines (power-of-two scaling is exact); ln() may differ in the
+    last ulp between libms, so the RANKING key is the 4dp-rounded
+    ln(u)/w with doc_id tie-breaks — engine-deterministic order. The
+    top-k is TakeOrdered (two-phase: per-partition top-k then merge),
+    never a global sort.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_AES_SCALE)
+    k4 = r4(F.log(u) / F.col("n_chars"))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("w"),
+            k4.alias("k4"),
+        )
+        .orderBy(F.col("k4").desc(), F.col("doc_id").asc())
+        .limit(AES_K)
+    )
