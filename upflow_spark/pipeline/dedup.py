@@ -1196,6 +1196,7 @@ def ann_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from upflow_spark.pipeline.similarity import (
         _unit,
+        gather_pair_vectors,
         lsh_candidates,
         packed_embeddings_cached,
     )
@@ -1210,6 +1211,37 @@ def ann_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par)
         .select("vec_id", _unit("embedding").alias("emb")),
     )
+    cos_gate_j = 1.0 - 1.35 * 1.35 / 2.0
+    if isinstance(bc_unit, tuple) and bc_unit[0] == "join":
+        # past-ceiling path (r10): shuffle-gather both unit vectors onto
+        # each candidate row. The float32 prefilter exists only to halve
+        # broadcast-matrix gather traffic, and it is a superset gate with
+        # a margin far wider than its error — skipping it here leaves the
+        # exact-float64 keep set, and hence the output, byte-identical.
+        def verify_g(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if pdf["emb_a"].isna().any() or pdf["emb_b"].isna().any():
+                    raise ValueError(
+                        "candidate vec_id absent from embedding relation - "
+                        "candidate source is not id-closed over the pack"
+                    )
+                A = np.stack(pdf["emb_a"].to_numpy())
+                B = np.stack(pdf["emb_b"].to_numpy())
+                cos = np.einsum("ij,ij->i", A, B)
+                keep = cos > cos_gate_j
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy(np.int64)[keep],
+                        "vec_b": pdf["vec_b"].to_numpy(np.int64)[keep],
+                        "cos_raw": cos[keep],
+                    }
+                )
+
+        return gather_pair_vectors(cand, bc_unit[1], bc_unit[2]).mapInPandas(
+            verify_g, "vec_a long, vec_b long, cos_raw double"
+        )
     # ann_lsh_pairs' raw-L2 gate, in cosine form: the fixture embeddings
     # are unit-norm to float32 precision (measured max |.v.-1| = 1.2e-7),
     # so dist < 1.35 <=> cos > 1 - 1.35^2/2 up to that band - ONE matrix
