@@ -81,6 +81,17 @@ def _normalize(order: OrderSpec) -> list[tuple[Column, bool]]:
     return out
 
 
+def _shuffle_partitions(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, falling back to the
+    cluster's defaultParallelism when the conf holds a non-numeric value
+    (platforms with auto-optimized shuffle report "auto" — any positive
+    partition count is correct here, offsets scale with it)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _staged(
     df: DataFrame, order: OrderSpec, partition_by: Iterable[str]
 ) -> tuple[DataFrame, list[Column], list[str], list[str]]:
@@ -99,12 +110,36 @@ def _staged(
         (F.col(n).asc() if asc else F.col(n).desc())
         for n, (_, asc) in zip(key_names, specs)
     ]
-    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    p = _shuffle_partitions(df.sparkSession)
     range_keys = [F.col(g).asc() for g in groups] + sort_exprs
     staged = staged.repartitionByRange(p, *range_keys).withColumn(
         _PID, F.spark_partition_id()
     )
     return staged, sort_exprs, groups, key_names
+
+
+def _join_offsets(local: DataFrame, offs: DataFrame, groups: list[str]) -> DataFrame:
+    """Broadcast-join the per-(group, pid) offsets row onto each staged row.
+
+    Group keys compare NULL-SAFELY (eqNullSafe): a NULL group key is a real
+    group to rank within — SQL window PARTITION BY groups nulls together —
+    and a plain equi-join would silently drop those rows (r10 advice fix;
+    current callers happen to be non-null, this guards future ones). The
+    offsets side's join columns are renamed `__r2_j*` and dropped after, so
+    callers see the same single-copy column layout the name-list join gave.
+    """
+    if not groups:
+        return local.join(F.broadcast(offs), _PID)
+    jp = f"{_KEY}jpid"
+    ren = offs.withColumnRenamed(_PID, jp)
+    cond = F.col(jp) == F.col(_PID)
+    jnames = []
+    for g in groups:
+        jg = f"{_KEY}j_{g}"
+        ren = ren.withColumnRenamed(g, jg)
+        jnames.append(jg)
+        cond = cond & F.col(jg).eqNullSafe(F.col(g))
+    return local.join(F.broadcast(ren), cond).drop(jp, *jnames)
 
 
 def _offsets(
@@ -173,7 +208,7 @@ def global_row_number(
         {_OFF: (_CNT, "sum")},
         {_TOT: (_CNT, "sum")} if total_out else None,
     )
-    res = local.join(F.broadcast(offs), [*groups, _PID]).withColumn(
+    res = _join_offsets(local, offs, groups).withColumn(
         out, F.col(_LOC) + F.coalesce(F.col(_OFF), F.lit(0))
     )
     if total_out:
@@ -213,7 +248,7 @@ def global_cumsum(
     cum_of = {f"{_OFF}{n}": (f"{_CNT}{n}", "sum") for n in names}
     tot_map = {f"{_TOT}{n}": (f"{_CNT}{n}", "sum") for n in (totals or {})}
     offs = _offsets(local, groups, summaries, cum_of, tot_map)
-    res = local.join(F.broadcast(offs), [*groups, _PID])
+    res = _join_offsets(local, offs, groups)
     drop = [_PID, *keys]
     for n in names:
         res = res.withColumn(
@@ -244,7 +279,7 @@ def global_cummax_before(
         local, groups, {_CNT: F.max(value)}, {_OFF: (_CNT, "max")}
     )
     return (
-        local.join(F.broadcast(offs), _PID)
+        _join_offsets(local, offs, groups)
         # greatest() skips nulls (null only when BOTH are null) — exactly
         # the first-row / first-partition semantics the frame has
         .withColumn(out, F.greatest(F.col(_LOC), F.col(_OFF)))
