@@ -573,10 +573,19 @@ def test_zorder_pruned_read_is_selective(spark):
 import json as _json
 
 
-def _unpartitioned_windows(df) -> list[list[str]]:
+_PASSTHROUGH = (".Project", ".Window", ".Filter", ".Sort", ".WithCTE")
+
+
+def _unpartitioned_windows(df) -> list[tuple[list[str], bool]]:
+    """All unpartitioned Window nodes in the optimized plan, as
+    (order column names, agg_backed) — agg_backed is True when the window
+    sits (through unary Project/Window/Filter wrappers) directly over an
+    Aggregate, the structural signature of rank2's ≤P-row per-partition
+    summary. toJSON() emits the plan in PREORDER, so a unary chain's child
+    is simply the next node."""
     nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
     hits = []
-    for n in nodes:
+    for i, n in enumerate(nodes):
         if not n.get("class", "").endswith(".Window"):
             continue
         if len(n.get("partitionSpec") or []) == 0:
@@ -585,7 +594,13 @@ def _unpartitioned_windows(df) -> list[list[str]]:
                 for expr in spec:
                     if isinstance(expr, dict) and "name" in expr:
                         names.append(expr["name"])
-            hits.append(names)
+            j = i + 1
+            while j < len(nodes) and nodes[j].get("class", "").endswith(_PASSTHROUGH):
+                j += 1
+            agg_backed = j < len(nodes) and nodes[j].get("class", "").endswith(
+                ".Aggregate"
+            )
+            hits.append((names, agg_backed))
     return hits
 
 
@@ -614,10 +629,14 @@ def test_no_unpartitioned_window_over_data_sized_relation(spark):
     offenders: dict[str, list[list[str]]] = {}
     for key in sorted(QUERIES):
         df = QUERIES[key](spark, SF)
+        # the rank2 exemption is structural on BOTH axes (r10 advice fix):
+        # __r2_-prefixed order columns AND the window's child being an
+        # Aggregate (the ≤P-row summary) — a data-sized column aliased to
+        # __r2_* would no longer bypass the audit
         wins = [
             names
-            for names in _unpartitioned_windows(df)
-            if not any(n.startswith("__r2_") for n in names)
+            for names, agg_backed in _unpartitioned_windows(df)
+            if not (agg_backed and any(n.startswith("__r2_") for n in names))
         ]
         if wins and key not in TINY_WINDOW_OK:
             offenders[key] = wins

@@ -64,30 +64,39 @@ def agg_quantiles_exact_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("v")
     )
     ranked = global_row_number(li, ["v"], out="rn", total_out="n")
-    h = {q: 1.0 + (F.col("n") - 1) * F.lit(q) for q in QS}
+    # DuckDB quantile_cont's own index tree, verbatim: RN = (n−1)·q as a
+    # double, lo row = floor(RN)+1, hi row = ceil(RN)+1 (1-based),
+    # frac = RN − floor(RN). Sharing DuckDB's exact IEEE expression (the
+    # r10 advice fix) keeps floor/ceil bit-agreed even when RN is
+    # mathematically integral but a ulp off (0.9, 0.99 are not binary-
+    # representable) — the previous 1+(n−1)q folded the +1 INTO the float
+    # before flooring, a different tree that can straddle different rows.
+    rn_of = {q: (F.col("n") - 1).cast("double") * F.lit(q) for q in QS}
     keep = None
     for q in QS:
-        cond = (F.col("rn") == F.floor(h[q])) | (F.col("rn") == F.ceil(h[q]))
+        cond = (F.col("rn") == F.floor(rn_of[q]) + 1) | (
+            F.col("rn") == F.ceil(rn_of[q]) + 1
+        )
         keep = cond if keep is None else (keep | cond)
     sel = ranked.filter(keep)  # ≤ 2·len(QS) rows, selected map-side
     quants = spark.range(1).select(
         F.posexplode(F.array(*[F.lit(q) for q in QS])).alias("i", "q")
     )
-    hq = 1.0 + (F.col("n") - 1) * F.col("q")
+    rnj = (F.col("n") - 1).cast("double") * F.col("q")
     out = (
         quants.join(
             F.broadcast(sel),
-            (F.col("rn") == F.floor(hq)) | (F.col("rn") == F.ceil(hq)),
+            (F.col("rn") == F.floor(rnj) + 1) | (F.col("rn") == F.ceil(rnj) + 1),
         )
         .groupBy("q", "i")
         .agg(
             F.max("n").alias("n"),
-            F.min(F.when(F.col("rn") == F.floor(hq), F.col("v"))).alias("lo_v"),
-            F.min(F.when(F.col("rn") == F.ceil(hq), F.col("v"))).alias("hi_v"),
+            F.min(F.when(F.col("rn") == F.floor(rnj) + 1, F.col("v"))).alias("lo_v"),
+            F.min(F.when(F.col("rn") == F.ceil(rnj) + 1, F.col("v"))).alias("hi_v"),
         )
     )
-    hq2 = 1.0 + (F.col("n") - 1) * F.col("q")
-    frac = hq2 - F.floor(hq2)
+    rn2 = (F.col("n") - 1).cast("double") * F.col("q")
+    frac = rn2 - F.floor(rn2)
     return out.select(
         "q",
         (F.col("i") + 1).cast("long").alias("q_idx"),

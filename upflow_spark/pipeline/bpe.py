@@ -163,8 +163,11 @@ def _bpe_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if key in _bpe_state_cache:
         return _bpe_state_cache[key]
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _bpe_state_cache if k[0] != app]:
+    # keep at most one entry per app (the _sig_cache rule; r10 advice):
+    # other apps' handles are dead, and this app's other fixture
+    # identities (other sf dirs, regenerated mtimes) would otherwise
+    # accumulate checkpointed DataFrames without bound
+    for stale in [k for k in _bpe_state_cache if k != key]:
         _bpe_state_cache.pop(stale)
     d = load(spark, sf_dir, "documents")
     pts = d.select(

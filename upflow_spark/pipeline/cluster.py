@@ -52,12 +52,12 @@ def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    # evict only STALE entries (other applications / other fixtures): a
-    # blanket clear() also wiped the live session's checkpointed edge
-    # tables, forcing the expensive SimHash pair stage to re-run, while
-    # dead sessions' DataFrames lingered until the next insert (ADVICE r8)
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _EDGE_CACHE if k[0] != app]:
+    # evict STALE entries: other applications AND this application's other
+    # fixture dirs (keep at most one entry per app — the _sig_cache rule;
+    # r10 advice: a long-lived session sweeping many sf dirs otherwise
+    # accumulates checkpointed DataFrames without bound). A blanket
+    # clear() would also wipe the live entry being inserted (ADVICE r8).
+    for stale in [k for k in _EDGE_CACHE if k != key]:
         _EDGE_CACHE.pop(stale)
     _EDGE_CACHE[key] = edges
     return edges
@@ -218,9 +218,8 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = _cc_fixpoint(edges, labels0).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    # stale-only eviction — see _EDGE_CACHE above (ADVICE r8)
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _LABEL_CACHE if k[0] != app]:
+    # keep at most one entry — see _EDGE_CACHE above (ADVICE r8/r10)
+    for stale in [k for k in _LABEL_CACHE if k != key]:
         _LABEL_CACHE.pop(stale)
     _LABEL_CACHE[key] = labels
     return labels
