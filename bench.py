@@ -20,6 +20,27 @@ import sys
 import time
 
 
+def _live_spark_jvms() -> list[int]:
+    """PIDs of Spark driver/executor JVMs alive right now — the r9 bench
+    artifact carried +13% like-for-like noise that BENCH_DETAIL
+    contradicted, traced to bench running beside other Spark jobs. The
+    recorded artifact must be the LAST serial Spark job; this scan (run
+    BEFORE our own session launches) turns that protocol rule into data
+    the artifact itself carries ("clean": bool in the JSON line)."""
+    pids = []
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read()
+        except OSError:
+            continue
+        if b"java" in cmd.split(b"\x00", 1)[0] and b"org.apache.spark" in cmd:
+            pids.append(int(p))
+    return pids
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -28,6 +49,15 @@ def main() -> None:
     # these fixture scales; a 100 TB run would set thousands via the same
     # env) — AQE still coalesces below this, it just caps the task floor
     os.environ.setdefault("UPFLOW_SHUFFLE_PARTITIONS", "8")
+
+    concurrent = _live_spark_jvms()
+    if concurrent:
+        print(
+            f"bench: WARNING — {len(concurrent)} Spark JVM(s) already live "
+            f"(pids {concurrent}); timings will be polluted. Run bench.py as "
+            "the last serial Spark job.",
+            file=sys.stderr,
+        )
 
     from upflow_spark import QUERIES
     from upflow_spark.session import get_spark
@@ -107,6 +137,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # serial-run sentinel: False means another Spark JVM was live at
+        # bench start and these timings are not comparison-grade
+        "clean": not concurrent,
     }
     print(json.dumps(result))
     spark.stop()
