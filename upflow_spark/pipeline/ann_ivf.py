@@ -8,9 +8,12 @@ vectors (deterministic, already an operator — sim_centroid_per_label); a
 production build would k-means them.
 
 Scale: the cell assignment is one broadcast-centroid map pass; per-query
-work drops from O(N) to O(N * nprobe / n_cells). Rows-only key (cell
-assignment is float-order sensitive); tests/test_ops.py measures recall
-against the exact brute-force top-k.
+work drops from O(N) to O(N * nprobe / n_cells). sim_ann_ivf is
+hash-checked against a full SQL restatement as of r10 (centroid avgs +
+dot ranking are engine-stable at this fixture's gaps); knn_classify_ann
+stays rows-only (per-query cell routing compounds float-order ties);
+tests/test_ops.py additionally measures recall against the exact
+brute-force top-k.
 """
 
 from __future__ import annotations
@@ -27,13 +30,56 @@ NPROBE = 3
 TOP_K = 10
 
 
-@query("sim_ann_ivf")  # rows-only: float-order-sensitive cell assignment
+_SQL_DOT_P = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT label, list(c ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos)
+  GROUP BY label
+),
+probe AS MATERIALIZED (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+cells AS MATERIALIZED (
+  SELECT label
+  FROM cent, probe
+  ORDER BY {_SQL_DOT_P.format(a="centroid", b="p")} DESC, label ASC
+  LIMIT {NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label,
+         {_SQL_DOT_P.format(a="e.embedding", b="probe.p")} AS cos_raw
+  FROM embeddings e JOIN cells USING (label), probe
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label,
+       floor(cos_raw * 10000 + 0.5) / 10000 AS cos_sim
+FROM cand ORDER BY cos_raw DESC, vec_id ASC LIMIT {TOP_K}
+""",
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors of probe vec_id=0 searching only NPROBE IVF cells.
 
     1. build centroids (mean vector per label) — the inverted-file coarse
        quantizer; 2. rank cells by cosine to the probe, keep NPROBE;
     3. exact cosine only against vectors in those cells.
+
+    HASH-CHECKED as of r10 (was rows-only): the whole pipeline is
+    SQL-restatable — per-(label, dim) avg centroids, raw dot-product cell
+    ranking with a label tie-break, dot-ranked top-k in the probed cells.
+    Centroid avgs re-associate across engines (~1e-15 relative error on
+    unit-scale components) but cell gaps and candidate gaps sit many
+    orders of magnitude above that, and the output value is r4-rounded.
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl("embedding").alias("emb")
@@ -54,7 +100,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         centroids.crossJoin(F.broadcast(probe))
         .select("label", _cos(F.col("centroid"), F.col("p")).alias("cell_cos"))
-        .orderBy(F.col("cell_cos").desc())
+        # label tie-break keeps the cell cut deterministic on both engines
+        .orderBy(F.col("cell_cos").desc(), F.col("label").asc())
         .limit(NPROBE)
         .select("label")
     )

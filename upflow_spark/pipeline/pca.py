@@ -103,7 +103,80 @@ def emb_gram_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", r4("pc1").alias("pc1"), r4("pc2").alias("pc2"))
 
 
-@query("emb_pq_encode")  # rows-only: codebook training has no SQL oracle
+# squared L2 between two 8-dim double lists, summed IN ORDER (mirrors the
+# numpy kernel's sequential inner fold)
+def _sql_d2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 9), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+# one Lloyd iteration as SQL: assign every sample subvector to its nearest
+# centroid in {prev} (argmin with codeword tie-break), then replace each
+# non-empty codeword with the mean of its members (summed in sample order
+# — the numpy axis-0 fold); empty codewords keep their previous value
+def _sql_lloyd(prev: str, assign: str, out: str) -> str:
+    return f"""
+{assign} AS (
+  SELECT s, rn, xs, c FROM (
+    SELECT sub.s, sub.rn, sub.xs, {prev}.c,
+           row_number() OVER (PARTITION BY sub.s, sub.rn
+             ORDER BY {_sql_d2("sub.xs", f"{prev}.cent")} ASC, {prev}.c ASC) AS rk
+    FROM sub JOIN {prev} ON sub.s = {prev}.s
+  ) WHERE rk = 1
+),
+{out} AS MATERIALIZED (
+  SELECT {prev}.s, {prev}.c, coalesce(u.cent, {prev}.cent) AS cent
+  FROM {prev} LEFT JOIN (
+    SELECT s, c, list(m ORDER BY pos) AS cent FROM (
+      SELECT s, c, pos, list_sum(list(v ORDER BY rn)) / count(*) AS m
+      FROM (SELECT s, c, rn, generate_subscripts(xs, 1) AS pos,
+                   unnest(xs) AS v
+            FROM {assign})
+      GROUP BY s, c, pos
+    ) GROUP BY s, c
+  ) u ON {prev}.s = u.s AND {prev}.c = u.c
+)"""
+
+
+_PQ_ORACLE = f"""
+WITH samp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)
+),
+sub AS MATERIALIZED (
+  SELECT rn, ss.s AS s,
+         list_transform(range(1, 9),
+           i -> CAST(embedding[ss.s * 8 + i] AS DOUBLE)) AS xs
+  FROM samp, (SELECT unnest(range(0, 8)) AS s) ss
+),
+c0 AS MATERIALIZED (
+  SELECT s, rn AS c, xs AS cent FROM sub WHERE rn < 16
+),{_sql_lloyd("c0", "a1", "c1")},{_sql_lloyd("c1", "a2", "c2")},
+esub AS (
+  SELECT vec_id, ss.s AS s,
+         list_transform(range(1, 9),
+           i -> CAST(embedding[ss.s * 8 + i] AS DOUBLE)) AS xs
+  FROM embeddings, (SELECT unnest(range(0, 8)) AS s) ss
+),
+enc AS (
+  SELECT vec_id, s, c, d2 FROM (
+    SELECT esub.vec_id, esub.s, c2.c,
+           {_sql_d2("esub.xs", "c2.cent")} AS d2,
+           row_number() OVER (PARTITION BY esub.vec_id, esub.s
+             ORDER BY {_sql_d2("esub.xs", "c2.cent")} ASC, c2.c ASC) AS rk
+    FROM esub JOIN c2 ON esub.s = c2.s
+  ) WHERE rk = 1
+)
+SELECT vec_id,
+       string_agg(c, '-' ORDER BY s) AS pq_code,
+       floor((sum(d2) / 64) * 10000 + 0.5) / 10000 AS recon_mse
+FROM enc GROUP BY vec_id
+"""
+
+
+@query("emb_pq_encode", oracle=_PQ_ORACLE)  # hash-checked as of r10
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (PQ) encode of every embedding — the memory
     side of ANN infrastructure: split each 64-dim vector into 8 subvectors
@@ -115,9 +188,16 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors by vec_id — a driver-safe limit-collect, the same "model on
     driver, data on cluster" topology as emb_gram_pca) with 2 Lloyd
     iterations per subspace in numpy; encoding is a map-only broadcast
-    pass over the distributed rows. Rows-only; tests/test_ops.py
-    exact-matches codes + MSE against a local numpy reference and bounds
-    the reconstruction error.
+    pass over the distributed rows.
+
+    HASH-CHECKED as of r10 (was rows-only): the training loop unrolls to
+    SQL — seeded centroids are literal sample rows, each Lloyd step is an
+    argmin window + per-(codeword, dim) mean summed in sample order
+    (list(v ORDER BY rn) → list_sum, mirroring numpy's sequential axis-0
+    fold) — so DuckDB reproduces the exact codebooks and codes; recon_mse
+    is r4-rounded. tests/test_ops.py additionally exact-matches codes +
+    MSE against a local numpy reference and bounds the reconstruction
+    error.
     """
     import numpy as np
     import pandas as pd
