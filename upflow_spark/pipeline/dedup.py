@@ -138,6 +138,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by the standard shuffle equi-join on (table, hash) with AQE
     skew-split; the verify stays bitmask/bit_count either way.
     """
+    scored = minhash_scored_candidates(spark, sf_dir)
+    return (
+        scored.filter(F.col("jac_raw") >= 0.95)
+        .select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard_approx"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def minhash_scored_candidates(
+    spark: SparkSession, sf_dir: str, broadcast_build: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b, jac_raw) for every banded candidate, pre-threshold
+    and pre-distinct — the per-row work of the MinHashLSH family, exposed
+    for tools/band_skew_probe.py (work balance under hot buckets; the
+    shuffle-join scale variant via broadcast_build=False)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
 
@@ -181,19 +196,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hval",
         *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
     )
-    cand = a.join(F.broadcast(b), ["t", "hval"]).filter(
-        F.col("doc_a") < F.col("doc_b")
-    )
+    build = F.broadcast(b) if broadcast_build else b
+    cand = a.join(build, ["t", "hval"]).filter(F.col("doc_a") < F.col("doc_b"))
     inter = sum(
         F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))) for w in range(n_words)
     ).cast("long")
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
-    return (
-        cand.withColumn("jac_raw", jac)
-        .filter(F.col("jac_raw") >= 0.95)
-        .select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard_approx"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return cand.select("doc_a", "doc_b", jac.alias("jac_raw"))
 
 
 @query("dedup_near_minhash_lsh")  # rows-only: LSH bucketing is engine-specific
@@ -860,6 +869,21 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and Spark does NOT share subplans, so without materialization the
     # whole tokenize+aggregate lineage runs twice — at 100 TB you'd persist
     # the signature table before any self-join for the same reason.
+    cand = simhash_scored_candidates(spark, sf_dir)
+    # verify BEFORE deduplicating: the Hamming filter is codegen'd and cuts
+    # the candidate stream ~10x, so the distinct's shuffle sees only
+    # survivors (a pair can match in up to 4 bands)
+    return cand.filter(F.col("hamming") <= 3).dropDuplicates(["doc_a", "doc_b"])
+
+
+def simhash_scored_candidates(
+    spark: SparkSession, sf_dir: str, broadcast_build: bool = True
+) -> DataFrame:
+    """The banded candidate stream WITH its Hamming score, pre-filter and
+    pre-distinct — the per-row work of dedup_simhash_pairs, exposed so
+    tools/band_skew_probe.py can measure per-partition work balance under
+    the fixture's hot band (and time the shuffle-join variant the
+    open-vocabulary scale note promises, via broadcast_build=False)."""
     sig = (
         dedup_simhash(spark, sf_dir)
         .select("doc_id", F.conv("simhash", 2, 10).cast("long").alias("sig"))
@@ -889,8 +913,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     a = bands.repartition(par).alias("a")
     b = bands.alias("b")
-    cand = a.join(
-        F.broadcast(b),
+    build = F.broadcast(b) if broadcast_build else b
+    return a.join(
+        build,
         (F.col("a.band_idx") == F.col("b.band_idx"))
         & (F.col("a.band_val") == F.col("b.band_val"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -901,10 +926,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hamming"
         ),
     )
-    # verify BEFORE deduplicating: the Hamming filter is codegen'd and cuts
-    # the candidate stream ~10x, so the distinct's shuffle sees only
-    # survivors (a pair can match in up to 4 bands)
-    return cand.filter(F.col("hamming") <= 3).dropDuplicates(["doc_a", "doc_b"])
 
 
 @query(
