@@ -62,3 +62,23 @@ def test_prune_path_never_collects(spark, orders_layout, zorder_layout, monkeypa
     gz = _zorder_pruned_read(spark, zbase, zman, hip, his).toPandas()
     assert int(gz["n_rows"][0]) > 0
     assert int(gz["n_files_scanned"][0]) < int(gz["n_files_total"][0])
+
+
+def test_compaction_plan_is_one_scan_one_exchange(spark, sf_dir):
+    """The bin-pack rewrite must be scan → round-robin exchange → write:
+    no aggregate, no sort, no second scan. Stats + file counts are pinned
+    by the DuckDB oracle; this pins the job shape."""
+    import re
+
+    from upflow_spark.registry import QUERIES
+    from upflow_spark.sources.manifest import _work_dir
+
+    got = QUERIES["sink_compaction_binpack"](spark, sf_dir).toPandas()
+    assert int(got["n_rows_before"][0]) == int(got["n_rows_after"][0])
+    assert int(got["n_files_after"][0]) < int(got["n_files_before"][0])
+    frag_dir = _work_dir(spark, sf_dir, "compaction") + "/fragmented"
+    job = spark.read.parquet(frag_dir).repartition(3)
+    plan = job._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange RoundRobinPartitioning", plan)) == 1
+    assert "Sort" not in plan and "Aggregate" not in plan

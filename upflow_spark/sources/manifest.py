@@ -314,3 +314,77 @@ def _zorder_pruned_read(
     return agg.crossJoin(F.broadcast(stats)).select(
         "n_files_total", "n_files_scanned", "n_rows", "revenue"
     )
+
+
+FRAGMENT_FILES = 64  # deterministic small-file layout for the compaction key
+COMPACT_ROWS_PER_FILE = 25_000  # bin-pack target (≈ a row-group at this width)
+
+
+@query(
+    "sink_compaction_binpack",
+    oracle=f"""
+SELECT CAST({FRAGMENT_FILES} AS BIGINT) AS n_files_before,
+       CAST(ceil(count(*) / {COMPACT_ROWS_PER_FILE}.0) AS BIGINT) AS n_files_after,
+       CAST(count(*) AS BIGINT) AS n_rows_before,
+       CAST(count(*) AS BIGINT) AS n_rows_after,
+       {R4("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")}
+         AS revenue
+FROM lineitem
+""",
+)
+def sink_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style bin-packing compaction with the FILE COUNTS in the
+    graded output (VERDICT r9 item 8) — the stronger twin of
+    sink_compaction (sinks.py), whose oracle can only check row identity
+    because its bytes-based target is not SQL-derivable. Here the target
+    is ceil(n_rows / {COMPACT_ROWS_PER_FILE}) files, so the oracle
+    recomputes BOTH file counts from the source table and the stats row
+    hash-fails if the rewrite drops/duplicates rows or misses its target.
+
+    lineitem is first fragmented into {FRAGMENT_FILES} deterministic small
+    files (the state incremental ingest leaves behind), then compacted in
+    one scan + one round-robin exchange + one write
+    (tests/test_manifest_prune.py pins the plan). repartition, NOT
+    coalesce: coalesce merges READ SPLITS, and split packing
+    (maxPartitionBytes/openCostInBytes) makes its output file count a
+    function of session config — measured 3 files vs 24 for the same data
+    across two sessions — while the graded contract is a deterministic
+    target. The exchange is the price of determinism, exactly as
+    OPTIMIZE's bin-packing rewrite shuffles. Before/after file counts come
+    from `_metadata.file_path` on the actual read-back, never from intent.
+    At 100 TB the same job runs per partition-directory with the target in
+    bytes (sum of listed file sizes / 128 MB).
+    """
+    import math
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    base = _work_dir(spark, sf_dir, "compaction")
+    frag_dir = base + "/fragmented"
+    comp_dir = base + "/compacted"
+    li.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag_dir)
+    fragged = spark.read.parquet(frag_dir)
+    # planner scalar (bounded): the compaction target — same class of
+    # driver-side decision as a bytes-based OPTIMIZE planner's
+    n_rows = fragged.count()
+    n_target = max(1, math.ceil(n_rows / COMPACT_ROWS_PER_FILE))
+    # THE compaction job: one scan, one round-robin exchange, one write
+    fragged.repartition(n_target).write.mode("overwrite").parquet(comp_dir)
+    compacted = spark.read.parquet(comp_dir)
+    before = fragged.agg(
+        F.countDistinct(F.col("_metadata.file_path")).alias("n_files_before"),
+        F.count(F.lit(1)).alias("n_rows_before"),
+    )
+    after = compacted.agg(
+        F.countDistinct(F.col("_metadata.file_path")).alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows_after"),
+        r4(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        ).alias("revenue"),
+    )
+    return before.crossJoin(F.broadcast(after)).select(
+        "n_files_before",
+        "n_files_after",
+        "n_rows_before",
+        "n_rows_after",
+        "revenue",
+    )
