@@ -371,6 +371,41 @@ def _cc_star_fixpoint(pairs: DataFrame) -> DataFrame:
 # cosine-threshold edges over the embeddings table — the SemDeDup edge set.
 # Threshold 0.40 matches dedup_embedding_cosine (the fixture embeddings are
 # near-isotropic; a production 0.95 would be vacuous here — see that key).
+# (app, sf_dir, embeddings identity) -> checkpointed CC labels over the
+# EXACT cosine≥0.40 pair graph. dedup_semantic_cc and the semantic
+# funnel's oracle rail both consume THIS relation (r10 — VERDICT r9
+# item 9: each previously re-derived the O(n²) exact pair rail AND its
+# own CC fixpoint); one entry per app, the _LABEL_CACHE eviction rule.
+_SEM_LABEL_CACHE: dict = {}
+
+
+def _semantic_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    cached = _SEM_LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from upflow_spark.pipeline.dedup import dedup_embedding_cosine
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    # CC shuffles are sized to the tiny pair/label tables, not the session
+    # default (same pattern as _cc_labels)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        labels = _cc_star_fixpoint(pairs).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for stale in [k for k in _SEM_LABEL_CACHE if k != key]:
+        _SEM_LABEL_CACHE.pop(stale)
+    _SEM_LABEL_CACHE[key] = labels
+    return labels
+
+
 _EMB_PAIRS_CTE = """pairs AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -425,19 +460,8 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself is never shuffled.
     """
     from upflow_spark.io import load
-    from upflow_spark.pipeline.dedup import dedup_embedding_cosine
 
-    pairs = dedup_embedding_cosine(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    # CC shuffles are sized to the tiny pair/label tables, not the session
-    # default (same pattern as _cc_labels)
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        labels = _cc_star_fixpoint(pairs).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
+    labels = _semantic_cc_labels(spark, sf_dir)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -765,24 +789,25 @@ def _semantic_funnel(
 ) -> DataFrame:
     from upflow_spark.io import load
     from upflow_spark.operators.rank2 import global_row_number
-    from upflow_spark.pipeline.dedup import ann_scored_pairs, dedup_embedding_cosine
+    from upflow_spark.pipeline.dedup import ann_scored_pairs
 
     if pair_source == "exact":
-        pairs = dedup_embedding_cosine(spark, sf_dir).select(
-            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-        )
+        # the session-memoized exact-rail CC — the same relation
+        # dedup_semantic_cc resolves (r10: one exact pair derivation +
+        # one fixpoint per session, every consumer rides it)
+        labels = _semantic_cc_labels(spark, sf_dir)
     else:
         pairs = (
             ann_scored_pairs(spark, sf_dir)
             .filter(F.col("cos_raw") >= 0.40)
             .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
         )
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        labels = _cc_star_fixpoint(pairs).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            labels = _cc_star_fixpoint(pairs).localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
     losers = labels.filter(~F.col("is_canonical")).select(
         F.col("doc_id").alias("vec_id"), F.lit(True).alias("is_loser")
     )
