@@ -89,3 +89,14 @@ def test_gather_raises_on_non_closed_candidates(spark, sf_dir):
     j = gather_pair_vectors(cand, e)
     row = j.collect()[0]
     assert row["emb_b"] is None  # the null the kernel turns into the error
+
+
+def test_ivf_pq_recall_vs_exact_ivf(spark, sf_dir):
+    """ADC over PQ codes approximates the exact in-cell ranking: on unit
+    vectors L2-to-reconstruction is monotone in cosine up to quantization
+    error, so the PQ top-10 must substantially overlap sim_ann_ivf's exact
+    top-10 over the same probed cells."""
+    exact = {r["vec_id"] for r in QUERIES["sim_ann_ivf"](spark, sf_dir).collect()}
+    pq = {r["vec_id"] for r in QUERIES["sim_ann_ivf_pq"](spark, sf_dir).collect()}
+    assert len(pq) == 10
+    assert len(exact & pq) >= 5, f"recall too low: {len(exact & pq)}/10"

@@ -340,3 +340,142 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "cell", r4(F.col("cos_raw")).alias("cos_sim"))
     )
+
+
+def _pq_sql_psub() -> str:
+    """Probe subvector CTE body (s, xs) — the query side of the ADC LUT."""
+    return (
+        "SELECT ss.s AS s, list_transform(range(1, 9), "
+        "i -> CAST(p[ss.s * 8 + i] AS DOUBLE)) AS xs "
+        "FROM probe, (SELECT unnest(range(0, 8)) AS s) ss"
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    from upflow_spark.pipeline.pca import PQ_TRAIN_CTES, _sql_d2
+
+    return f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT label, list(c ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos)
+  GROUP BY label
+),
+probe AS MATERIALIZED (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+cells AS MATERIALIZED (
+  SELECT label
+  FROM cent, probe
+  ORDER BY {_SQL_DOT_P.format(a="centroid", b="p")} DESC, label ASC
+  LIMIT {NPROBE}
+),
+{PQ_TRAIN_CTES},
+cand AS MATERIALIZED (
+  SELECT e.vec_id, e.label, e.embedding
+  FROM embeddings e JOIN cells USING (label)
+  WHERE e.vec_id <> 0
+),
+csub AS (
+  SELECT vec_id, ss.s AS s,
+         list_transform(range(1, 9),
+           i -> CAST(embedding[ss.s * 8 + i] AS DOUBLE)) AS xs
+  FROM cand, (SELECT unnest(range(0, 8)) AS s) ss
+),
+code AS (
+  SELECT vec_id, s, c FROM (
+    SELECT csub.vec_id, csub.s, c2.c,
+           row_number() OVER (PARTITION BY csub.vec_id, csub.s
+             ORDER BY {_sql_d2("csub.xs", "c2.cent")} ASC, c2.c ASC) AS rk
+    FROM csub JOIN c2 ON csub.s = c2.s
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT c2.s, c2.c, {_sql_d2("psub.xs", "c2.cent")} AS d2
+  FROM c2 JOIN ({_pq_sql_psub()}) psub ON c2.s = psub.s
+),
+adc AS (
+  SELECT vec_id, sum(d2) AS a FROM code JOIN lut USING (s, c) GROUP BY vec_id
+)
+SELECT cand.vec_id, cand.label,
+       floor(a * 10000 + 0.5) / 10000 AS adc
+FROM adc JOIN cand USING (vec_id)
+ORDER BY floor(a * 10000 + 0.5) / 10000 ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@query("sim_ann_ivf_pq", oracle=_ivf_pq_oracle())
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ query — the canonical billion-scale ANN index read path
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+    IVF routing narrows the probe to NPROBE cells (label-mean coarse
+    quantizer, as sim_ann_ivf), then candidates are ranked by ASYMMETRIC
+    DISTANCE COMPUTATION — the exact query vector against each candidate's
+    PQ RECONSTRUCTION, evaluated as one 128-row lookup table
+    (n_sub × k precomputed subvector distances) summed over the 8 stored
+    codes. At scale the index stores ONLY the codes (64× smaller than the
+    vectors); the LUT is per-query constant work and the scan is a
+    codes-table join, never a vector gather.
+
+    Plan: codes via the shared PQ encode kernel (map-only Arrow pass,
+    broadcast codebooks — emb_pq_encode's path), posexplode to (s, c),
+    broadcast-join the 128-row LUT, one vec_id sum, rounded-ADC top-k.
+    HASH-CHECKED: codebooks/codes are SQL-exact (the emb_pq_encode r10
+    proof) and the ADC ranking orders by the 4dp-rounded distance with a
+    vec_id tie-break, so engine ULP drift cannot reorder the cut.
+    """
+    import numpy as np
+
+    from upflow_spark.pipeline.pca import _pq_encode_df, _pq_train
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _dbl("embedding").alias("emb")
+    )
+    ex = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    centroids = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label", F.transform("pc", lambda s: s.getField("c")).alias("centroid")
+        )
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("p"))
+    cells = (
+        centroids.crossJoin(F.broadcast(probe))
+        .select("label", _cos(F.col("centroid"), F.col("p")).alias("cell_cos"))
+        .orderBy(F.col("cell_cos").desc(), F.col("label").asc())
+        .limit(NPROBE)
+        .select("label")
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(F.broadcast(cells), "label")
+
+    books = _pq_train(spark, sf_dir)  # (n_sub, k, sub_d), driver-bounded
+    p_vec = np.array(
+        probe.limit(1).collect()[0]["p"], dtype=np.float64
+    )  # one bounded row: the query itself
+    n_sub, k, sub_d = books.shape
+    lut_rows = [
+        (s, c, float(((p_vec[s * sub_d : (s + 1) * sub_d] - books[s, c]) ** 2).sum()))
+        for s in range(n_sub)
+        for c in range(k)
+    ]
+    lut = spark.createDataFrame(lut_rows, "s int, c long, d2 double")
+
+    codes = _pq_encode_df(spark, cand.select("vec_id", "embedding"), books)
+    per = codes.select("vec_id", F.posexplode("codes").alias("s", "c"))
+    adc = (
+        per.join(F.broadcast(lut), ["s", "c"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2").alias("a"))
+    )
+    return (
+        adc.join(cand.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", r4(F.col("a")).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

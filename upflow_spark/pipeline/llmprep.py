@@ -431,3 +431,76 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_kept", F.col("bucket") <= 2)
     )
+
+
+CHUNK_W = 512  # context-window width in tokens
+
+
+@query(
+    "llm_chunk_windows",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, len({SQL_TOKENS}) AS n FROM documents
+),
+offs AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s
+  FROM sized
+),
+spans AS (
+  SELECT doc_id, n, s,
+         unnest(range(CAST(s // {CHUNK_W} AS BIGINT),
+                      CAST((s + n - 1) // {CHUNK_W} + 1 AS BIGINT))) AS window_id
+  FROM offs WHERE n > 0
+)
+SELECT CAST(window_id AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       CAST(sum(least(s + n, (window_id + 1) * {CHUNK_W})
+                - greatest(s, window_id * {CHUNK_W})) AS BIGINT) AS n_tokens
+FROM spans GROUP BY window_id
+""",
+)
+def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk pretraining windows (r10): the corpus is one
+    virtual token stream (docs concatenated in doc_id order) split into
+    fixed {CHUNK_W}-token context windows; the output is the window→doc
+    ATTRIBUTION MAP a dataloader and a contamination auditor both need —
+    per window: how many docs it spans, the first/last doc, and its token
+    fill (= {CHUNK_W} everywhere but the tail window, which the oracle
+    verifies arithmetically, not just by membership).
+
+    pack_token_bins keeps documents whole per bin; this is the other
+    standard shape — windows CROSS document boundaries, docs split across
+    windows. Plan: per-doc exclusive start offsets via rank2's two-phase
+    GLOBAL cumsum (range shuffle + local window + broadcast offsets —
+    integer-exact longs, no single-partition sort at any scale), then a
+    map-side sequence() explode over each doc's touched window range and
+    one window_id aggregate. A 100 TB corpus = a bigger range shuffle and
+    more explode rows, same plan; window count is corpus_tokens/{CHUNK_W}.
+    """
+    from upflow_spark.operators.rank2 import global_cumsum
+
+    d = load(spark, sf_dir, "documents")
+    sized = d.select("doc_id", F.size(tokens_col()).cast("long").alias("n"))
+    offs = (
+        global_cumsum(sized, ["doc_id"], {"cum": F.col("n")})
+        .withColumn("s", F.col("cum") - F.col("n"))
+        .filter(F.col("n") > 0)
+    )
+    w0 = F.expr(f"s div {CHUNK_W}")
+    w1 = F.expr(f"(s + n - 1) div {CHUNK_W}")
+    spans = offs.select(
+        "doc_id", "n", "s", F.explode(F.sequence(w0, w1)).alias("window_id")
+    )
+    fill = F.least(
+        F.col("s") + F.col("n"), (F.col("window_id") + 1) * CHUNK_W
+    ) - F.greatest(F.col("s"), F.col("window_id") * CHUNK_W)
+    return spans.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(fill).cast("long").alias("n_tokens"),
+    )

@@ -140,8 +140,9 @@ def _sql_lloyd(prev: str, assign: str, out: str) -> str:
 )"""
 
 
-_PQ_ORACLE = f"""
-WITH samp AS MATERIALIZED (
+# the trained-codebook CTE chain (samp → sub → c0 → a1/c1 → a2/c2),
+# shared by emb_pq_encode's oracle and sim_ann_ivf_pq's (ann_ivf.py)
+PQ_TRAIN_CTES = f"""samp AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, embedding
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)
 ),
@@ -153,7 +154,11 @@ sub AS MATERIALIZED (
 ),
 c0 AS MATERIALIZED (
   SELECT s, rn AS c, xs AS cent FROM sub WHERE rn < 16
-),{_sql_lloyd("c0", "a1", "c1")},{_sql_lloyd("c1", "a2", "c2")},
+),{_sql_lloyd("c0", "a1", "c1")},{_sql_lloyd("c1", "a2", "c2")}"""
+
+
+_PQ_ORACLE = f"""
+WITH {PQ_TRAIN_CTES},
 esub AS (
   SELECT vec_id, ss.s AS s,
          list_transform(range(1, 9),
@@ -174,6 +179,71 @@ SELECT vec_id,
        floor((sum(d2) / 64) * 10000 + 0.5) / 10000 AS recon_mse
 FROM enc GROUP BY vec_id
 """
+
+
+PQ_N_SUB, PQ_K = 8, 16
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Deterministic PQ codebooks (n_sub, k, sub_d) — first-256-by-vec_id
+    sample, first-k seeds, 2 Lloyd iterations, all numpy float64 on the
+    driver (bounded). Shared by emb_pq_encode and sim_ann_ivf_pq; the SQL
+    twin is _PQ_TRAIN (same fold order, proven code-exact)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(256).collect()],
+        dtype=np.float64,
+    )
+    sub_d = sample.shape[1] // PQ_N_SUB
+    books = []
+    for s in range(PQ_N_SUB):
+        xs = sample[:, s * sub_d : (s + 1) * sub_d]
+        cents = xs[:PQ_K].copy()  # deterministic seed: first k sample rows
+        for _ in range(2):  # 2 Lloyd iterations
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(PQ_K):
+                sel = assign == c
+                if sel.any():
+                    cents[c] = xs[sel].mean(axis=0)
+        books.append(cents)
+    return np.stack(books)  # (n_sub, k, sub_d)
+
+
+def _pq_encode_df(spark: SparkSession, emb: DataFrame, books) -> DataFrame:
+    """(vec_id, codes array<long>, recon_mse) for every row of emb —
+    map-only Arrow pass against the broadcast codebooks."""
+    import numpy as np
+    import pandas as pd
+
+    n_sub = books.shape[0]
+    sub_d = books.shape[2]
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        cb = bc.value
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.empty((len(x), n_sub), dtype=np.int64)
+            recon = np.empty_like(x)
+            for s in range(n_sub):
+                xs = x[:, s * sub_d : (s + 1) * sub_d]
+                d2 = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                codes[:, s] = a
+                recon[:, s * sub_d : (s + 1) * sub_d] = cb[s][a]
+            mse = ((x - recon) ** 2).mean(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": [row.tolist() for row in codes],
+                    "recon_mse": mse,
+                }
+            )
+
+    return emb.mapInPandas(encode, "vec_id long, codes array<long>, recon_mse double")
 
 
 @query("emb_pq_encode", oracle=_PQ_ORACLE)  # hash-checked as of r10
@@ -199,58 +269,9 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     MSE against a local numpy reference and bounds the reconstruction
     error.
     """
-    import numpy as np
-    import pandas as pd
-
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in emb.orderBy("vec_id").limit(256).collect()
-        ],
-        dtype=np.float64,
-    )
-    d = sample.shape[1]
-    n_sub, k = 8, 16
-    sub_d = d // n_sub
-    books = []
-    for s in range(n_sub):
-        xs = sample[:, s * sub_d : (s + 1) * sub_d]
-        cents = xs[:k].copy()  # deterministic seed: first k sample rows
-        for _ in range(2):  # 2 Lloyd iterations
-            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                sel = assign == c
-                if sel.any():
-                    cents[c] = xs[sel].mean(axis=0)
-        books.append(cents)
-    bc = spark.sparkContext.broadcast(np.stack(books))  # (n_sub, k, sub_d)
-
-    def encode(batches):
-        cb = bc.value
-        for pdf in batches:
-            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            codes = np.empty((len(x), n_sub), dtype=np.int64)
-            recon = np.empty_like(x)
-            for s in range(n_sub):
-                xs = x[:, s * sub_d : (s + 1) * sub_d]
-                d2 = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
-                a = d2.argmin(axis=1)
-                codes[:, s] = a
-                recon[:, s * sub_d : (s + 1) * sub_d] = cb[s][a]
-            mse = ((x - recon) ** 2).mean(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "codes": [row.tolist() for row in codes],
-                    "recon_mse": mse,
-                }
-            )
-
-    out = emb.mapInPandas(
-        encode, "vec_id long, codes array<long>, recon_mse double"
-    )
+    books = _pq_train(spark, sf_dir)
+    out = _pq_encode_df(spark, emb, books)
     # codes flattened to a string: driver-hashable-output convention
     # (tests/test_driver_hashable.py — array cells break the driver's
     # pandas sort/hash canonicalizer)
