@@ -548,13 +548,20 @@ def test_anova_single_scan_sufficient_stats(spark):
 
 
 def test_zorder_pruned_read_is_selective(spark):
-    """The manifest-pruned read must scan the SELECTED z-range directory
-    only (1 of 8 at every sf), with both box predicates pushed to it."""
+    """r10 contract: the manifest selection reaches the z-ordered scan as
+    a DYNAMIC partition-pruning runtime filter on zfile (no driver-side
+    directory list anymore — tests/test_manifest_prune.py pins the
+    no-collect side), with both box predicates pushed to the scan; the
+    actual 1-of-8 selectivity is part of the hash-checked output
+    (n_files_scanned)."""
     plan = plan_of(spark, "scan_zorder_cluster")
     assert "SortMergeJoin" not in plan
-    scans = [ln for ln in plan.splitlines() if "Location" in ln]
-    assert any("zfile=0" in ln for ln in scans)
-    assert not any("zfile=7" in ln for ln in scans)
+    scan_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "zfile" in ln
+    ]
+    assert any("dynamicpruning" in ln for ln in scan_lines), plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     assert "l_partkey" in pushed and "l_suppkey" in pushed
 
