@@ -81,13 +81,18 @@ SHOWCASE = [
     ("events_attribution_last_touch", "last-touch credit without a join: two IGNORE NULLS last_value frames over the SAME per-user ordered window resolve the preceding touch, then a map-side epoch-µs lookback check — one exchange total, no self-join"),
     # r8 third-wave (§2-Q) showcases
     ("stat_anova_f", "k-group inference in ONE scan: a single groupBy collapses the corpus to five sufficient-stat rows and the F/η² finish folds them via SSB = Σ(s²/n) − S²/N — no join, no re-scan, nothing row-scale after the first exchange"),
-    ("scan_zorder_cluster", "the Morton-clustered read scans ONLY the selected z-range directory (1 of 8) with BOTH box predicates pushed to parquet — multi-dimensional pruning a 1-D layout cannot express"),
+    ("scan_zorder_cluster", "the Morton-clustered read prunes to the selected z-range (1 of 8) via a runtime dynamicpruningexpression PartitionFilter with BOTH box predicates pushed to parquet — multi-dimensional pruning a 1-D layout cannot express (r10: selection is relational, no driver id list)"),
     # r9 showcases: the two-phase rank family + the fused ANN verify + BPE
     ("agg_quantiles_exact_multi", "ONE two-phase global rank pass (range exchange -> pid-local row_number -> broadcast offsets) feeding a map-side <=2-rows-per-quantile filter; no percentile UDAF, no single-partition sort"),
     ("agg_median_per_group_two_phase", "GROUPED two-phase rank: 5 hot groups range-partitioned across ALL partitions; offsets window partitioned by group"),
     ("curation_dsir_weights", "selection stage scale-true (r9): global keep-rank via rank2 with the doc total riding the broadcast offsets relation"),
     ("emb_dedup_ann_verified", "fused single-kernel verify: ONE MapInPandas over the raw LSH candidate stream (no intermediate pair relation, no second Arrow pass), candidate joins broadcast on the KB-scale bucket table"),
     ("tokenize_bpe_apply", "BPE merge loop as pretoken-partitioned window stages (JVM-only, zero Python), corpus joins the vocab-sized token-count cache via BroadcastHashJoin"),
+    # r10 showcases: relational pruning, deterministic compaction, chunking, IVF-PQ
+    ("scan_manifest_pruned", "relational manifest pruning (r10): the bucket selection broadcast-semi-joins the partitioned scan and arrives as a dynamicpruningexpression PartitionFilter — no driver-side id list, prune scales with manifest size"),
+    ("sink_compaction_binpack", "the bin-pack rewrite is scan -> ONE RoundRobin exchange -> write (deterministic target file count); stats row joins two bounded aggregates, file counts from _metadata on the actual read-back"),
+    ("llm_chunk_windows", "concat-and-chunk attribution: rank2 two-phase global cumsum for doc offsets, map-side sequence() explode over touched windows, one window_id aggregate — no single-partition sort over the corpus"),
+    ("sim_ann_ivf_pq", "IVF-PQ read path: codes from the broadcast-codebook Arrow kernel, ADC as a BroadcastHashJoin against the 128-row LUT + one sum — the index scan touches codes, never vectors"),
 ]
 
 
