@@ -207,7 +207,17 @@ def _pq_train(spark: SparkSession, sf_dir: str):
             for c in range(PQ_K):
                 sel = assign == c
                 if sel.any():
-                    cents[c] = xs[sel].mean(axis=0)
+                    # sequential in-order IEEE fold, NOT xs[sel].mean(axis=0):
+                    # np.mean switches to pairwise summation past ~128
+                    # members, which can drift a ULP from DuckDB's in-order
+                    # list_sum and silently shift a centroid. Boolean-mask
+                    # selection preserves sample (rn) order, so this loop is
+                    # the exact twin of list_sum(list(v ORDER BY rn)).
+                    m = xs[sel]
+                    acc = np.zeros(sub_d, dtype=np.float64)
+                    for row in m:
+                        acc += row
+                    cents[c] = acc / len(m)
         books.append(cents)
     return np.stack(books)  # (n_sub, k, sub_d)
 

@@ -296,8 +296,14 @@ def packed_embeddings_cached(
         # broadcast handles are dead (or pinned) and would otherwise
         # accumulate without bound in long-lived drivers (driver-sim loop)
         for stale in [k for k in _emb_cache if k != key and k[2] == kind]:
+            old = _emb_cache.pop(stale)
             try:
-                _emb_cache.pop(stale).unpersist()
+                if isinstance(old, tuple):
+                    # ("join", relation, col) marker from the ceiling-gated
+                    # path: free the localCheckpoint'd relation itself
+                    old[1].unpersist()
+                else:
+                    old.unpersist()
             except Exception:
                 pass
         _emb_cache[key] = packed_embeddings(spark, e_builder(), emb_col=emb_col)
@@ -327,7 +333,10 @@ def packed_embeddings(spark: SparkSession, e: DataFrame, emb_col: str = "emb"):
     e = e.localCheckpoint()
     n = e.count()
     if n:
-        d = len(e.select(emb_col).head()[0])
+        # dim via an aggregate (not head()[0]): robust to a null embedding
+        # in the first row and to ragged corpora — the gate must see the
+        # WIDEST row, whichever partition it lives in
+        d = e.select(F.max(F.size(F.col(emb_col))).alias("d")).head()["d"] or 0
         if n * d * 8 > EMB_BROADCAST_MAX_BYTES:
             return ("join", e, emb_col)
 

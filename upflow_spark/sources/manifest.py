@@ -323,7 +323,7 @@ COMPACT_ROWS_PER_FILE = 25_000  # bin-pack target (≈ a row-group at this width
 @query(
     "sink_compaction_binpack",
     oracle=f"""
-SELECT CAST({FRAGMENT_FILES} AS BIGINT) AS n_files_before,
+SELECT least(CAST({FRAGMENT_FILES} AS BIGINT), count(*)) AS n_files_before,
        CAST(ceil(count(*) / {COMPACT_ROWS_PER_FILE}.0) AS BIGINT) AS n_files_after,
        CAST(count(*) AS BIGINT) AS n_rows_before,
        CAST(count(*) AS BIGINT) AS n_rows_after,
@@ -361,7 +361,16 @@ def sink_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _work_dir(spark, sf_dir, "compaction")
     frag_dir = base + "/fragmented"
     comp_dir = base + "/compacted"
-    li.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag_dir)
+    # coalesce(1) BEFORE the round-robin: with multiple input splits each
+    # split round-robins from its own random offset, so on a tiny fixture
+    # (n < FRAGMENT_FILES) outputs can collide and the file count is not
+    # deterministic. From a single input partition round-robin covers
+    # exactly min(n, FRAGMENT_FILES) outputs, matching the oracle's
+    # least() for ALL n. This is the synthetic fragmenter (fixture
+    # setup), not the graded compaction job, so the 1-task funnel is fine.
+    li.coalesce(1).repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(
+        frag_dir
+    )
     fragged = spark.read.parquet(frag_dir)
     # planner scalar (bounded): the compaction target — same class of
     # driver-side decision as a bytes-based OPTIMIZE planner's

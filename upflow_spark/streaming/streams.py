@@ -821,7 +821,13 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "emb",
         )
 
-    _sigs(static).write.mode("overwrite").parquet(idx_dir)
+    # the index and the classification output are laid out as one
+    # wave-keyed partition directory each, and every wave is written with
+    # mode("overwrite") into ITS OWN partition — so a foreachBatch RETRY
+    # after a transient failure rewrites the same partitions instead of
+    # double-appending (the exactly-once caveat the text twin documents);
+    # the static corpus seeds partition wave=-1
+    _sigs(static).write.mode("overwrite").parquet(os.path.join(idx_dir, "wave=-1"))
 
     schema = StructType(
         [
@@ -845,7 +851,7 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # only once, by _sigs, so it needs no checkpoint
             wave_rows = b.filter(F.col("wave") == w)
             wave_sigs = _sigs(wave_rows.select("vec_id", "emb")).localCheckpoint()
-            idx = spark.read.parquet(idx_dir)
+            idx = spark.read.parquet(idx_dir).select("vec_id", "b0", "b1", "emb")
             # bucket-collision candidates: wave × index on b0, plus b1
             # where b0 did NOT agree (first-agreeing-table dedup as a
             # filter — the lsh_candidates trick), vectors gathered by the
@@ -878,16 +884,15 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 wave_sigs.select("vec_id")
                 .join(dup_ids.withColumn("hit", F.lit(1)), "vec_id", "left")
-                .select(
-                    "vec_id",
-                    F.lit(w).cast("int").alias("wave"),
-                    status.alias("ingest_status"),
-                )
-                .write.mode("append")
-                .parquet(out_dir)
+                .select("vec_id", status.alias("ingest_status"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"wave={int(w)}"))
             )
-            # commit this wave's signatures so later waves see them
-            wave_sigs.write.mode("append").parquet(idx_dir)
+            # commit this wave's signatures so later waves see them —
+            # overwrite into the wave's own partition (retry-idempotent)
+            wave_sigs.write.mode("overwrite").parquet(
+                os.path.join(idx_dir, f"wave={int(w)}")
+            )
 
     # size the per-wave joins to the wave (hundreds of rows), not the
     # session default — the _cc_labels per-query sizing pattern; each wave
