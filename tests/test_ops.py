@@ -1267,3 +1267,70 @@ def test_bpe_apply_matches_reference(spark):
             second_order += 1
     assert fired >= len(got) // 2, "merges barely fire — table mismatch with corpus"
     assert second_order >= 1, "no second-order merge ever applied"
+
+
+def _ref_bpe_train(pretok_counts: dict, rounds: int):
+    """Reference BPE trainer: per round, count every adjacency weighted by
+    pretoken corpus frequency, take the (count DESC, lft ASC, rgt ASC)
+    argmax, merge it left-to-right non-overlapping everywhere."""
+    state = {pt: (list(pt), w) for pt, w in pretok_counts.items()}
+    merges = []
+    for k in range(rounds):
+        counts: dict = {}
+        for seq, w in state.values():
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                counts[p] = counts.get(p, 0) + w
+        if not counts:
+            break
+        (lft, rgt), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((k, lft, rgt, cnt))
+        for pt, (seq, w) in state.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == lft and seq[i + 1] == rgt:
+                    out.append(seq[i] + seq[i + 1])
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            state[pt] = (out, w)
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer must learn the exact merge table a plain
+    sequential BPE trainer learns from the same corpus, and the learned
+    pair counts must be non-increasing in rank (a theorem: old pair counts
+    only shrink, and a new pair over the merged symbol is bounded by the
+    merged pair's count at its own argmax round)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from upflow_spark.io import load
+    from upflow_spark.pipeline.bpe import N_TRAIN
+    from upflow_spark.pipeline.textstats import BPE_PRETOK_RE
+
+    pretok_counts: dict = {}
+    for r in load(spark, SF, "documents").select("text").collect():
+        for pt in re.findall(BPE_PRETOK_RE, r["text"]):
+            pretok_counts[pt] = pretok_counts.get(pt, 0) + 1
+    want = _ref_bpe_train(pretok_counts, N_TRAIN)
+
+    got = [
+        (r["merge_rank"], r["lft"], r["rgt"], r["pair_count"])
+        for r in QUERIES["tokenize_bpe_train"](spark, SF)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) == N_TRAIN  # fixtures never exhaust pairs early
+    cnts = [c for _, _, _, c in got]
+    assert all(a >= b for a, b in zip(cnts, cnts[1:])), "counts increased"
+    # second-order dynamics actually exercised: some learned merge consumes
+    # an earlier merge's output symbol
+    syms = {l + r for _, l, r, _ in got}
+    assert any(l in syms or r in syms for _, l, r, _ in got)

@@ -421,6 +421,209 @@ def pack_token_bins_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TRAIN = 16  # learned-merge rounds (vocab-size budget, not a convergence guess)
+
+
+def _train_oracle(rounds: int = N_TRAIN) -> str:
+    """tokenize_bpe_train's DuckDB twin: the byte-identical unrolled
+    training loop. Per round: a{k} = state + lead (MATERIALIZED — read by
+    both the pair count and the apply), p{k} = weighted adjacent-pair
+    counts, m{k} = the 1-row argmax (MATERIALIZED — read by the apply AND
+    the final union), t{k+1} = the left-to-right non-overlapping
+    application of that single pair (same run-parity arithmetic as
+    _bpe_cte)."""
+    parts = [
+        f"""occ0 AS MATERIALIZED (
+  SELECT pt, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT unnest(regexp_extract_all(text, '{BPE_PRETOK_RE}', 0)) AS pt
+    FROM documents
+  ) GROUP BY pt
+)""",
+        """t0 AS MATERIALIZED (
+  SELECT pt, w, i AS pos, substr(pt, i, 1) AS sym
+  FROM (SELECT pt, w, unnest(range(1, len(pt) + 1)) AS i FROM occ0)
+)""",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT pt, w, pos, sym,
+         lead(sym) OVER (PARTITION BY pt ORDER BY pos) AS nxt
+  FROM t{k}
+)"""
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT sym AS lft, nxt AS rgt, CAST(sum(w) AS BIGINT) AS pair_count
+  FROM a{k} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY pair_count DESC, lft ASC, rgt ASC
+  LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""b{k} AS MATERIALIZED (
+  SELECT a.pt, a.w, a.pos, a.sym, a.nxt,
+         coalesce(a.sym = m.lft AND a.nxt = m.rgt, false) AS mt
+  FROM a{k} a CROSS JOIN m{k} m
+)"""
+        )
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT pt, w, pos, sym, nxt,
+         (mt AND (row_number() OVER (PARTITION BY pt, nm ORDER BY pos)) % 2 = 1)
+           AS merge_at
+  FROM (
+    SELECT *, coalesce(sum(CASE WHEN mt THEN 0 ELSE 1 END)
+                         OVER (PARTITION BY pt ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS nm
+    FROM b{k}
+  )
+)"""
+        )
+        parts.append(
+            f"""t{k + 1} AS MATERIALIZED (
+  SELECT pt, w, pos,
+         CASE WHEN merge_at THEN sym || nxt ELSE sym END AS sym
+  FROM (SELECT *, coalesce(lag(merge_at) OVER (PARTITION BY pt ORDER BY pos),
+                           false) AS absorbed
+        FROM d{k})
+  WHERE NOT absorbed
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, lft, rgt, pair_count FROM m{k}"
+        for k in range(rounds)
+    )
+    return "WITH\n" + ",\n".join(parts) + "\n" + union
+
+
+@query("tokenize_bpe_train", oracle=_train_oracle())
+def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN the BPE merge table from the corpus (VERDICT r10 item 1) —
+    the training half that MERGES stubs for the apply keys: N_TRAIN
+    rounds of (weighted adjacent-pair count over the distinct-pretoken
+    vocabulary → global argmax → merge that pair everywhere), i.e. classic
+    BPE training (Sennrich et al. 2016), distributed the way the apply
+    loop already is.
+
+    Output: the learned merge list (merge_rank, lft, rgt, pair_count) —
+    the artifact a tokenizer pipeline persists and ships to the encoder.
+
+    Structure per round — exactly the verdict's shape:
+      1. ONE pair-count aggregate: lead() over the (pt, w, pos, sym)
+         position rows (windows partition by pretoken), groupBy(sym, nxt)
+         weighted by the pretoken's corpus occurrence count w. Counting
+         sees every adjacency (the Sennrich counting convention, so "aaa"
+         contributes 2 to (a,a)); application is left-to-right
+         non-overlapping — both engines implement both conventions
+         byte-identically, so the hash verifies the training dynamics.
+      2. ONE broadcast argmax: the winning pair is a 1-row collect
+         (cnt DESC, lft ASC, rgt ASC tie-break — deterministic on both
+         engines' binary string order). Bounded-driver class: a K-row
+         seed, same as the PQ codebook seeds; never data-sized.
+      3. Apply the single winning pair via the run-parity window
+         arithmetic shared with the apply loop.
+
+    Convergence bound (carried over from the apply loop's theorem): a
+    merged pair (L, R) can never re-form — merging only combines adjacent
+    symbols, so any new symbol containing L or R differs from them, and no
+    application ever places a bare L adjacent to a bare R again. Each
+    round therefore permanently retires its argmax pair, and the loop
+    could run at most Σ(len(pt)−1) rounds before pairs run out; N_TRAIN
+    is a vocab-size BUDGET (like a real tokenizer's target vocab), not a
+    convergence guess. If pairs run out early the loop stops and both
+    engines emit the same shorter table (the oracle's m-CTEs go empty
+    and the cross-join collapses the remaining rounds identically).
+
+    Scale: the state is the Heaps-bounded distinct-pretoken relation
+    (never the corpus — the corpus pays one scan into occurrence counts);
+    each round is one small shuffle (pair groupBy) + one window pass, both
+    partitioned by pretoken. The state is localCheckpoint'd every round
+    because the per-round argmax collect would otherwise re-execute the
+    whole lineage (O(rounds²) recompute).
+    """
+    d = load(spark, sf_dir, "documents")
+    occ = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)
+            ).alias("pt")
+        )
+        .groupBy("pt")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    st = occ.select(
+        "pt", "w", F.posexplode(F.split(F.col("pt"), "")).alias("p0", "sym")
+    ).select("pt", "w", (F.col("p0") + 1).alias("pos"), "sym")
+    st = st.localCheckpoint()
+    w_pt = Window.partitionBy("pt").orderBy("pos")
+    learned: list[tuple[int, str, str, int]] = []
+    # size the per-round shuffles (pair groupBy + pt-partitioned windows)
+    # to the vocab-sized state, not the session default — 200-partition
+    # tasks on a Heaps-bounded relation are pure scheduler overhead
+    # (the stream_emb_index_ingest per-wave sizing pattern)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _train_rounds(spark, st, w_pt, learned)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.createDataFrame(
+        learned, "merge_rank long, lft string, rgt string, pair_count long"
+    )
+
+
+def _train_rounds(spark, st, w_pt, learned) -> None:
+    for k in range(N_TRAIN):
+        s1 = st.select(
+            "pt", "w", "pos", "sym", F.lead("sym").over(w_pt).alias("nxt")
+        )
+        best = (
+            s1.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("w").cast("long").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(), F.col("sym").asc(), F.col("nxt").asc()
+            )
+            .limit(1)
+            .collect()  # bounded: the 1-row per-round argmax (see docstring)
+        )
+        if not best:
+            break
+        lft, rgt, cnt = best[0]["sym"], best[0]["nxt"], best[0]["pair_count"]
+        learned.append((k, lft, rgt, cnt))
+        mt = F.coalesce(
+            (F.col("sym") == F.lit(lft)) & (F.col("nxt") == F.lit(rgt)),
+            F.lit(False),
+        )
+        s2 = s1.withColumn("mt", mt)
+        nm = F.coalesce(
+            F.sum(F.when(~F.col("mt"), 1).otherwise(0)).over(
+                w_pt.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        s3 = s2.withColumn("nm", nm)
+        rn = F.row_number().over(Window.partitionBy("pt", "nm").orderBy("pos"))
+        s4 = s3.withColumn("merge_at", F.col("mt") & (rn % 2 == 1))
+        absorbed = F.coalesce(F.lag("merge_at").over(w_pt), F.lit(False))
+        st = (
+            s4.withColumn("absorbed", absorbed)
+            .filter(~F.col("absorbed"))
+            .select(
+                "pt",
+                "w",
+                "pos",
+                F.when(F.col("merge_at"), F.concat(F.col("sym"), F.col("nxt")))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()  # cut lineage: next round's argmax collects
+        )
+
+
 def bpe_tokens_per_pretoken(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pt, sym) rows of the FINAL encoded state — the token identities
     behind tokenize_bpe_apply's vocabulary stat (bpe_token_counts only
