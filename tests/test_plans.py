@@ -663,3 +663,22 @@ def test_bpe_apply_is_jvm_only_partitioned_windows(spark):
     assert "BroadcastHashJoin" in plan
     df = QUERIES["tokenize_bpe_apply"](spark, SF)
     assert not _unpartitioned_windows(df), "merge loop windows must partition by pt"
+
+
+def test_ivf_pq_batch_one_codes_join_no_probe_loop(spark):
+    """sim_ann_ivf_pq_batch must serve ALL 50 probes from one plan: the
+    LUT and routing relations arrive as broadcasts, the codes table is
+    joined ONCE (a single shuffle-side join on vec_id feeding the grouped
+    ADC sum), and there is no per-probe re-scan — the embeddings parquet
+    appears a bounded number of times (corpus encode + centroids + probe
+    set + candidates), never O(n_probes)."""
+    import re
+
+    plan = plan_of(spark, "sim_ann_ivf_pq_batch")
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans <= 6, f"per-probe loop suspected: {scans} parquet scans"
+    assert "BroadcastHashJoin" in plan  # LUT + routing ride broadcasts
+    # every window is partitioned (probe_id routing cut + per-probe top-k)
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Arguments:") and "windowspecdefinition" in ln:
+            assert "probe_id" in ln, ln

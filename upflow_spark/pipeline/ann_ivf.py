@@ -407,6 +407,209 @@ LIMIT {TOP_K}
 """
 
 
+PROBE_N_BATCH = 50  # deterministic probe set: the 50 smallest vec_ids
+
+
+def _ivf_pq_batch_oracle() -> str:
+    from upflow_spark.pipeline.pca import PQ_TRAIN_CTES, _sql_d2
+
+    dot = _SQL_DOT_P.format(a="cent.centroid", b="pr.p")
+    return f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT label, list(c ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos)
+  GROUP BY label
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+  WHERE vec_id < {PROBE_N_BATCH}
+),
+cells AS MATERIALIZED (
+  SELECT probe_id, label FROM (
+    SELECT pr.probe_id, cent.label,
+           row_number() OVER (PARTITION BY pr.probe_id
+             ORDER BY floor(({dot}) * 10000 + 0.5) / 10000 DESC,
+                      cent.label ASC) AS rk
+    FROM cent, probes pr
+  ) WHERE rk <= {NPROBE}
+),
+{PQ_TRAIN_CTES},
+cand AS MATERIALIZED (
+  SELECT cl.probe_id, e.vec_id, e.label
+  FROM embeddings e JOIN cells cl USING (label)
+  WHERE e.vec_id <> cl.probe_id
+),
+csub AS (
+  SELECT vec_id, ss.s AS s,
+         list_transform(range(1, 9),
+           i -> CAST(embedding[ss.s * 8 + i] AS DOUBLE)) AS xs
+  FROM embeddings, (SELECT unnest(range(0, 8)) AS s) ss
+),
+code AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT csub.vec_id, csub.s, c2.c,
+           row_number() OVER (PARTITION BY csub.vec_id, csub.s
+             ORDER BY {_sql_d2("csub.xs", "c2.cent")} ASC, c2.c ASC) AS rk
+    FROM csub JOIN c2 ON csub.s = c2.s
+  ) WHERE rk = 1
+),
+psub AS (
+  SELECT probe_id, ss.s AS s,
+         list_transform(range(1, 9),
+           i -> CAST(p[ss.s * 8 + i] AS DOUBLE)) AS xs
+  FROM probes, (SELECT unnest(range(0, 8)) AS s) ss
+),
+lut AS MATERIALIZED (
+  SELECT psub.probe_id, c2.s, c2.c, {_sql_d2("psub.xs", "c2.cent")} AS d2
+  FROM c2 JOIN psub ON c2.s = psub.s
+),
+adc AS (
+  SELECT cand.probe_id, cand.vec_id, cand.label, sum(lut.d2) AS a
+  FROM cand
+  JOIN code ON code.vec_id = cand.vec_id
+  JOIN lut ON lut.probe_id = cand.probe_id
+          AND lut.s = code.s AND lut.c = code.c
+  GROUP BY cand.probe_id, cand.vec_id, cand.label
+)
+SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, label,
+       floor(a * 10000 + 0.5) / 10000 AS adc
+FROM (
+  SELECT probe_id, vec_id, label, a,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY floor(a * 10000 + 0.5) / 10000 ASC, vec_id ASC) AS rnk
+  FROM adc
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+@query("sim_ann_ivf_pq_batch", oracle=_ivf_pq_batch_oracle())
+def sim_ann_ivf_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED-probe IVF-PQ retrieval (VERDICT r10 item 2) — the
+    production shape of the ANN read path: a probe SET (the PROBE_N_BATCH
+    smallest vec_ids — every RAG/eval-mining batch run) gets per-probe
+    top-k in ONE plan, with no per-probe loop anywhere:
+
+    1. **Routing** — cell scores for all (probe, cell) pairs in one
+       broadcast cross of the 8 label-mean centroids against the probe
+       set; per-probe NPROBE cut via a row_number window PARTITIONED BY
+       probe_id (bounded: n_cells rows per partition). Cell ranking is on
+       the 4dp-ROUNDED dot with a label tie-break — per-probe routing
+       multiplies the near-tie exposure 50×, so the rounding discipline
+       moves from the final rank (where the single-probe key applies it)
+       up into the routing cut too.
+    2. **Index** — the ENTIRE corpus is PQ-encoded once (the codes table
+       IS the persisted index at scale; the single-probe key's
+       encode-candidates-only shortcut is the one-shot optimization, not
+       the index shape).
+    3. **LUT** — the (probe_id, s, c, d2) relation: PROBE_N_BATCH × 128
+       rows, built on the driver from the collected probe set (bounded:
+       K-row class, 50 × 64 doubles) with the same sequential numpy
+       kernel the single-probe LUT uses, broadcast once.
+    4. **ADC** — ONE codes-table join for all probes: routing pairs
+       (probe_id, vec_id) join the exploded codes on vec_id, then the
+       broadcast LUT on (probe_id, s, c), one grouped sum, and the
+       per-probe top-k via a probe_id-partitioned window on the rounded
+       ADC with vec_id tie-break.
+
+    Scale: per-probe work stays O(N × NPROBE / n_cells); the probe batch
+    rides the same index scan instead of re-reading it per query, which is
+    the entire point of batching. tests/test_plans.py pins the
+    one-join/no-loop plan shape.
+    """
+    import numpy as np
+
+    from upflow_spark.pipeline.pca import _pq_encode_df, _pq_train
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _dbl("embedding").alias("emb")
+    )
+    ex = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    centroids = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label", F.transform("pc", lambda s: s.getField("c")).alias("centroid")
+        )
+    )
+    probes = e.filter(F.col("vec_id") < PROBE_N_BATCH).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p")
+    )
+    w_route = Window.partitionBy("probe_id").orderBy(
+        F.col("cell_cos").desc(), F.col("label").asc()
+    )
+    cells = (
+        centroids.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "label",
+            r4(_cos(F.col("centroid"), F.col("p"))).alias("cell_cos"),
+        )
+        .withColumn("rk", F.row_number().over(w_route))
+        .filter(F.col("rk") <= NPROBE)
+        .select("probe_id", "label")
+    )
+    cand = (
+        e.select("vec_id", "label")
+        .join(F.broadcast(cells), "label")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+
+    books = _pq_train(spark, sf_dir)
+    n_sub, k, sub_d = books.shape
+    # bounded collect: the probe set itself (50 rows) — the batch LUT is
+    # driver-built with the same sequential kernel as the 1-probe LUT
+    p_rows = probes.orderBy("probe_id").collect()
+    lut_rows = [
+        (
+            int(r["probe_id"]),
+            s,
+            c,
+            float(
+                (
+                    (
+                        np.array(r["p"], dtype=np.float64)[
+                            s * sub_d : (s + 1) * sub_d
+                        ]
+                        - books[s, c]
+                    )
+                    ** 2
+                ).sum()
+            ),
+        )
+        for r in p_rows
+        for s in range(n_sub)
+        for c in range(k)
+    ]
+    lut = spark.createDataFrame(lut_rows, "probe_id long, s int, c long, d2 double")
+
+    # the persisted index: codes for the WHOLE corpus, encoded once
+    codes = _pq_encode_df(spark, e.select("vec_id", "embedding"), books)
+    per = codes.select("vec_id", F.posexplode("codes").alias("s", "c"))
+    pairs = cand.join(per, "vec_id")  # the ONE codes-table join
+    adc = (
+        pairs.join(F.broadcast(lut), ["probe_id", "s", "c"])
+        .groupBy("probe_id", "vec_id", "label")
+        .agg(F.sum("d2").alias("a"))
+    )
+    w_k = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.select("probe_id", "vec_id", "label", r4(F.col("a")).alias("adc"))
+        .withColumn("rnk", F.row_number().over(w_k).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "rnk", "vec_id", "label", "adc")
+    )
+
+
 @query("sim_ann_ivf_pq", oracle=_ivf_pq_oracle())
 def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ query — the canonical billion-scale ANN index read path
