@@ -189,9 +189,16 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     sample, first-k seeds, 2 Lloyd iterations, all numpy float64 on the
     driver (bounded). Shared by emb_pq_encode and sim_ann_ivf_pq; the SQL
     twin is _PQ_TRAIN (same fold order, proven code-exact)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _pq_train_on(emb)
+
+
+def _pq_train_on(emb):
+    """_pq_train's kernel over an arbitrary (vec_id, embedding) relation —
+    the streaming index key trains on the STATIC corpus only, so the
+    trainer must take the relation, not the fixture dir."""
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sample = np.array(
         [r["embedding"] for r in emb.orderBy("vec_id").limit(256).collect()],
         dtype=np.float64,

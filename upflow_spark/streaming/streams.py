@@ -725,6 +725,40 @@ def emb_wave_replica_path(sf_dir: str) -> str:
     )
 
 
+def _ensure_emb_wave_replica(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture identity) the 4-wave embeddings replica and
+    pin its part-file mtimes to wave order (the text twin's restamp — one
+    parquet job stamps all parts identically and FileStreamSource breaks
+    ties arbitrarily). Shared by stream_emb_index_ingest and
+    stream_pq_index_append; replica is repo-owned under /tmp, never the
+    fixture."""
+    import os
+    import time as _time
+
+    dst = emb_wave_replica_path(sf_dir)
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 10 == 0)
+            .select(
+                "vec_id",
+                "embedding",
+                ((F.col("vec_id") % 40) / 10).cast("int").alias("wave"),
+            )
+            .repartitionByRange(4, "wave")
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    parts = sorted(p for p in os.listdir(dst) if p.startswith("part-"))
+    mtimes = [os.stat(os.path.join(dst, p)).st_mtime for p in parts]
+    if any(b <= a for a, b in zip(mtimes, mtimes[1:])):
+        base = _time.time() - 2.0 * len(parts)
+        for i, p in enumerate(parts):
+            t = base + 2.0 * i
+            os.utime(os.path.join(dst, p), (t, t))
+    return dst
+
+
 @query("stream_emb_index_ingest")  # rows-only: LSH buckets are engine-specific
 def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming embedding-index ingest — the embedding twin of
@@ -759,32 +793,7 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from upflow_spark.pipeline.similarity import _unit
 
     ensure_conf(spark)
-    dst = emb_wave_replica_path(sf_dir)
-    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-        (
-            load(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") % 10 == 0)
-            .select(
-                "vec_id",
-                "embedding",
-                ((F.col("vec_id") % 40) / 10).cast("int").alias("wave"),
-            )
-            .repartitionByRange(4, "wave")
-            .write.mode("overwrite")
-            .parquet(dst)
-        )
-    # pin replay order to wave order (the text twin's mtime restamp — one
-    # parquet job stamps all parts identically and FileStreamSource breaks
-    # ties arbitrarily); replica is repo-owned under /tmp, never the fixture
-    import time as _time
-
-    parts = sorted(p for p in os.listdir(dst) if p.startswith("part-"))
-    mtimes = [os.stat(os.path.join(dst, p)).st_mtime for p in parts]
-    if any(b <= a for a, b in zip(mtimes, mtimes[1:])):
-        base = _time.time() - 2.0 * len(parts)
-        for i, p in enumerate(parts):
-            t = base + 2.0 * i
-            os.utime(os.path.join(dst, p), (t, t))
+    dst = _ensure_emb_wave_replica(spark, sf_dir)
 
     work = tempfile.mkdtemp(prefix="upflow_embingest_")
     idx_dir = os.path.join(work, "sig_index")
@@ -929,3 +938,219 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wave")
     )
+
+
+DRIFT_SIGMA_MAX = 2.0  # wave-centroid monitor gate, in sampling std errors
+_last_pq_index_dir: str | None = None  # set by stream_pq_index_append (tests)
+
+
+@query("stream_pq_index_append")  # rows-only: driver-numpy codebooks (see below)
+def stream_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PQ index + streaming code append (VERDICT r10 item 3) —
+    the PQ twin of stream_emb_index_ingest, completing the vector-index
+    lifecycle: codebooks are fit ONCE on the static corpus (refitting
+    mid-stream would make stored codes incomparable — the same
+    quantizer-stability contract as the LSH twin's hash family);
+    foreachBatch encodes each arriving wave against those frozen codebooks
+    and APPENDS the codes to a persisted parquet index; each wave also
+    writes a report row:
+
+      * n_vectors / n_codes — wave size vs the index read-back count for
+        that wave (the append is verified from the INDEX, never intent);
+      * adc_exact_overlap5 — |top-5 by rounded ADC ∩ top-5 by exact
+        squared-L2| against a FIXED static probe (smallest static vec_id),
+        the per-wave recall canary a production ingest keeps;
+      * centroid_shift_sigmas / drift_flag — the wave centroid's L2
+        distance from the static-corpus centroid NORMALIZED by its own
+        sampling error (sqrt(Σ_pos var_pos / n_wave) — the expected norm
+        of a no-drift wave's centroid deviation). Raw cosine is useless
+        here: the embeddings are zero-centered, so a small wave's
+        centroid is pure noise and its cosine to the static centroid is
+        ~0 by construction. In std-error units the statistic is ≈1 under
+        no drift and scales with any real encoder skew; shift >
+        DRIFT_SIGMA_MAX flags (does NOT retrain — an encoder-version
+        skew needs a human, and silently retraining would corrupt every
+        previously stored code). This is emb_source_drift's monitor made
+        wave-sized-aware.
+
+    Idempotency: index codes AND report rows are written with
+    mode("overwrite") into per-wave `wave=` partitions, so a foreachBatch
+    retry rewrites instead of double-appending (the r11 exactly-once fix
+    shared with the LSH twin).
+
+    Rows-only BY DESIGN: the codebooks come from the driver-numpy Lloyd
+    trainer on the STATIC corpus sample; the emb_pq_encode SQL-parity
+    proof covers the full-fixture sample, but here the training relation
+    is the 90% static split — an unrolled-CTE twin would duplicate the
+    whole PQ chain for a second sample for no additional verification
+    (the code path is byte-shared with the hash-checked keys).
+    tests/test_streams_emb.py pins incremental ≡ batch code identity and
+    recomputes every report column.
+
+    Scale shape: per-wave cost = one Arrow encode pass over the wave +
+    one 128-row broadcast LUT join over the wave's read-back codes +
+    bounded (64-row) centroid collects; the index grows by appended
+    parquet partitions exactly as a production code store does.
+    """
+    import os
+
+    import numpy as np
+
+    from upflow_spark.pipeline.pca import _pq_encode_df, _pq_train_on
+    from upflow_spark.pipeline.similarity import _dbl
+
+    ensure_conf(spark)
+    dst = _ensure_emb_wave_replica(spark, sf_dir)
+
+    work = tempfile.mkdtemp(prefix="upflow_pqingest_")
+    idx_dir = os.path.join(work, "pq_codes")
+    global _last_pq_index_dir  # test hook: the invariant test reads the
+    _last_pq_index_dir = idx_dir  # persisted codes back (never the report)
+    rep_dir = os.path.join(work, "reports")
+    ckpt = os.path.join(work, "ckpt")
+
+    static = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 != 0)
+        .select("vec_id", "embedding")
+    )
+    books = _pq_train_on(static)  # frozen for the whole stream
+    n_sub, k, sub_d = books.shape
+
+    # static-corpus centroid + per-dim variance (64 bounded rows each) —
+    # the variance sum prices a no-drift wave centroid's expected
+    # deviation: E[||wc - sc||^2] = sum_pos var_pos / n_wave
+    stat_rows = (
+        static.select(F.posexplode(_dbl("embedding")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg("v").alias("c"), F.var_pop("v").alias("var"))
+        .orderBy("pos")
+        .collect()
+    )
+    static_cent = np.array([r["c"] for r in stat_rows], dtype=np.float64)
+    var_sum = float(sum(r["var"] for r in stat_rows))
+    probe_row = static.orderBy("vec_id").limit(1).collect()[0]
+    p_vec = np.array(probe_row["embedding"], dtype=np.float64)
+    lut = spark.createDataFrame(
+        [
+            (s, c, float(((p_vec[s * sub_d : (s + 1) * sub_d] - books[s, c]) ** 2).sum()))
+            for s in range(n_sub)
+            for c in range(k)
+        ],
+        "s int, c long, d2 double",
+    )
+
+    # seed the persisted index with the static corpus's codes (wave=-1)
+    _pq_encode_df(spark, static, books).select("vec_id", "codes").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(idx_dir, "wave=-1"))
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("wave", IntegerType()),
+        ]
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        waves = [
+            r["wave"]
+            for r in batch_df.select("wave").distinct().orderBy("wave").collect()
+        ]
+        for w in waves:
+            wave_rows = batch_df.filter(F.col("wave") == w).select(
+                "vec_id", "embedding"
+            )
+            wave_rows = wave_rows.localCheckpoint()  # read 4× below
+            n_vectors = wave_rows.count()
+            # ENCODE against the frozen codebooks; APPEND = overwrite the
+            # wave's own partition (retry-idempotent)
+            _pq_encode_df(spark, wave_rows, books).select(
+                "vec_id", "codes"
+            ).write.mode("overwrite").parquet(
+                os.path.join(idx_dir, f"wave={int(w)}")
+            )
+            # report from the INDEX READ-BACK, never from intent
+            back = spark.read.parquet(os.path.join(idx_dir, f"wave={int(w)}"))
+            n_codes = back.count()
+            per = back.select("vec_id", F.posexplode("codes").alias("s", "c"))
+            top_adc = (
+                per.join(F.broadcast(lut), ["s", "c"])
+                .groupBy("vec_id")
+                .agg(F.sum("d2").alias("a"))
+                .orderBy(r4(F.col("a")).asc(), F.col("vec_id").asc())
+                .limit(5)
+                .select("vec_id")
+            )
+            d2_exact = F.aggregate(
+                F.zip_with(
+                    _dbl("embedding"),
+                    F.lit(p_vec.tolist()),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            top_exact = (
+                wave_rows.select("vec_id", d2_exact.alias("d2"))
+                .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+                .limit(5)
+                .select("vec_id")
+            )
+            overlap = top_adc.join(top_exact, "vec_id").count()
+            # drift monitor: wave centroid vs static centroid (64 bounded rows)
+            wave_cent = np.array(
+                [
+                    r["c"]
+                    for r in wave_rows.select(
+                        F.posexplode(_dbl("embedding")).alias("pos", "v")
+                    )
+                    .groupBy("pos")
+                    .agg(F.avg("v").alias("c"))
+                    .orderBy("pos")
+                    .collect()
+                ],
+                dtype=np.float64,
+            )
+            shift = float(np.linalg.norm(wave_cent - static_cent))
+            sigmas = shift / (var_sum / max(n_vectors, 1)) ** 0.5
+            spark.createDataFrame(
+                [
+                    (
+                        int(n_vectors),
+                        int(n_codes),
+                        int(overlap),
+                        round(sigmas, 4),
+                        bool(sigmas > DRIFT_SIGMA_MAX),
+                    )
+                ],
+                "n_vectors long, n_codes long, adc_exact_overlap5 long,"
+                " centroid_shift_sigmas double, drift_flag boolean",
+            ).write.mode("overwrite").parquet(
+                os.path.join(rep_dir, f"wave={int(w)}")
+            )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dst)
+            .writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.read.parquet(rep_dir).select(
+        "wave",
+        "n_vectors",
+        "n_codes",
+        "adc_exact_overlap5",
+        "centroid_shift_sigmas",
+        "drift_flag",
+    ).orderBy("wave")
