@@ -502,3 +502,49 @@ def test_zorder_interleave_formula_is_a_morton_bijection():
             assert z == ref(xb, yb), (xb, yb)
             seen.add(z)
     assert seen == set(range(1 << (2 * ZBITS)))
+
+
+def test_kcore_converges_past_old_budget_depth(spark):
+    """Forced-deep-peel fixture (VERDICT r10 item 4): a pendant cascade of
+    depth 12 — anchor clique K10, pendant chain g1..g12 where g1 leans on
+    3 clique members and every other g_i on 2, so exactly one chain node
+    drops below k=4 per synchronous round. The convergence loop must peel
+    all 12 layers WITHOUT poison (the old fixed 8-round budget could not)
+    and land on the reference core."""
+    from upflow_spark.pipeline.cluster import _kcore_peel
+
+    m = 12
+    clique = [(i, j) for i in range(100, 110) for j in range(100, 110) if i < j]
+    chain = [(i, i + 1) for i in range(1, m)]  # g1..g12 as 1..12
+    pads = [(1, 100), (1, 101), (1, 102)]
+    for i in range(2, m + 1):
+        pads += [(i, 100 + (2 * i) % 10), (i, 100 + (2 * i + 1) % 10)]
+    pairs = clique + chain + pads
+    ref = _py_kcore(pairs, 4)
+    assert all(n >= 100 for n in ref), "cascade must fully peel"
+    edges = (
+        spark.createDataFrame(pairs, "u: long, v: long")
+        .unionByName(
+            spark.createDataFrame([(b, a) for a, b in pairs], "u: long, v: long")
+        )
+        .distinct()
+    )
+    # depth check against the python reference: >8 synchronous rounds needed
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes, depth = set(adj), 0
+    while True:
+        rem = {n for n in nodes if sum(1 for x in adj[n] if x in nodes) < 4}
+        if not rem:
+            break
+        nodes -= rem
+        depth += 1
+    assert depth > 8, f"fixture not deep enough: {depth}"
+
+    got = {r["doc_id"]: r["core_degree"] for r in _kcore_peel(spark, edges).collect()}
+    assert -1 not in got, "poison fired on a convergent graph"
+    assert got == ref

