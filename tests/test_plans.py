@@ -682,3 +682,21 @@ def test_ivf_pq_batch_one_codes_join_no_probe_loop(spark):
     for ln in plan.splitlines():
         if ln.strip().startswith("Arguments:") and "windowspecdefinition" in ln:
             assert "probe_id" in ln, ln
+
+
+def test_snapshot_asof_reads_are_dpp_pruned(spark):
+    """scan_snapshot_asof's two AS-OF reads must reach the (gen, bucket)-
+    partitioned data through DYNAMIC partition pruning from the broadcast
+    manifest selection — never a full-history scan and never a collected
+    bucket list. Both versioned reads contribute a data scan whose
+    PartitionFilters carry a dynamicpruning expression."""
+    import re
+
+    plan = plan_of(spark, "scan_snapshot_asof")
+    dpp_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln and "bucket" in ln
+    ]
+    assert len(dpp_scans) >= 2, plan  # one pruned scan per version
+    assert "SortMergeJoin" not in plan  # manifest stays broadcast-side
