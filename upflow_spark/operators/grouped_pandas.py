@@ -136,3 +136,77 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_batch, "user_id long, event_id long, ewma_raw double"
     )
     return out.select("user_id", "event_id", r4("ewma_raw").alias("ewma"))
+
+
+@query(
+    "agg_pandas_udaf_trimmed_mean",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+           AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN 1 END)
+            AS BIGINT) AS n_kept,
+       floor((sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                       THEN cents END)
+              / (100.0 * count(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                                    THEN 1 END)))
+             * 10000 + 0.5) / 10000 AS trimmed_avg_acctbal
+FROM ranked GROUP BY c_mktsegment
+""",
+)
+def agg_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (VERDICT r10 item 8) — the sixth and last
+    Arrow execution surface (SURVEY §2 Arrow-surface map): a vectorized
+    user-defined AGGREGATE, Series → scalar per group, used for a 10%
+    two-sided trimmed mean of account balance per market segment — the
+    robust-statistics aggregate SQL has no built-in for.
+
+    Float-parity discipline: the UDF sums exact INTEGER CENTS of the
+    sorted middle slice (np.round lands exactly — the stored doubles sit
+    within 1e-9 of their 2dp decimals, so no half-way cases) and divides
+    once, which the oracle mirrors with the same integer-cents window
+    restatement: the sum of an integer multiset is order-independent, so
+    engine accumulation order cannot drift the hash at any sf.
+
+    Scale: one shuffle on the grouping key (partial aggregation does not
+    apply to order statistics — the trim NEEDS the whole group, exactly
+    like percentile_exact); Arrow-batched transfer, one scalar back per
+    group. For groups too large for one executor the fan-out rewrite in
+    the oracle (rank window + conditional sum) IS the scale path — this
+    key grades the UDAF surface itself against it.
+    """
+    import numpy as np
+
+    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+
+    @F.pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        cents = np.round(v.to_numpy(np.float64) * 100.0).astype(np.int64)
+        cents.sort()
+        k = len(cents) // 10
+        kept = cents[k : len(cents) - k]
+        return float(kept.sum()) / (100.0 * len(kept))
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with native
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — counts ride
+    # a native agg and rejoin on the 5-segment key (broadcast-sized)
+    counts = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.count(F.lit(1)) - 2 * F.floor(F.count(F.lit(1)) / 10)).alias("n_kept"),
+    )
+    trimmed = c.groupBy("c_mktsegment").agg(
+        trimmed_mean(F.col("c_acctbal")).alias("raw")
+    )
+    return counts.join(F.broadcast(trimmed), "c_mktsegment").select(
+        "c_mktsegment",
+        "n_customers",
+        "n_kept",
+        r4(F.col("raw")).alias("trimmed_avg_acctbal"),
+    )
