@@ -114,3 +114,25 @@ def test_artifacts_postdate_last_source_commit():
         f"artifact ({os.path.basename(path)} at {art_ts}) — rerun the "
         "end-of-round regeneration (verify skill) on final code"
     )
+
+
+def test_rows_only_keys_all_justified_in_survey():
+    """Every registered key WITHOUT an oracle must appear in SURVEY §2's
+    rows-only appendix (and nothing extra) — the untested-hash surface
+    stays auditable as the registry grows (VERDICT r10 item 7)."""
+    import re
+
+    import upflow_spark  # noqa: F401
+    from upflow_spark.registry import ORACLE, QUERIES
+
+    rows_only = set(QUERIES) - set(ORACLE)
+    survey = open(os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")).read()
+    m = re.search(
+        r"### §2 Appendix — rows-only keys.*?\n(\|.*?)\n\n", survey, re.S
+    )
+    assert m, "rows-only appendix table missing from SURVEY.md"
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", m.group(1), re.M))
+    assert listed == rows_only, (
+        f"appendix out of sync: missing={sorted(rows_only - listed)} "
+        f"stale={sorted(listed - rows_only)}"
+    )
