@@ -91,19 +91,20 @@ N_ITER = len(MERGES)  # provable upper bound — see module docstring
 _SEP = "\x01"
 
 
-def _merge_map():
+def _merge_map(merges: list[tuple[str, str]] = MERGES):
     """Literal Catalyst map (left⋅SEP⋅right → rank), codegen'd lookup."""
     kv = []
-    for rank, (lft, rgt) in enumerate(MERGES):
+    for rank, (lft, rgt) in enumerate(merges):
         kv += [F.lit(lft + _SEP + rgt), F.lit(rank)]
     return F.create_map(*kv)
 
 
-def _run_merge_loop(st: DataFrame) -> DataFrame:
+def _run_merge_loop(st: DataFrame, merges: list[tuple[str, str]] = MERGES) -> DataFrame:
     """Apply the full unrolled merge loop to a (pt, pos, sym) state."""
-    mm = _merge_map()
+    mm = _merge_map(merges)
+    n_iter = len(merges)
     w_pt = Window.partitionBy("pt").orderBy("pos")
-    for it in range(N_ITER):
+    for it in range(n_iter):
         nxt = F.lead("sym").over(w_pt)
         rank = F.element_at(mm, F.concat(F.col("sym"), F.lit(_SEP), nxt))
         s1 = st.select("pt", "pos", "sym", nxt.alias("nxt"), rank.alias("rank"))
@@ -132,7 +133,7 @@ def _run_merge_loop(st: DataFrame) -> DataFrame:
                 .alias("sym"),
             )
         )
-        if (it + 1) % 5 == 0 and it + 1 < N_ITER:
+        if (it + 1) % 5 == 0 and it + 1 < n_iter:
             # bound Catalyst's analysis of the chained window stages; the
             # relation is vocab-sized, so the materialization is trivial
             st = st.localCheckpoint()
@@ -424,14 +425,14 @@ def pack_token_bins_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_TRAIN = 16  # learned-merge rounds (vocab-size budget, not a convergence guess)
 
 
-def _train_oracle(rounds: int = N_TRAIN) -> str:
-    """tokenize_bpe_train's DuckDB twin: the byte-identical unrolled
-    training loop. Per round: a{k} = state + lead (MATERIALIZED — read by
-    both the pair count and the apply), p{k} = weighted adjacent-pair
-    counts, m{k} = the 1-row argmax (MATERIALIZED — read by the apply AND
-    the final union), t{k+1} = the left-to-right non-overlapping
-    application of that single pair (same run-parity arithmetic as
-    _bpe_cte)."""
+def _train_cte_parts(rounds: int = N_TRAIN) -> list:
+    """The unrolled training loop as CTE parts — shared by
+    tokenize_bpe_train's oracle and the learned-apply composition's.
+    Per round: a{k} = state + lead (MATERIALIZED — read by both the pair
+    count and the apply), m{k} = the 1-row argmax (MATERIALIZED — read by
+    the apply AND the final union), t{k+1} = the left-to-right
+    non-overlapping application of that single pair (same run-parity
+    arithmetic as _bpe_cte)."""
     parts = [
         f"""occ0 AS MATERIALIZED (
   SELECT pt, CAST(count(*) AS BIGINT) AS w FROM (
@@ -492,11 +493,15 @@ def _train_oracle(rounds: int = N_TRAIN) -> str:
   WHERE NOT absorbed
 )"""
         )
+    return parts
+
+
+def _train_oracle(rounds: int = N_TRAIN) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, lft, rgt, pair_count FROM m{k}"
         for k in range(rounds)
     )
-    return "WITH\n" + ",\n".join(parts) + "\n" + union
+    return "WITH\n" + ",\n".join(_train_cte_parts(rounds)) + "\n" + union
 
 
 @query("tokenize_bpe_train", oracle=_train_oracle())
@@ -544,6 +549,31 @@ def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the per-round argmax collect would otherwise re-execute the
     whole lineage (O(rounds²) recompute).
     """
+    return spark.createDataFrame(
+        _bpe_train_merges(spark, sf_dir),
+        "merge_rank long, lft string, rgt string, pair_count long",
+    )
+
+
+# (appId, fixture identity) -> learned merge list. The trained table is a
+# persisted artifact in production; the session memo is that artifact
+# (same policy as _bpe_state_cache), so the learned-apply composition key
+# does not re-run the 16-round trainer.
+_bpe_learned_cache: dict = {}
+
+
+def _bpe_train_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Run the distributed trainer; return [(rank, lft, rgt, count)]."""
+    import os
+
+    st_f = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, st_f.st_mtime_ns, st_f.st_size)
+    if key in _bpe_learned_cache:
+        return _bpe_learned_cache[key]
+    for stale in [k for k in _bpe_learned_cache if k != key]:
+        _bpe_learned_cache.pop(stale)
     d = load(spark, sf_dir, "documents")
     occ = (
         d.select(
@@ -570,9 +600,8 @@ def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         _train_rounds(spark, st, w_pt, learned)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    return spark.createDataFrame(
-        learned, "merge_rank long, lft string, rgt string, pair_count long"
-    )
+    _bpe_learned_cache[key] = learned
+    return learned
 
 
 def _train_rounds(spark, st, w_pt, learned) -> None:
@@ -691,3 +720,164 @@ def tokenize_bpe_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("n_occurrences", "desc"), ("sym", "asc")],
         out="vocab_id",
     ).select("sym", "vocab_id", "n_occurrences")
+
+
+def _apply_learned_oracle(rounds: int = N_TRAIN) -> str:
+    """tokenize_bpe_apply_learned's twin: the TRAIN CTE chain learns the
+    merge table, `lmerges` collects it (rank = round index), and a second
+    unrolled APPLY chain (prefixed la/lb/ld/ls to avoid colliding with the
+    train chain's names) re-encodes the distinct-pretoken vocabulary with
+    rank-priority semantics via a JOIN against lmerges — the engines run
+    the full train→apply composition end-to-end, so the hash verifies that
+    the learned artifact actually drives the encoder."""
+    parts = list(_train_cte_parts(rounds))
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, lft, rgt FROM m{k}"
+        for k in range(rounds)
+    )
+    parts.append(f"lmerges AS MATERIALIZED (\n  {union}\n)")
+    # apply chain over the SAME s0-style position rows (reuse occ0's
+    # pretokens; weights don't matter for apply)
+    parts.append(
+        """ls0 AS MATERIALIZED (
+  SELECT pt, i AS pos, substr(pt, i, 1) AS sym
+  FROM (SELECT pt, unnest(range(1, len(pt) + 1)) AS i FROM occ0)
+)"""
+    )
+    for k in range(rounds):
+        parts.append(
+            f"""la{k} AS MATERIALIZED (
+  SELECT pt, pos, sym,
+         lead(sym) OVER (PARTITION BY pt ORDER BY pos) AS nxt
+  FROM ls{k}
+)"""
+        )
+        parts.append(
+            f"""lb{k} AS MATERIALIZED (
+  SELECT pt, pos, sym, nxt,
+         (m.rank IS NOT NULL
+          AND m.rank = min(m.rank) OVER (PARTITION BY pt)) AS mt
+  FROM la{k} LEFT JOIN lmerges m ON m.lft = la{k}.sym AND m.rgt = la{k}.nxt
+)"""
+        )
+        parts.append(
+            f"""ld{k} AS MATERIALIZED (
+  SELECT pt, pos, sym, nxt,
+         (mt AND (row_number() OVER (PARTITION BY pt, nm ORDER BY pos)) % 2 = 1)
+           AS merge_at
+  FROM (
+    SELECT *, coalesce(sum(CASE WHEN mt THEN 0 ELSE 1 END)
+                         OVER (PARTITION BY pt ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS nm
+    FROM lb{k}
+  )
+)"""
+        )
+        parts.append(
+            f"""ls{k + 1} AS MATERIALIZED (
+  SELECT pt, pos,
+         CASE WHEN merge_at THEN sym || nxt ELSE sym END AS sym
+  FROM (SELECT *, coalesce(lag(merge_at) OVER (PARTITION BY pt ORDER BY pos),
+                           false) AS absorbed
+        FROM ld{k})
+  WHERE NOT absorbed
+)"""
+        )
+    parts.append(
+        f"""lcounts AS MATERIALIZED (
+  SELECT pt, CAST(count(*) AS BIGINT) AS n_toks FROM ls{rounds} GROUP BY pt
+)"""
+    )
+    joined = ",\n".join(parts)
+    return f"""
+WITH
+{joined},
+lpre AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '{BPE_PRETOK_RE}', 0)) AS pt
+  FROM documents
+),
+locc AS MATERIALIZED (
+  SELECT lang, pt, CAST(count(*) AS BIGINT) AS n_occ
+  FROM lpre GROUP BY lang, pt
+),
+ltypes AS (
+  SELECT o.lang, CAST(count(DISTINCT s.sym) AS BIGINT) AS n_token_types
+  FROM locc o JOIN ls{rounds} s ON o.pt = s.pt
+  GROUP BY o.lang
+)
+SELECT o.lang,
+       CAST(sum(o.n_occ) AS BIGINT) AS n_pretokens,
+       CAST(sum(o.n_occ * c.n_toks) AS BIGINT) AS n_bpe_tokens,
+       {R4_RATIO.format(num="sum(o.n_occ * c.n_toks)", den="sum(o.n_occ)")}
+         AS tokens_per_pretoken,
+       max(t.n_token_types) AS n_token_types
+FROM locc o
+JOIN lcounts c ON o.pt = c.pt
+JOIN ltypes t ON t.lang = o.lang
+GROUP BY o.lang
+"""
+
+
+@query("tokenize_bpe_apply_learned", oracle=_apply_learned_oracle())
+def tokenize_bpe_apply_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer-pipeline COMPOSITION (closes the optional half of
+    VERDICT r10 item 1): encode the corpus with the merge table
+    tokenize_bpe_train just LEARNED from it — train → persist → apply, the
+    lifecycle a production tokenizer runs, verified end-to-end: the oracle
+    re-learns the table in SQL (the 16-round train chain) and re-applies
+    it through a second unrolled chain whose rank priority comes from a
+    JOIN against the learned table, so the hash breaks if either half — or
+    the hand-off between them — drifts.
+
+    Spark side: the learned table is the memoized 16-row training artifact
+    (bounded-driver: the same class as a persisted merges file), compiled
+    into the collision-safe literal rank map that the fixed-table apply
+    loop already uses; everything else is byte-shared with
+    tokenize_bpe_apply (distinct-pretoken loop, corpus rollup via one
+    broadcast join). Output shape matches tokenize_bpe_apply for direct
+    fixed-vs-learned comparison.
+    """
+    learned = [(lft, rgt) for _, lft, rgt, _ in _bpe_train_merges(spark, sf_dir)]
+    d = load(spark, sf_dir, "documents")
+    pts = d.select(
+        F.explode(F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)).alias("pt")
+    ).distinct()
+    st = pts.select(
+        "pt", F.posexplode(F.split(F.col("pt"), "")).alias("p0", "sym")
+    ).select("pt", (F.col("p0") + 1).alias("pos"), "sym")
+    state = _run_merge_loop(st, merges=learned).localCheckpoint()
+    counts = state.groupBy("pt").agg(F.count(F.lit(1)).alias("n_toks"))
+    pre = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)).alias("pt"),
+    )
+    occ = pre.groupBy("lang", "pt").agg(F.count(F.lit(1)).alias("n_occ"))
+    types = (
+        occ.join(F.broadcast(state.select("pt", "sym")), "pt")
+        .select("lang", "sym")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_token_types"))
+    )
+    return (
+        occ.join(F.broadcast(counts), "pt")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_occ").alias("n_pretokens"),
+            F.sum(F.col("n_occ") * F.col("n_toks")).alias("n_bpe_tokens"),
+            r4(
+                F.sum(F.col("n_occ") * F.col("n_toks")).cast("double")
+                / F.sum("n_occ")
+            ).alias("tokens_per_pretoken"),
+        )
+        .join(F.broadcast(types), "lang")
+        .select(
+            "lang",
+            "n_pretokens",
+            "n_bpe_tokens",
+            "tokens_per_pretoken",
+            "n_token_types",
+        )
+    )
