@@ -125,6 +125,16 @@ PROBE_KEYS = [
     ("win_skyline_pareto", "orders 10x (two-phase running prev-max SFS)"),
     ("pipeline_semantic_funnel_ann", "embeddings 10x (LSH pair path + CC + two-phase rank)"),
     ("tokenize_bpe_apply", "documents 10x (vocab-bounded merge loop + broadcast join)"),
+    # r11 additions: the trainer (vocab-bounded loop + 16 argmax rounds),
+    # the train→apply composition, the batched ANN read path (50 probes,
+    # ONE codes join), snapshot time travel (COW fold + 2 DPP reads), the
+    # GROUPED_AGG Arrow surface, and the streaming PQ index append
+    ("tokenize_bpe_train", "documents 10x (16 pair-count rounds over the vocab)"),
+    ("tokenize_bpe_apply_learned", "documents 10x (learned-table encode, shared loop)"),
+    ("sim_ann_ivf_pq_batch", "embeddings 10x (50 probes, one corpus encode + codes join)"),
+    ("scan_snapshot_asof", "orders 10x (COW fold + 2 manifest-selected DPP reads)"),
+    ("agg_pandas_udaf_trimmed_mean", "customer 10x (Arrow GROUPED_AGG, one shuffle)"),
+    ("stream_pq_index_append", "embeddings 10x (4-wave encode + LUT join vs persisted codes)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
