@@ -93,6 +93,10 @@ SHOWCASE = [
     ("sink_compaction_binpack", "the bin-pack rewrite is scan -> ONE RoundRobin exchange -> write (deterministic target file count); stats row joins two bounded aggregates, file counts from _metadata on the actual read-back"),
     ("llm_chunk_windows", "concat-and-chunk attribution: rank2 two-phase global cumsum for doc offsets, map-side sequence() explode over touched windows, one window_id aggregate — no single-partition sort over the corpus"),
     ("sim_ann_ivf_pq", "IVF-PQ read path: codes from the broadcast-codebook Arrow kernel, ADC as a BroadcastHashJoin against the 128-row LUT + one sum — the index scan touches codes, never vectors"),
+    ("sim_ann_ivf_pq_batch", "BATCHED IVF-PQ (r11): 50 probes served by ONE codes-table join — routing pairs join the exploded whole-corpus codes on vec_id, the (probe_id,s,c) LUT and routing ride broadcasts, per-probe top-k via a probe_id-partitioned window; <=6 parquet scans, no per-probe loop"),
+    ("scan_snapshot_asof", "snapshot time travel (r11): BOTH AS-OF reads reach the (gen,bucket)-partitioned data through dynamicpruningexpression PartitionFilters fed by broadcast manifest selections — no full-history scan, no SortMergeJoin, no collected bucket list"),
+    ("tokenize_bpe_train", "BPE training (r11): each round is one vocab-bounded pair-count shuffle + pt-partitioned run-parity windows; the output plan is a bounded LocalTableScan (the learned 16-row artifact) — nothing data-sized converges on the driver but the 1-row-per-round argmax"),
+    ("agg_pandas_udaf_trimmed_mean", "GROUPED_AGG pandas UDF (r11): ObjectHashAggregate over Arrow batches for the UDAF, native counts in a parallel HashAggregate, rejoined via BroadcastHashJoin on the 5-row segment key"),
 ]
 
 

@@ -114,7 +114,7 @@ PROBE_KEYS = [
     ("scan_file_metadata", "lineitem 10x (_metadata grouping, 1-col ReadSchema)"),
     # r8 ninth wave: k-group inference, graph density, multi-dim layout
     ("stat_anova_f", "orders 10x (one scan, 5-row sufficient-stat fold)"),
-    ("graph_k_core", "documents 10x (8 sync peel rounds over the pair graph)"),
+    ("graph_k_core", "documents 10x (convergence-driven peel over the pair graph)"),
     ("scan_zorder_cluster", "lineitem 10x (Morton write + 2-col manifest prune)"),
     # r9 additions: the two-phase rank family (the reworked selection
     # stage), the fused ANN funnel path, and the real BPE encode
