@@ -131,12 +131,11 @@ def main() -> None:
     ]
     for dt, key, n, err in results:
         cell = f"FAILED: {err}" if err else f"{dt:.3f}"
-        star = " *" if any(k == key for k, _, _ in retimed) else ""
-        lines.append(f"| {key}{star} | {cell} | {n} |")
+        lines.append(f"| {key} | {cell} | {n} |")
     if retimed:
         lines += [
             "",
-            f"`*` re-timed standalone (in-sweep value was >{RETIME_RATIO}x the",
+            f"Rows below were re-timed standalone (in-sweep value was >{RETIME_RATIO}x the",
             "prior round's — late-sweep session pollution, not a regression):",
             "",
             "| key | in-sweep | standalone |",
