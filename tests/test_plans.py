@@ -700,3 +700,33 @@ def test_snapshot_asof_reads_are_dpp_pruned(spark):
     ]
     assert len(dpp_scans) >= 2, plan  # one pruned scan per version
     assert "SortMergeJoin" not in plan  # manifest stays broadcast-side
+
+
+def test_shuffle_hash_hint_forces_shj(spark):
+    """join_shuffle_hash_hint must compile to ShuffledHashJoin (no sort on
+    either side) — the hint is the strategy surface under test; results
+    are oracle-checked separately."""
+    plan = plan_of(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_incremental_read_prunes_to_changed_buckets(spark):
+    """scan_snapshot_incremental_read: both diff sides reach the data
+    through DPP PartitionFilters scoped by the manifest DIFF — the
+    incremental consumer never lists the shared buckets."""
+    import re
+
+    plan = plan_of(spark, "scan_snapshot_incremental_read")
+    dpp_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln and "bucket" in ln
+    ]
+    assert len(dpp_scans) >= 2, plan
+    # the only sort-merge join is the full-outer row diff itself (correct:
+    # full outer cannot broadcast); every prune join stays broadcast-side
+    import re as _re
+
+    smj = _re.findall(r"^\(\d+\) SortMergeJoin (\w+)", plan, _re.M)
+    assert all(k == "FullOuter" for k in smj), smj

@@ -662,3 +662,52 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ok, F.col("f.click_id")).alias("next_click_id"),
         )
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       floor((sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))) * 10000 + 0.5)
+         / 10000 AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-STRATEGY HINT surface (r11): the same orders⋈lineitem
+    equi-join as join_shuffle_equi, but with a SHUFFLE_HASH hint on the
+    orders side forcing ShuffledHashJoin over the SortMergeJoin Spark
+    would otherwise pick for two over-broadcast-threshold relations.
+
+    Why a user reaches for it at 100 TB: SHJ builds a hash map from the
+    smaller side's shuffle partition and STREAMS the bigger side — no
+    sort on either side, no spillable sort buffers — which wins whenever
+    one side's per-partition share fits executor memory and the output
+    doesn't need sorted runs (aggregation right after, as here). The
+    hint is the escape hatch when stats mis-route the planner; AQE can
+    also flip SMJ→SHJ at runtime, but only below its local-map threshold.
+
+    Plan pinned (tests/test_plans.py): ShuffledHashJoin present,
+    SortMergeJoin absent. Oracle: the plain join SQL — the hint must
+    never change results, only the physical strategy (exact DECIMAL sum:
+    the revenue groups are money-scale, r6 float-parity rule).
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        li.join(
+            o.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r4(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+            ).alias("revenue"),
+        )
+    )

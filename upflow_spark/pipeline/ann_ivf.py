@@ -410,12 +410,13 @@ LIMIT {TOP_K}
 PROBE_N_BATCH = 50  # deterministic probe set: the 50 smallest vec_ids
 
 
-def _ivf_pq_batch_oracle() -> str:
+def _ivf_pq_batch_ctes() -> str:
+    """The WITH-body shared by sim_ann_ivf_pq_batch's oracle and
+    emb_pq_recall_eval's (train + routing + codes + LUT + adc)."""
     from upflow_spark.pipeline.pca import PQ_TRAIN_CTES, _sql_d2
 
     dot = _SQL_DOT_P.format(a="cent.centroid", b="pr.p")
-    return f"""
-WITH ex AS (
+    return f"""ex AS (
   SELECT label, generate_subscripts(embedding, 1) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
@@ -468,14 +469,19 @@ lut AS MATERIALIZED (
   SELECT psub.probe_id, c2.s, c2.c, {_sql_d2("psub.xs", "c2.cent")} AS d2
   FROM c2 JOIN psub ON c2.s = psub.s
 ),
-adc AS (
+adc AS MATERIALIZED (
   SELECT cand.probe_id, cand.vec_id, cand.label, sum(lut.d2) AS a
   FROM cand
   JOIN code ON code.vec_id = cand.vec_id
   JOIN lut ON lut.probe_id = cand.probe_id
           AND lut.s = code.s AND lut.c = code.c
   GROUP BY cand.probe_id, cand.vec_id, cand.label
-)
+)"""
+
+
+def _ivf_pq_batch_oracle() -> str:
+    return f"""
+WITH {_ivf_pq_batch_ctes()}
 SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, label,
        floor(a * 10000 + 0.5) / 10000 AS adc
 FROM (
@@ -486,6 +492,104 @@ FROM (
 )
 WHERE rnk <= {TOP_K}
 """
+
+
+def _pq_recall_oracle() -> str:
+    sq = ("(CAST(e.embedding[i] AS DOUBLE) - CAST(p.p[i] AS DOUBLE))"
+          " * (CAST(e.embedding[i] AS DOUBLE) - CAST(p.p[i] AS DOUBLE))")
+    return f"""
+WITH {_ivf_pq_batch_ctes()},
+exd AS MATERIALIZED (
+  SELECT cand.probe_id, cand.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1), i -> {sq}))
+           AS d2
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN probes p ON p.probe_id = cand.probe_id
+),
+topx AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY floor(d2 * 10000 + 0.5) / 10000 ASC, vec_id ASC) AS rk
+    FROM exd
+  ) WHERE rk <= {TOP_K}
+),
+topa AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY floor(a * 10000 + 0.5) / 10000 ASC, vec_id ASC) AS rnk
+    FROM adc
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT t.probe_id,
+       CAST(count(x.vec_id) AS BIGINT) AS n_overlap10,
+       floor((count(x.vec_id) / {TOP_K}.0) * 10000 + 0.5) / 10000 AS recall10
+FROM topa t
+LEFT JOIN topx x ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
+GROUP BY t.probe_id
+"""
+
+
+@query("emb_pq_recall_eval", oracle=_pq_recall_oracle())
+def emb_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVALUATION operator (r11): per-probe recall@10 of the
+    rounded-ADC (PQ-compressed) ranking against the exact squared-L2
+    ranking over the SAME routed candidates, for the 50-probe batch set —
+    the measurement every vector-index deployment runs before trusting a
+    compressed read path, here as a first-class graded operator rather
+    than a test assertion.
+
+    Both rankings are deterministic (4dp rounding + vec_id tie-break on
+    both engines — the exact side's sequential squared-diff fold is the
+    proven _sql_cos float pattern), so the per-probe overlap is
+    hash-checkable, not just bounded. The exact side gathers candidate
+    vectors BY JOIN (the r10 join-gather contract) and reuses the batch
+    pipeline's single codes-table join for the ADC side.
+
+    Scale: the eval costs one extra exact-distance pass over the routed
+    candidates (O(N × NPROBE / n_cells × probes) — the same bound as the
+    read path), so it can ride every index rebuild as a regression gate.
+    """
+    adc, cand, probes = _ivf_pq_batch_parts(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    pairs = cand.select("probe_id", "vec_id").join(e, "vec_id").join(
+        F.broadcast(probes), "probe_id"
+    )
+    d2 = F.aggregate(
+        F.zip_with("emb", "p", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exd = pairs.select("probe_id", "vec_id", d2.alias("d2"))
+    w_x = Window.partitionBy("probe_id").orderBy(
+        r4(F.col("d2")).asc(), F.col("vec_id").asc()
+    )
+    topx = (
+        exd.withColumn("rk", F.row_number().over(w_x))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "vec_id")
+    )
+    w_a = Window.partitionBy("probe_id").orderBy(
+        r4(F.col("a")).asc(), F.col("vec_id").asc()
+    )
+    topa = (
+        adc.withColumn("rnk", F.row_number().over(w_a))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "vec_id")
+    )
+    hit = topx.withColumn("hit", F.lit(1))
+    return (
+        topa.join(hit, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("hit").alias("n_overlap10"),
+            r4(F.count("hit") / F.lit(float(TOP_K))).alias("recall10"),
+        )
+    )
 
 
 @query("sim_ann_ivf_pq_batch", oracle=_ivf_pq_batch_oracle())
@@ -522,6 +626,23 @@ def sim_ann_ivf_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entire point of batching. tests/test_plans.py pins the
     one-join/no-loop plan shape.
     """
+    adc, _, _ = _ivf_pq_batch_parts(spark, sf_dir)
+    w_k = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.select("probe_id", "vec_id", "label", r4(F.col("a")).alias("adc"))
+        .withColumn("rnk", F.row_number().over(w_k).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "rnk", "vec_id", "label", "adc")
+    )
+
+
+def _ivf_pq_batch_parts(spark: SparkSession, sf_dir: str):
+    """The shared batched-IVF-PQ pipeline: returns (adc, cand, probes) —
+    per-(probe, candidate) ADC sums, the routing pairs, and the probe
+    relation. Used by sim_ann_ivf_pq_batch (read path) and
+    emb_pq_recall_eval (quality eval)."""
     import numpy as np
 
     from upflow_spark.pipeline.pca import _pq_encode_df, _pq_train
@@ -599,15 +720,7 @@ def sim_ann_ivf_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "vec_id", "label")
         .agg(F.sum("d2").alias("a"))
     )
-    w_k = Window.partitionBy("probe_id").orderBy(
-        F.col("adc").asc(), F.col("vec_id").asc()
-    )
-    return (
-        adc.select("probe_id", "vec_id", "label", r4(F.col("a")).alias("adc"))
-        .withColumn("rnk", F.row_number().over(w_k).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("probe_id", "rnk", "vec_id", "label", "adc")
-    )
+    return adc, cand, probes
 
 
 @query("sim_ann_ivf_pq", oracle=_ivf_pq_oracle())

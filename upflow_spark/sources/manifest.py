@@ -509,6 +509,57 @@ def scan_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit: changed partitions rewrite, history reads stay proportional
     to snapshot size, and storage grows by the delta only.
     """
+    data_dir, man_path = _snapshot_layout(spark, sf_dir)
+
+    # AS-OF reads: manifest selection → DPP-pruned scan, one per version
+    man = spark.read.parquet(man_path)
+    data = spark.read.parquet(data_dir)
+    shared_cnt = man.filter((F.col("version") == 2) & (F.col("gen") == 1)).agg(
+        F.count(F.lit(1)).alias("n_buckets_shared")
+    )
+    per_version = []
+    for v in (1, 2):
+        sel = man.filter(F.col("version") == v).select("gen", "bucket")
+        rows_v = data.join(F.broadcast(sel), ["gen", "bucket"], "semi")
+        agg_v = rows_v.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(F.sum("price").cast("double")).alias("sum_price"),
+        )
+        nb_v = man.filter(F.col("version") == v).agg(
+            F.count(F.lit(1)).alias("n_buckets_version")
+        )
+        per_version.append(
+            agg_v.withColumn("version", F.lit(v))
+            .crossJoin(F.broadcast(nb_v))
+            .crossJoin(F.broadcast(shared_cnt))
+        )
+    return per_version[0].unionByName(per_version[1]).select(
+        "version",
+        "o_orderstatus",
+        "n_rows",
+        "sum_price",
+        "n_buckets_version",
+        "n_buckets_shared",
+    )
+
+
+_snapshot_layouts: dict = {}
+
+
+def _snapshot_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per session+fixture — the writes are overwrite-idempotent
+    but cost ~6 jobs) the v1/v2 copy-on-write snapshot layout + versioned
+    manifest shared by scan_snapshot_asof and scan_snapshot_incremental_read.
+    Returns (data_dir, manifest_path)."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    memo_key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    if memo_key in _snapshot_layouts:
+        return _snapshot_layouts[memo_key]
+    for stale in [k for k in _snapshot_layouts if k != memo_key]:
+        _snapshot_layouts.pop(stale)
+
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -601,34 +652,144 @@ def scan_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     man_path = base + "/manifest"
     manifest.write.mode("overwrite").parquet(man_path)
+    _snapshot_layouts[memo_key] = (data_dir, man_path)
+    return data_dir, man_path
 
-    # AS-OF reads: manifest selection → DPP-pruned scan, one per version
+
+@query(
+    "scan_snapshot_incremental_read",
+    oracle=f"""
+WITH m AS (
+  SELECT max(o_orderkey) AS mx,
+         CAST(floor((max(o_orderkey) + {N_BUCKETS}.0) / {N_BUCKETS}) AS BIGINT)
+           AS step,
+         CAST(floor(max(o_orderkey) / {SNAP_CHANGE_FRACTION}.0) AS BIGINT) AS hi
+  FROM orders
+),
+v1 AS MATERIALIZED (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price,
+         CAST(floor(o_orderkey / step) AS INT) AS bucket
+  FROM orders, m
+),
+chg AS MATERIALIZED (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE 'D' END AS op,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1))
+              AS DECIMAL(20,3)) AS new_price
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND (o_orderkey % 5 = 0 OR o_orderkey % 11 = 0)
+),
+ins AS MATERIALIZED (
+  SELECT o_orderkey + m.mx + 1 AS o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price,
+         CAST(floor((o_orderkey + m.mx + 1) / step) AS INT) AS bucket
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND o_orderkey % 7 = 0
+),
+rw AS MATERIALIZED (
+  SELECT DISTINCT CAST(floor(o_orderkey / step) AS INT) AS b
+  FROM (SELECT o_orderkey FROM chg UNION ALL SELECT o_orderkey FROM ins), m
+),
+v2 AS MATERIALIZED (
+  SELECT o_orderkey, o_orderstatus, price, bucket FROM v1
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+  UNION ALL
+  SELECT c.o_orderkey, c.o_orderstatus, c.new_price AS price,
+         CAST(floor(c.o_orderkey / m.step) AS INT) AS bucket
+  FROM chg c, m WHERE c.op = 'U'
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, price, bucket FROM ins
+),
+old_side AS MATERIALIZED (
+  SELECT * FROM v1 WHERE bucket IN (SELECT b FROM rw)
+),
+new_side AS MATERIALIZED (
+  SELECT * FROM v2 WHERE bucket IN (SELECT b FROM rw)
+),
+diff AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.price <> n.price THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(n.price, 0) - coalesce(o.price, 0) AS delta
+  FROM old_side o FULL OUTER JOIN new_side n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+       {R4("CAST(sum(delta) AS DOUBLE)")} AS sum_price_delta,
+       (SELECT CAST(count(*) AS BIGINT) FROM rw) AS n_buckets_read,
+       (SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM v1)
+         AS n_buckets_v1
+FROM diff GROUP BY change_type
+""",
+)
+def scan_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-CONSUMER read path over the snapshot chain (completes
+    scan_snapshot_asof's lifecycle): a downstream pipeline at v1 asks
+    "what changed in v2?" and reads ONLY the buckets whose manifest entry
+    changed between the two versions — never the shared files. Both sides
+    of the row-level diff (v1 and v2 restricted to the changed buckets)
+    arrive through manifest selection → broadcast semi-join → dynamic
+    partition pruning, then a full-outer join on the key classifies every
+    row (insert / delete / update / unchanged) and sums the exact-decimal
+    price delta per class. n_buckets_read vs n_buckets_v1 is the
+    incremental-read bill in the graded output: the consumer touched 4 of
+    9 v1 buckets, not the table.
+
+    At 100 TB this is every downstream refresh after a backfill: the
+    manifest diff scopes the read to changed partitions, so consumer cost
+    is proportional to the CHANGE, not the table — the whole point of a
+    versioned-manifest layout.
+    """
+    data_dir, man_path = _snapshot_layout(spark, sf_dir)
     man = spark.read.parquet(man_path)
     data = spark.read.parquet(data_dir)
-    shared_cnt = man.filter((F.col("version") == 2) & (F.col("gen") == 1)).agg(
-        F.count(F.lit(1)).alias("n_buckets_shared")
+    m1 = man.filter(F.col("version") == 1).select("gen", "bucket")
+    m2 = man.filter(F.col("version") == 2).select("gen", "bucket")
+    # the manifest DIFF: buckets whose entry changed between versions
+    # (gen bumped or bucket new) — v2 entries absent from v1's manifest,
+    # plus v1 entries absent from v2's (fully-deleted buckets)
+    changed = (
+        m2.join(m1, ["gen", "bucket"], "left_anti")
+        .select("bucket")
+        .unionByName(
+            m1.join(m2, ["gen", "bucket"], "left_anti").select("bucket")
+        )
+        .distinct()
     )
-    per_version = []
-    for v in (1, 2):
-        sel = man.filter(F.col("version") == v).select("gen", "bucket")
-        rows_v = data.join(F.broadcast(sel), ["gen", "bucket"], "semi")
-        agg_v = rows_v.groupBy("o_orderstatus").agg(
+    n_read = changed.agg(F.count(F.lit(1)).alias("n_buckets_read"))
+    n_v1 = m1.agg(F.count(F.lit(1)).alias("n_buckets_v1"))
+    # both diff sides: snapshot read RESTRICTED to the changed buckets —
+    # manifest selection semi-joins keep the DPP prune (plan-pinned)
+    sel1 = m1.join(F.broadcast(changed), "bucket", "semi")
+    sel2 = m2.join(F.broadcast(changed), "bucket", "semi")
+    old_side = data.join(F.broadcast(sel1), ["gen", "bucket"], "semi").select(
+        "o_orderkey", F.col("price").alias("p1")
+    )
+    new_side = data.join(F.broadcast(sel2), ["gen", "bucket"], "semi").select(
+        "o_orderkey", F.col("price").alias("p2")
+    )
+    diff = old_side.join(new_side, "o_orderkey", "full_outer")
+    change_type = (
+        F.when(F.col("p1").isNull(), "insert")
+        .when(F.col("p2").isNull(), "delete")
+        .when(F.col("p1") != F.col("p2"), "update")
+        .otherwise("unchanged")
+    )
+    zero = F.lit(0).cast("decimal(20,3)")
+    delta = F.coalesce(F.col("p2"), zero) - F.coalesce(F.col("p1"), zero)
+    return (
+        diff.select(change_type.alias("change_type"), delta.alias("delta"))
+        .groupBy("change_type")
+        .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            r4(F.sum("price").cast("double")).alias("sum_price"),
+            r4(F.sum("delta").cast("double")).alias("sum_price_delta"),
         )
-        nb_v = man.filter(F.col("version") == v).agg(
-            F.count(F.lit(1)).alias("n_buckets_version")
+        .crossJoin(F.broadcast(n_read))
+        .crossJoin(F.broadcast(n_v1))
+        .select(
+            "change_type", "n_rows", "sum_price_delta",
+            "n_buckets_read", "n_buckets_v1",
         )
-        per_version.append(
-            agg_v.withColumn("version", F.lit(v))
-            .crossJoin(F.broadcast(nb_v))
-            .crossJoin(F.broadcast(shared_cnt))
-        )
-    return per_version[0].unionByName(per_version[1]).select(
-        "version",
-        "o_orderstatus",
-        "n_rows",
-        "sum_price",
-        "n_buckets_version",
-        "n_buckets_shared",
     )
