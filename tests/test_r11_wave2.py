@@ -1,0 +1,158 @@
+"""Behavioral invariants + plan pins for the round-11 second-wave keys
+(§2-U): positional attribution, Kendall τ-b, neighbor Jaccard, filter
+ablation, MOR delete vectors, partition evolution, LTTB downsampling, and
+the LSH banding tuning report.
+
+Hash equality vs DuckDB is covered by tests/test_oracle.py (registry
+mirror); these tests pin the properties the hashes can't see — credit
+conservation, set-nesting monotonicity, MOR row accounting, partition
+pruning in the physical plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import upflow_spark  # noqa: F401
+from upflow_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_attribution_position_conserves_credit(spark):
+    """Basis-point credits must sum to exactly 1.0 per conversion, so the
+    channel-level credit_conversions column must total the purchase count."""
+    from pyspark.sql import functions as F
+
+    from upflow_spark.io import load
+
+    rows = QUERIES["events_attribution_position"](spark, SF).collect()
+    total_credit = sum(r["credit_conversions"] for r in rows)
+    n_purchases = (
+        load(spark, SF, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert abs(total_credit - n_purchases) < 1e-6
+    assert {r["channel"] for r in rows} <= {"click", "view", "organic"}
+
+
+def test_kendall_tau_bounds(spark):
+    for r in QUERIES["stat_kendall_tau"](spark, SF).collect():
+        n0 = r["n_sampled"] * (r["n_sampled"] - 1) // 2
+        assert r["conc"] + r["disc"] <= n0
+        assert r["ties_x"] <= n0 and r["ties_y"] <= n0
+        assert abs(r["tau_b"]) <= 1.0 + 1e-9
+
+
+def test_jaccard_neighbors_bounds(spark):
+    rows = QUERIES["graph_jaccard_neighbors"](spark, SF).collect()
+    assert rows, "no co-purchase pairs found at sf0.001"
+    for r in rows:
+        assert 0 < r["jaccard"] <= 1.0
+        assert r["inter"] <= min(r["deg1"], r["deg2"])
+        assert r["p1"] < r["p2"]
+
+
+def test_filter_ablation_accounting(spark):
+    rows = {r["filter_name"]: r for r in QUERIES["curation_filter_ablation"](spark, SF).collect()}
+    per_filter = [rows[k] for k in ("short", "few_words", "word_len", "non_alpha")]
+    any_row = rows["any"]
+    for r in per_filter:
+        assert r["n_fail_unique"] <= r["n_fail"] <= any_row["n_fail"]
+    # docs failing exactly one filter = sum of per-filter unique removals
+    assert sum(r["n_fail_unique"] for r in per_filter) == any_row["n_fail_unique"]
+
+
+def test_mor_delete_accounting(spark):
+    rows = {r["as_of"]: r for r in QUERIES["scan_delete_vectors_mor"](spark, SF).collect()}
+    assert rows[0]["n_deletes_applied"] == 0
+    for c in (1, 2):
+        # every applied delete removes exactly one base row
+        assert rows[0]["n_rows"] - rows[c]["n_rows"] == rows[c]["n_deletes_applied"]
+    assert rows[1]["n_deletes_applied"] <= rows[2]["n_deletes_applied"]
+    assert rows[1]["n_buckets_with_deletes"] <= rows[2]["n_buckets_with_deletes"]
+
+
+def test_mor_read_is_broadcast_anti_no_smj(spark):
+    """The MOR legs must stay broadcast anti/semi joins — a SortMergeJoin
+    here means the bounded delete index shuffled the whole base table."""
+    plan = _plan(spark, "scan_delete_vectors_mor")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partition_evolution_prunes_both_specs(spark):
+    """Each spec's scan must carry a PartitionFilters entry on its own
+    partition columns (y for spec v1; y and mo for spec v2) — the per-spec
+    pruning IS the operator's point."""
+    plan = _plan(spark, "scan_partition_evolution")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    nonempty = [ln for ln in pf if "(y" in ln or "y#" in ln]
+    assert len(nonempty) >= 2, f"expected pruned scans on both specs:\n{pf}"
+    assert any("mo" in ln for ln in nonempty), "spec v2 must prune on month too"
+
+
+def test_partition_evolution_amplification(spark):
+    rows = {r["spec"]: r for r in QUERIES["scan_partition_evolution"](spark, SF).collect()}
+    assert rows["by_year_month"]["read_amplification"] == pytest.approx(1.0)
+    assert rows["by_year"]["read_amplification"] >= 1.0
+    assert rows["by_year"]["n_rows_scanned"] >= rows["by_year"]["n_rows_matched"]
+
+
+def test_lttb_keeps_endpoints_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from upflow_spark.io import load
+    from upflow_spark.operators.timeseries2 import TSD_BUCKETS
+
+    out = QUERIES["ts_downsample_lttb"](spark, SF).collect()
+    by_type: dict = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    ev = (
+        load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .collect()
+    )
+    ends = {r["event_type"]: (r["mn"], r["mx"]) for r in ev}
+    for etype, rows in by_type.items():
+        assert len(rows) <= TSD_BUCKETS
+        ts_set = {r["ts"] for r in rows}
+        # first and last points of each series always survive
+        assert ends[etype][0] in ts_set
+        assert ends[etype][1] in ts_set
+
+
+def test_lsh_tuning_nested_configs_monotone(spark):
+    """With r dividing evenly (1|2|4|8), each coarser banding's candidate
+    set NESTS inside the finer one's: cand(16,1) ⊇ cand(8,2) ⊇ cand(4,4)
+    ⊇ cand(2,8) — so candidate counts and recall are monotone in band
+    count, and hits are bounded by both sides."""
+    rows = {r["config"]: r for r in QUERIES["dedup_lsh_tuning_report"](spark, SF).collect()}
+    order = ["b16r1", "b8r2", "b4r4", "b2r8"]
+    for cfg in order:
+        r = rows[cfg]
+        assert r["n_hits"] <= min(r["n_candidates"], r["n_true"])
+    for finer, coarser in zip(order, order[1:]):
+        assert rows[finer]["n_candidates"] >= rows[coarser]["n_candidates"]
+        assert rows[finer]["recall"] >= rows[coarser]["recall"]
+
+
+def test_lsh_tuning_b4r4_matches_shipped_banding(spark):
+    """The (4,4) config is exactly the shipped dedup_minhash_banded_pairs
+    banding — its candidate count must equal the production candidate
+    relation's."""
+    from upflow_spark.pipeline.minhash_sql import _distinct_candidates
+
+    rows = {r["config"]: r for r in QUERIES["dedup_lsh_tuning_report"](spark, SF).collect()}
+    shipped = _distinct_candidates(spark, SF).count()
+    assert rows["b4r4"]["n_candidates"] == shipped

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
-from upflow_spark.parity import r4
+from upflow_spark.parity import R4, r4
 from upflow_spark.registry import query
 
 TOUCH_TYPES = ("click", "view")
@@ -346,4 +346,131 @@ def seq_assemble_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("seq", 1).alias("first_type"),
         F.element_at("seq", -1).alias("last_type"),
         F.md5(F.concat_ws(">", "seq")).alias("seq_fp"),
+    )
+
+
+@query(
+    "events_attribution_position",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS conv_id, user_id, ts AS pts,
+         CAST(value AS DECIMAL(18,2)) AS val
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click','view')
+),
+j AS (
+  SELECT p.conv_id, p.val, t.event_type AS channel, t.ts, t.event_id
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND (t.ts < p.pts OR (t.ts = p.pts AND t.event_id < p.conv_id))
+   AND epoch_us(p.pts) - epoch_us(t.ts) <= {ATTR_WINDOW_US}
+),
+r AS (
+  SELECT conv_id, val, channel,
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM j
+),
+c AS (
+  SELECT channel, val,
+         CAST(CASE WHEN n = 1 THEN 10000
+                   WHEN n = 2 THEN 5000
+                   WHEN rn = 1 OR rn = n THEN 4000
+                   ELSE 2000 // (n - 2)
+                        + CASE WHEN rn = 2 THEN 2000 % (n - 2) ELSE 0 END
+              END AS BIGINT) AS bp
+  FROM r
+  UNION ALL
+  SELECT 'organic' AS channel, val, CAST(10000 AS BIGINT) AS bp
+  FROM p WHERE conv_id NOT IN (SELECT conv_id FROM j)
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       {R4("CAST(sum(bp) AS DOUBLE) / 10000")} AS credit_conversions,
+       {R4("CAST(sum(val * bp) AS DOUBLE) / 10000")} AS revenue_credited
+FROM c GROUP BY channel
+""",
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every purchase's
+    credit is split across ALL click/view touches in its 7-day lookback —
+    40% first touch, 40% last, 20% spread over the middles (1 touch → 100%,
+    2 touches → 50/50); untouched purchases stay 'organic'. Per channel:
+    touch count, credited conversions, credited revenue.
+
+    Exact-money design: credits are INTEGER BASIS POINTS that sum to
+    exactly 10000 per conversion (the 20% middle share is integer-divided
+    with the remainder assigned to the earliest middle touch), so credited
+    revenue is a DECIMAL×BIGINT integer-exact aggregate — no fractional
+    credit float ever crosses a row boundary, and both engines divide by
+    10000 once at the very end (the parity.py accumulation-order rule
+    applied to attribution math).
+
+    Plan: the touch-purchase pairing is a user-keyed equi-join with a
+    map-side lookback predicate (per-user touch sets are bounded), then
+    two windows over conv_id — a high-cardinality partition key, so both
+    the join and the windows spread across the cluster; the final rollup
+    carries ≤3 rows per partition. At 100 TB the only skew risk is a
+    power-user with massive touch history; the lookback predicate caps the
+    blast radius to 7 days per conversion.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    t = ev.filter(F.col("event_type").isin(*TOUCH_TYPES)).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    before = (F.col("ts") < F.col("pts")) | (
+        (F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("conv_id"))
+    )
+    within = (
+        F.unix_micros(F.col("pts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+        <= ATTR_WINDOW_US
+    )
+    cond = (F.col("p_user") == F.col("user_id")) & before & within
+    j = p.join(t, cond).select(
+        "conv_id", "val", F.col("event_type").alias("channel"), "ts", "event_id"
+    )
+    wo = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("conv_id")
+    r = j.select(
+        "conv_id",
+        "val",
+        "channel",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bp = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(4000))
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(F.col("rn") == 2, F.expr("2000 % (n - 2)")).otherwise(0)
+        )
+        .cast("long")
+    )
+    touched = r.select("channel", "val", bp.alias("bp"))
+    organic = p.join(t, cond, "left_anti").select(
+        F.lit("organic").alias("channel"),
+        "val",
+        F.lit(10000).cast("long").alias("bp"),
+    )
+    return (
+        touched.unionByName(organic)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            r4(F.sum("bp").cast("double") / 10000).alias("credit_conversions"),
+            r4(F.sum(F.col("val") * F.col("bp")).cast("double") / 10000).alias(
+                "revenue_credited"
+            ),
+        )
     )

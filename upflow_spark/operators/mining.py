@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from upflow_spark.io import load
 from upflow_spark.operators.rank2 import global_cumsum, global_ntile, global_row_number
-from upflow_spark.parity import r4
+from upflow_spark.parity import R4, r4
 from upflow_spark.pipeline.text import SQL_TOKENS, tokens_col
 from upflow_spark.registry import query
 
@@ -1170,3 +1170,86 @@ def events_uniques_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_users"
         ),
     )
+
+
+JN_MIN_CO = 2  # candidate pairs must share >= 2 orders
+JN_TOPK = 100
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS d FROM li GROUP BY l_partkey
+),
+co AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS inter
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {JN_MIN_CO}
+)
+SELECT p1, p2, inter, d1.d AS deg1, d2.d AS deg2,
+       {R4("CAST(inter AS DOUBLE) / (d1.d + d2.d - inter)")} AS jaccard
+FROM co
+JOIN deg d1 ON d1.l_partkey = p1
+JOIN deg d2 ON d2.l_partkey = p2
+ORDER BY jaccard DESC, p1, p2 LIMIT {JN_TOPK}
+""",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between parts in the co-purchase
+    graph: a part's neighborhood is the set of orders containing it, and
+    two parts are similar when those order sets overlap — the structural
+    link-prediction / substitute-detection primitive (same index family as
+    the document Jaccard keys, but over graph adjacency instead of
+    shingles). Top-{JN_TOPK} pairs by 4dp-rounded Jaccard (part-key
+    tie-break — rounding BEFORE ranking is the rounded-ADC discipline, so
+    the cut is engine-deterministic).
+
+    Plan: candidate generation is the open-triangle equi-join on the
+    shared order key — never an all-pairs product; its fan-out per order
+    is lines², bounded by the order-size cap (≤7 lineitems in TPC-H
+    shapes), and the ≥{JN_MIN_CO}-co-occurrence HAVING prunes the long
+    tail before the degree joins. At 100 TB the same plan holds with a
+    hot-order guard (drop or salt orders above a line-count ceiling — the
+    standard frequency cap every co-occurrence miner ships); degrees join
+    back by part key and the final top-k is a TakeOrdered, no global sort
+    materialization.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= JN_MIN_CO)
+    )
+    d1 = deg.select(F.col("l_partkey").alias("p1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("l_partkey").alias("p2"), F.col("d").alias("deg2"))
+    scored = (
+        co.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            "p1",
+            "p2",
+            "inter",
+            "deg1",
+            "deg2",
+            r4(
+                F.col("inter").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), "p1", "p2"
+    ).limit(JN_TOPK)

@@ -820,3 +820,128 @@ def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         r4(ssb / (F.col("qq") - F.col("cf"))).alias("eta_sq"),
     )
+
+
+KT_CAP = 80  # deterministic per-nation sample bound (exact τ is O(n²))
+
+
+@query(
+    "stat_kendall_tau",
+    oracle=f"""
+WITH samp AS (
+  SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS x
+  FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_custkey) AS rn
+        FROM customer)
+  WHERE rn <= {KT_CAP}
+),
+sp AS (
+  SELECT s.c_nationkey, s.c_custkey, s.x,
+         COALESCE(sum(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                  CAST(0 AS DECIMAL(18,2))) AS y
+  FROM samp s LEFT JOIN orders o ON o.o_custkey = s.c_custkey
+  GROUP BY s.c_nationkey, s.c_custkey, s.x
+),
+pairs AS (
+  SELECT a.c_nationkey AS nationkey,
+         CAST(count(*) FILTER ((a.x - b.x) * (a.y - b.y) > 0) AS BIGINT) AS conc,
+         CAST(count(*) FILTER ((a.x - b.x) * (a.y - b.y) < 0) AS BIGINT) AS disc,
+         CAST(count(*) FILTER (a.x = b.x) AS BIGINT) AS ties_x,
+         CAST(count(*) FILTER (a.y = b.y) AS BIGINT) AS ties_y
+  FROM sp a JOIN sp b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  GROUP BY a.c_nationkey
+),
+cnt AS (
+  SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM sp GROUP BY c_nationkey
+)
+SELECT p.nationkey, c.n_sampled, p.conc, p.disc, p.ties_x, p.ties_y,
+       {R4("CAST(p.conc - p.disc AS DOUBLE) / sqrt(CAST("
+           "(c.n_sampled * (c.n_sampled - 1) // 2 - p.ties_x)"
+           " * (c.n_sampled * (c.n_sampled - 1) // 2 - p.ties_y) AS DOUBLE))")}
+         AS tau_b
+FROM pairs p JOIN cnt c ON c.nationkey = p.nationkey
+""",
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation per nation between customer account
+    balance and realized order spend — the nonparametric concordance twin
+    of stat_spearman_rho (robust to any monotone transform, and the
+    estimator of choice when ties matter, which 2-decimal money data
+    guarantees).
+
+    Exact τ is O(n²) in pairs, so the contract bounds it: a DETERMINISTIC
+    per-nation sample (the KT_CAP smallest custkeys — trivially
+    reproducible in both engines; a production run would swap in the
+    hash-rank sampler from sample_topk_hashrank, same bound) caps each
+    group at KT_CAP·(KT_CAP−1)/2 pairs. The pair join is nation-bucketed
+    (equi-join on the group key, never a global cross product), so at
+    100 TB the quadratic term is per-group constant and the groups
+    parallelize; all concordance/tie counts are integer aggregates over
+    exact DECIMAL comparisons, and τ-b is finished in one identical IEEE
+    expression per engine (4dp-rounded).
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", F.col("c_acctbal").cast("decimal(12,2)").alias("x")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    samp = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KT_CAP)
+        .drop("rn")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("op")
+    )
+    sp = (
+        samp.join(o, samp["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_nationkey", "c_custkey", "x")
+        .agg(
+            F.coalesce(
+                F.sum("op"), F.lit(0).cast("decimal(18,2)")
+            ).alias("y")
+        )
+    )
+    a = sp.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("ka"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = sp.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("kb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        a.join(b, ["nationkey"])
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.when(prod > 0, 1)).alias("conc"),
+            F.count(F.when(prod < 0, 1)).alias("disc"),
+            F.count(F.when(F.col("xa") == F.col("xb"), 1)).alias("ties_x"),
+            F.count(F.when(F.col("ya") == F.col("yb"), 1)).alias("ties_y"),
+        )
+    )
+    cnt = sp.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    n0 = F.expr("n_sampled * (n_sampled - 1) div 2")
+    tau = r4(
+        (F.col("conc") - F.col("disc")).cast("double")
+        / F.sqrt(((n0 - F.col("ties_x")) * (n0 - F.col("ties_y"))).cast("double"))
+    )
+    return pairs.join(F.broadcast(cnt), "nationkey").select(
+        "nationkey",
+        "n_sampled",
+        "conc",
+        "disc",
+        "ties_x",
+        "ties_y",
+        tau.alias("tau_b"),
+    )

@@ -127,3 +127,159 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+TSD_BUCKETS = 24  # downsample target: points per series
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle=f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_type, ts, event_id,
+         CAST(epoch_us(ts) AS DOUBLE) AS x, value AS y,
+         ntile({TSD_BUCKETS}) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS bucket
+  FROM events
+),
+anch AS MATERIALIZED (
+  SELECT event_type, bucket,
+         CAST(sum(epoch_us(ts)) AS DOUBLE) / count(*) AS xm,
+         CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ym
+  FROM pts GROUP BY event_type, bucket
+),
+ctx AS MATERIALIZED (
+  SELECT event_type, bucket,
+         lag(xm)  OVER w AS xp, lag(ym)  OVER w AS yp,
+         lead(xm) OVER w AS xn, lead(ym) OVER w AS yn
+  FROM anch WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+nb AS MATERIALIZED (
+  SELECT event_type, max(bucket) AS lastb FROM pts GROUP BY event_type
+),
+scored AS MATERIALIZED (
+  SELECT p.event_type, p.bucket, p.ts, p.event_id, p.y, n.lastb,
+         COALESCE(
+           {R4("abs((c.xp - c.xn) * (p.y - c.yp)"
+               " - (c.xp - p.x) * (c.yn - c.yp))")},
+           -1.0) AS area
+  FROM pts p
+  JOIN ctx c ON c.event_type = p.event_type AND c.bucket = p.bucket
+  JOIN nb n  ON n.event_type = p.event_type
+),
+sel AS (
+  SELECT event_type, bucket, ts, y FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS rn
+    FROM scored WHERE bucket = 1) WHERE rn = 1
+  UNION ALL
+  SELECT event_type, bucket, ts, y FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM scored WHERE bucket = lastb AND lastb > 1) WHERE rn = 1
+  UNION ALL
+  SELECT event_type, bucket, ts, y FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                 ORDER BY area DESC, ts, event_id) AS rn
+    FROM scored WHERE bucket > 1 AND bucket < lastb) WHERE rn = 1
+)
+SELECT event_type, bucket, ts, y AS value FROM sel
+""",
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style visual downsampling (Steinarsson's
+    largest-triangle-three-buckets, fixed-anchor variant): each per-type
+    series collapses to ≤{TSD_BUCKETS} points — equal-count buckets, and
+    from each middle bucket the point forming the LARGEST TRIANGLE with
+    the neighboring buckets' mean anchors survives (first/last points are
+    always kept). The downsample every dashboard runs before plotting a
+    billion-point series: it preserves spikes and inflections that
+    uniform/mean sampling erases.
+
+    The fixed-anchor variant (neighbors' MEANS as triangle vertices, vs
+    the original's previously-SELECTED point) is chosen deliberately: it
+    removes the sequential bucket-to-bucket dependency, so the whole
+    operator is two windows + one aggregate join — embarrassingly
+    parallel per series at any scale, while the original is an inherently
+    serial scan. Anchor means come from exact integer/decimal sums cast
+    to double once; triangle areas are identical IEEE expression trees
+    both engines round to 4dp BEFORE the argmax rank (the rounded-ADC
+    tie-break discipline, ties broken by ts then event_id).
+    """
+    ev = load(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("x"),
+        F.col("value").alias("y"),
+        F.ntile(TSD_BUCKETS).over(wt).alias("bucket"),
+    )
+    anch = pts.groupBy("event_type", "bucket").agg(
+        (
+            F.sum(F.unix_micros(F.col("ts").cast("timestamp"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("xm"),
+        (
+            F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ym"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    ctx = anch.select(
+        "event_type",
+        "bucket",
+        F.lag("xm").over(wb).alias("xp"),
+        F.lag("ym").over(wb).alias("yp"),
+        F.lead("xm").over(wb).alias("xn"),
+        F.lead("ym").over(wb).alias("yn"),
+    )
+    nb = pts.groupBy("event_type").agg(F.max("bucket").alias("lastb"))
+    area = F.coalesce(
+        r4(
+            F.abs(
+                (F.col("xp") - F.col("xn")) * (F.col("y") - F.col("yp"))
+                - (F.col("xp") - F.col("x")) * (F.col("yn") - F.col("yp"))
+            )
+        ),
+        F.lit(-1.0),
+    )
+    scored = (
+        pts.join(ctx, ["event_type", "bucket"])
+        .join(F.broadcast(nb), "event_type")
+        .select(
+            "event_type", "bucket", "ts", "event_id", "y", "lastb",
+            area.alias("area"),
+        )
+    )
+    w_first = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    w_mid = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("area"), "ts", "event_id"
+    )
+    first = (
+        scored.filter(F.col("bucket") == 1)
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+    )
+    last = (
+        scored.filter((F.col("bucket") == F.col("lastb")) & (F.col("lastb") > 1))
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+    )
+    mid = (
+        scored.filter(
+            (F.col("bucket") > 1) & (F.col("bucket") < F.col("lastb"))
+        )
+        .withColumn("rn", F.row_number().over(w_mid))
+        .filter(F.col("rn") == 1)
+    )
+    cols = ["event_type", "bucket", "ts", F.col("y").alias("value")]
+    return (
+        first.select(*cols)
+        .unionByName(last.select(*cols))
+        .unionByName(mid.select(*cols))
+    )

@@ -597,3 +597,136 @@ def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(ratio).alias("soft_ratio"),
         ((F.size(hard) == 0) & (ratio < BLOCK_RATIO_MAX)).alias("kept"),
     )
+
+
+@query(
+    "curation_filter_ablation",
+    oracle=f"""
+WITH feat AS (
+  SELECT length(text) AS nc,
+         len({SQL_TOKENS}) AS nw,
+         COALESCE(list_sum(list_transform({SQL_TOKENS},
+                                          t -> CAST(length(t) AS BIGINT))), 0)
+           AS sl,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na
+  FROM documents
+),
+flags AS (
+  SELECT CASE WHEN nc < 100 THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN nw < 20 THEN 1 ELSE 0 END AS f_words,
+         CASE WHEN 3 * nw <= sl AND sl <= 10 * nw THEN 0 ELSE 1 END AS f_wordlen,
+         CASE WHEN 10 * na < 6 * nc THEN 1 ELSE 0 END AS f_alpha
+  FROM feat
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(f_short) AS BIGINT) AS s_short,
+         CAST(sum(f_words) AS BIGINT) AS s_words,
+         CAST(sum(f_wordlen) AS BIGINT) AS s_wordlen,
+         CAST(sum(f_alpha) AS BIGINT) AS s_alpha,
+         CAST(count(*) FILTER (f_short + f_words + f_wordlen + f_alpha >= 1)
+              AS BIGINT) AS s_any,
+         CAST(count(*) FILTER (f_short = 1 AND f_words + f_wordlen + f_alpha = 0)
+              AS BIGINT) AS u_short,
+         CAST(count(*) FILTER (f_words = 1 AND f_short + f_wordlen + f_alpha = 0)
+              AS BIGINT) AS u_words,
+         CAST(count(*) FILTER (f_wordlen = 1 AND f_short + f_words + f_alpha = 0)
+              AS BIGINT) AS u_wordlen,
+         CAST(count(*) FILTER (f_alpha = 1 AND f_short + f_words + f_wordlen = 0)
+              AS BIGINT) AS u_alpha,
+         CAST(count(*) FILTER (f_short + f_words + f_wordlen + f_alpha = 1)
+              AS BIGINT) AS u_any
+  FROM flags
+)
+SELECT f.filter_name, t.n_docs, f.n_fail, f.n_fail_unique,
+       {R4("CAST(f.n_fail AS DOUBLE) / t.n_docs")} AS fail_frac
+FROM tot t, LATERAL (
+  VALUES ('short', t.s_short, t.u_short),
+         ('few_words', t.s_words, t.u_words),
+         ('word_len', t.s_wordlen, t.u_wordlen),
+         ('non_alpha', t.s_alpha, t.u_alpha),
+         ('any', t.s_any, t.u_any)
+) AS f(filter_name, n_fail, n_fail_unique)
+""",
+)
+def curation_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-filter ablation report over the quality-filter stack: for each
+    of four deterministic document filters (too short, too few words, mean
+    word length out of band, low alphabetic ratio) — how many docs it
+    fails, and how many it REMOVES UNIQUELY (fails it and nothing else),
+    plus the 'any' row (union removal / exactly-one removal). The report
+    every curation change review starts from: a filter with high unique
+    removal is load-bearing; one with zero is redundant with the rest of
+    the stack.
+
+    All four predicates are INTEGER-EXACT (mean-word-length band as
+    cross-multiplied integer comparisons 3·n ≤ Σlen ≤ 10·n; alpha ratio as
+    10·alpha < 6·chars) so no float ever decides membership. ONE corpus
+    scan computes all flags map-side (array HOFs, no explode), ONE global
+    aggregate produces every count, and the 5-row report is an unpivot of
+    that single row — at 100 TB this is a single pass with partial
+    aggregation regardless of how many filters the stack grows.
+    """
+    toks = tokens_col()
+    feat = load(spark, sf_dir, "documents").select(
+        F.length("text").alias("nc"),
+        F.size(toks).alias("nw"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0).cast("long"),
+        ).alias("sl"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("na"),
+    )
+    i = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    flags = feat.select(
+        i(F.col("nc") < 100).alias("f_short"),
+        i(F.col("nw") < 20).alias("f_words"),
+        i(~((3 * F.col("nw") <= F.col("sl")) & (F.col("sl") <= 10 * F.col("nw")))).alias(
+            "f_wordlen"
+        ),
+        i(10 * F.col("na") < 6 * F.col("nc")).alias("f_alpha"),
+    )
+    nfl = F.col("f_short") + F.col("f_words") + F.col("f_wordlen") + F.col("f_alpha")
+    others = {
+        "short": F.col("f_words") + F.col("f_wordlen") + F.col("f_alpha"),
+        "few_words": F.col("f_short") + F.col("f_wordlen") + F.col("f_alpha"),
+        "word_len": F.col("f_short") + F.col("f_words") + F.col("f_alpha"),
+        "non_alpha": F.col("f_short") + F.col("f_words") + F.col("f_wordlen"),
+    }
+    own = {
+        "short": F.col("f_short"),
+        "few_words": F.col("f_words"),
+        "word_len": F.col("f_wordlen"),
+        "non_alpha": F.col("f_alpha"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name in own:
+        aggs.append(F.sum(own[name]).alias(f"s_{name}"))
+        aggs.append(
+            F.count(F.when((own[name] == 1) & (others[name] == 0), 1)).alias(
+                f"u_{name}"
+            )
+        )
+    aggs.append(F.count(F.when(nfl >= 1, 1)).alias("s_any"))
+    aggs.append(F.count(F.when(nfl == 1, 1)).alias("u_any"))
+    tot = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', s_{name}, u_{name}"
+        for name in [*own, "any"]
+    )
+    return tot.select(
+        F.expr(
+            f"stack(5, {stack_args}) AS (filter_name, n_fail, n_fail_unique)"
+        ),
+        "n_docs",
+    ).select(
+        "filter_name",
+        "n_docs",
+        "n_fail",
+        "n_fail_unique",
+        r4(F.col("n_fail").cast("double") / F.col("n_docs")).alias("fail_frac"),
+    )

@@ -793,3 +793,274 @@ def scan_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFram
             "n_buckets_read", "n_buckets_v1",
         )
     )
+
+
+@query(
+    "scan_delete_vectors_mor",
+    oracle=f"""
+WITH m AS (
+  SELECT max(o_orderkey) AS mx,
+         CAST(floor((max(o_orderkey) + {N_BUCKETS}.0) / {N_BUCKETS}) AS BIGINT)
+           AS step,
+         CAST(floor(max(o_orderkey) / {SNAP_CHANGE_FRACTION}.0) AS BIGINT) AS hi
+  FROM orders
+),
+base AS MATERIALIZED (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price,
+         CAST(floor(o_orderkey / step) AS INT) AS bucket
+  FROM orders, m
+),
+del AS MATERIALIZED (
+  SELECT b.o_orderkey, b.bucket, 1 AS cmt
+  FROM base b, m WHERE b.o_orderkey <= m.hi AND b.o_orderkey % 11 = 0
+  UNION ALL
+  SELECT b.o_orderkey, b.bucket, 2 AS cmt
+  FROM base b, m
+  WHERE b.o_orderkey <= m.hi AND b.o_orderkey % 13 = 0
+    AND b.o_orderkey % 11 <> 0
+),
+lv AS (SELECT unnest([0, 1, 2]) AS as_of)
+SELECT lv.as_of,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {R4("CAST(sum(b.price) AS DOUBLE)")} AS sum_price,
+       COALESCE((SELECT CAST(count(*) AS BIGINT) FROM del
+                 WHERE cmt <= lv.as_of), 0) AS n_deletes_applied,
+       COALESCE((SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM del
+                 WHERE cmt <= lv.as_of), 0) AS n_buckets_with_deletes
+FROM lv, base b
+WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del WHERE cmt <= lv.as_of)
+GROUP BY lv.as_of
+""",
+)
+def scan_delete_vectors_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETION VECTORS — the read-path dual of
+    scan_snapshot_asof's copy-on-write fold: instead of rewriting touched
+    buckets, two delete commits write small position-delete files
+    (bucket, key) beside the untouched base data, and every read applies
+    them on the fly. Graded output = the table state AS OF each commit
+    level (0 = base, 1, 2): surviving rows, exact-decimal price sum, and
+    the delete-index bill (entries applied + buckets carrying deletes).
+
+    The read plan is the two-leg MOR shape the real formats use: buckets
+    ABSENT from the delete index stream through untouched (anti-join on
+    the broadcast bucket set — zero per-row work), and only buckets WITH
+    deletes pay the per-row anti-join against the delete keys. Deletes
+    are gathered BY JOIN from the read-back delete files (never a
+    collected id list); commit 2 excludes keys already dead in commit 1,
+    so applied-entry counts are exact, not double-counted.
+
+    At 100 TB this is why engines choose MOR for high-churn tables: a
+    delete commit costs O(deleted keys), not O(touched partitions)
+    rewritten; the read-side tax is confined to the delete-bearing
+    buckets, and compaction (sink_compaction_binpack) amortizes it away
+    on schedule. The per-bucket anti-join co-partitions with the data at
+    any scale (broadcast here only because the fixture's delete set is
+    bounded).
+    """
+    data_dir, _ = _snapshot_layout(spark, sf_dir)
+    del_path = _mor_deletes(spark, sf_dir)
+    base = spark.read.parquet(data_dir + "/gen=1")
+    dv = spark.read.parquet(del_path)
+    out = []
+    for c in (0, 1, 2):
+        d_c = dv.filter(F.col("cmt") <= c)
+        db = d_c.select("bucket").distinct()
+        clean = base.join(F.broadcast(db), "bucket", "anti")
+        mor = base.join(F.broadcast(db), "bucket", "semi").join(
+            F.broadcast(d_c.select("o_orderkey")), "o_orderkey", "anti"
+        )
+        alive = clean.select("o_orderkey", "price").unionByName(
+            mor.select("o_orderkey", "price")
+        )
+        agg = alive.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(F.sum("price").cast("double")).alias("sum_price"),
+        )
+        stats = d_c.agg(
+            F.count(F.lit(1)).alias("n_deletes_applied"),
+            F.countDistinct("bucket").alias("n_buckets_with_deletes"),
+        )
+        out.append(
+            agg.withColumn("as_of", F.lit(c)).crossJoin(F.broadcast(stats))
+        )
+    res = out[0].unionByName(out[1]).unionByName(out[2])
+    return res.select(
+        "as_of", "n_rows", "sum_price", "n_deletes_applied",
+        "n_buckets_with_deletes",
+    )
+
+
+_mor_delete_paths: dict = {}
+
+
+def _mor_deletes(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+fixture) the two position-delete commits as
+    commit-partitioned parquet beside the snapshot layout's gen-1 data."""
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    memo_key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    if memo_key in _mor_delete_paths:
+        return _mor_delete_paths[memo_key]
+    for stale in [k for k in _mor_delete_paths if k != memo_key]:
+        _mor_delete_paths.pop(stale)
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    mx = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    step = (mx + N_BUCKETS) // N_BUCKETS
+    hi = mx // SNAP_CHANGE_FRACTION
+    bucket = F.floor(F.col("o_orderkey") / F.lit(step)).cast("int").alias("bucket")
+    in_scope = F.col("o_orderkey") <= hi
+    d1 = o.filter(in_scope & (F.col("o_orderkey") % 11 == 0)).select(
+        "o_orderkey", bucket, F.lit(1).alias("cmt")
+    )
+    d2 = o.filter(
+        in_scope
+        & (F.col("o_orderkey") % 13 == 0)
+        & (F.col("o_orderkey") % 11 != 0)
+    ).select("o_orderkey", bucket, F.lit(2).alias("cmt"))
+    path = _work_dir(spark, sf_dir, "snapshot") + "/deletes"
+    d1.unionByName(d2).write.mode("overwrite").partitionBy("cmt").parquet(path)
+    _mor_delete_paths[memo_key] = path
+    return path
+
+
+PE_YEAR, PE_MAX_MONTH = 1996, 6
+
+
+@query(
+    "scan_partition_evolution",
+    oracle=f"""
+WITH m AS (SELECT CAST(floor(max(o_orderkey) / 2.0) AS BIGINT) AS mid FROM orders),
+spec1 AS MATERIALIZED (
+  SELECT o_totalprice, year(o_orderdate) AS y, month(o_orderdate) AS mo
+  FROM orders, m WHERE o_orderkey <= m.mid
+),
+spec2 AS MATERIALIZED (
+  SELECT o_totalprice, year(o_orderdate) AS y, month(o_orderdate) AS mo
+  FROM orders, m WHERE o_orderkey > m.mid
+),
+s1scan AS MATERIALIZED (SELECT * FROM spec1 WHERE y = {PE_YEAR}),
+s2scan AS MATERIALIZED (
+  SELECT * FROM spec2 WHERE y = {PE_YEAR} AND mo <= {PE_MAX_MONTH}
+)
+SELECT 'by_year' AS spec,
+       (SELECT CAST(count(DISTINCT y) AS BIGINT) FROM s1scan)
+         AS n_partitions_read,
+       (SELECT CAST(count(*) AS BIGINT) FROM s1scan) AS n_rows_scanned,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       {R4("CAST((SELECT count(*) FROM s1scan) AS DOUBLE) / count(*)")}
+         AS read_amplification,
+       {R4("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")}
+         AS sum_price
+FROM s1scan WHERE mo <= {PE_MAX_MONTH}
+UNION ALL
+SELECT 'by_year_month' AS spec,
+       (SELECT CAST(count(DISTINCT y * 100 + mo) AS BIGINT) FROM s2scan)
+         AS n_partitions_read,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2scan) AS n_rows_scanned,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       {R4("CAST((SELECT count(*) FROM s2scan) AS DOUBLE) / count(*)")}
+         AS read_amplification,
+       {R4("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")}
+         AS sum_price
+FROM s2scan
+""",
+)
+def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (the Iceberg headline feature the layout
+    keys hadn't covered): the table's older half was written under spec v1
+    (partitioned by year) and the newer half under spec v2 (year, month) —
+    one logical table, two physical layouts, and the engine must plan each
+    file group under ITS OWN spec. The graded probe runs the same logical
+    filter (year {PE_YEAR}, months ≤ {PE_MAX_MONTH}) against both specs
+    and reports the read bill per spec: partitions touched, rows scanned
+    vs rows matched, and the read-amplification ratio — the old
+    year-grained spec over-reads ~2× (it must scan the whole year to
+    return half of it) while the evolved spec reads exactly the matching
+    months. That measured gap IS the business case for evolving a spec.
+
+    The scan legs filter ONLY on partition columns (so rows_scanned is
+    precisely what partition pruning admits — the residual month predicate
+    then runs map-side on the v1 leg), and each spec is written one file
+    per partition (repartition on the partition columns before
+    partitionBy, the binpack determinism rule). At 100 TB this is the
+    mixed-layout reality of any long-lived table: old specs are never
+    rewritten, new writes get finer grain, and per-spec pruning keeps the
+    union read proportional to each layout's best ability.
+    """
+    d1, d2 = _pe_layout(spark, sf_dir)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+
+    scan1 = spark.read.parquet(d1).filter(F.col("y") == PE_YEAR)
+    s1 = scan1.agg(
+        F.countDistinct("y").alias("n_partitions_read"),
+        F.count(F.lit(1)).alias("n_rows_scanned"),
+    )
+    m1 = scan1.filter(F.col("mo") <= PE_MAX_MONTH).agg(
+        F.count(F.lit(1)).alias("n_rows_matched"),
+        r4(F.sum(dec).cast("double")).alias("sum_price"),
+    )
+    row1 = s1.crossJoin(F.broadcast(m1)).select(
+        F.lit("by_year").alias("spec"),
+        "n_partitions_read",
+        "n_rows_scanned",
+        "n_rows_matched",
+        r4(
+            F.col("n_rows_scanned").cast("double") / F.col("n_rows_matched")
+        ).alias("read_amplification"),
+        "sum_price",
+    )
+
+    scan2 = spark.read.parquet(d2).filter(
+        (F.col("y") == PE_YEAR) & (F.col("mo") <= PE_MAX_MONTH)
+    )
+    row2 = scan2.agg(
+        F.countDistinct(F.col("y") * 100 + F.col("mo")).alias("n_partitions_read"),
+        F.count(F.lit(1)).alias("n_rows_scanned"),
+        F.count(F.lit(1)).alias("n_rows_matched"),
+        r4(F.sum(dec).cast("double")).alias("sum_price"),
+    ).select(
+        F.lit("by_year_month").alias("spec"),
+        "n_partitions_read",
+        "n_rows_scanned",
+        "n_rows_matched",
+        r4(
+            F.col("n_rows_scanned").cast("double") / F.col("n_rows_matched")
+        ).alias("read_amplification"),
+        "sum_price",
+    )
+    return row1.unionByName(row2)
+
+
+_pe_layouts: dict = {}
+
+
+def _pe_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write (once per session+fixture) the two partition-spec generations:
+    older orders under spec v1 = (y), newer under spec v2 = (y, mo); one
+    file per partition (repartition on the partition columns)."""
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    memo_key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    if memo_key in _pe_layouts:
+        return _pe_layouts[memo_key]
+    for stale in [k for k in _pe_layouts if k != memo_key]:
+        _pe_layouts.pop(stale)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+    )
+    mid = int(o.agg(F.max("o_orderkey")).collect()[0][0]) // 2
+    base = _work_dir(spark, sf_dir, "partevo")
+    d1, d2 = base + "/spec1", base + "/spec2"
+    o.filter(F.col("o_orderkey") <= mid).repartition("y").write.mode(
+        "overwrite"
+    ).partitionBy("y").parquet(d1)
+    o.filter(F.col("o_orderkey") > mid).repartition("y", "mo").write.mode(
+        "overwrite"
+    ).partitionBy("y", "mo").parquet(d2)
+    _pe_layouts[memo_key] = (d1, d2)
+    return d1, d2
