@@ -626,6 +626,7 @@ TINY_WINDOW_OK = {
     "sort_nulls_ordering": "row_number over the LIMIT 50 TakeOrdered result",
     "text_zipf_slope": "rank over the bounded (Heaps-law) term vocabulary",
     "stat_theil_sen": "median rank over O(day-span²) slope pairs — scale-invariant in rows",
+    "events_survival_km": "KM ordered product over the per-lifetime-day rollup (≤ observation-window days at any scale)",
     # §2-E window-primitive key: tests Spark's own unpartitioned frame per
     # the SURVEY contract
     "win_percent_cume": "§2-E primitive key — the unpartitioned frame IS the surface",

@@ -156,3 +156,64 @@ def test_lsh_tuning_b4r4_matches_shipped_banding(spark):
     rows = {r["config"]: r for r in QUERIES["dedup_lsh_tuning_report"](spark, SF).collect()}
     shipped = _distinct_candidates(spark, SF).count()
     assert rows["b4r4"]["n_candidates"] == shipped
+
+
+# ---- batch 3 (wave 3): VAD, KM survival, permutation test, HDR hist, CDC stream
+
+
+def test_vad_segments_well_formed(spark):
+    rows = QUERIES["multimodal_audio_vad_segments"](spark, SF).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        assert r["n_frames"] == r["end_frame"] - r["start_frame"] + 1
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for segs in by_doc.values():
+        segs.sort(key=lambda r: r["start_frame"])
+        for i, r in enumerate(segs):
+            assert r["seg_idx"] == i + 1
+        for a, b in zip(segs, segs[1:]):
+            # a gap of >= 1 unvoiced frame separates segments
+            assert b["start_frame"] > a["end_frame"] + 1
+
+
+def test_survival_km_monotone(spark):
+    rows = sorted(
+        QUERIES["events_survival_km"](spark, SF).collect(),
+        key=lambda r: r["t_minutes"],
+    )
+    assert rows
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s + 1e-9
+        if prev_n is not None:
+            assert r["n_at_risk"] <= prev_n
+        assert r["n_events"] <= r["n_at_risk"]
+        prev_s, prev_n = r["survival"], r["n_at_risk"]
+
+
+def test_permutation_test_sane(spark):
+    r = QUERIES["stat_permutation_test"](spark, SF).collect()[0]
+    assert r["n_ge"] <= r["n_perms"]
+    assert 0 < r["p_value"] <= 1.0
+    assert r["stat_obs"] >= 0.0
+    assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_hdr_quantile_bucket_contains_exact(spark):
+    rows = QUERIES["agg_hdr_histogram_quantiles"](spark, SF).collect()
+    assert {r["quantile"] for r in rows} == {"p50", "p95", "p99"}
+    for r in rows:
+        # the chosen sketch bucket must bracket the true order statistic
+        assert r["est_lo_cents"] <= r["exact_cents"] <= r["est_hi_cents"]
+        assert r["rel_err_lo"] < 1.0  # log2 buckets: floor within 2x of truth
+
+
+def test_stream_snapshot_cdc_versions(spark):
+    rows = {r["version"]: r for r in QUERIES["stream_snapshot_cdc_apply"](spark, SF).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # initial write rewrites every bucket; later versions only touched ones
+    assert rows[1]["n_buckets_rewritten"] == rows[1]["n_buckets"]
+    for v in (2, 3, 4):
+        assert rows[v]["n_buckets_rewritten"] <= rows[v]["n_buckets"]
+        assert rows[v]["n_buckets_rewritten"] > 0

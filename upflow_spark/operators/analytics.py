@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from upflow_spark.io import load
 from upflow_spark.operators.rank2 import global_ntile
-from upflow_spark.parity import r4
+from upflow_spark.parity import R4, r4
 from upflow_spark.registry import query
 
 
@@ -910,4 +910,127 @@ def events_user_lifecycle_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         lagged.select(F.col("wk").alias("week_start"), state.alias("state"))
         .groupBy("week_start", "state")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+HDR_QS = ((50, "p50"), (95, "p95"), (99, "p99"))  # percentiles, integer-exact ranks
+
+
+@query(
+    "agg_hdr_histogram_quantiles",
+    oracle=f"""
+WITH cents AS MATERIALIZED (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders
+),
+hist AS MATERIALIZED (
+  SELECT length(bin(c)) - 1 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cents GROUP BY length(bin(c)) - 1
+),
+cum AS MATERIALIZED (
+  SELECT a.bucket, a.cnt, CAST(sum(b.cnt) AS BIGINT) AS cum_cnt
+  FROM hist a JOIN hist b ON b.bucket <= a.bucket
+  GROUP BY a.bucket, a.cnt
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM cents),
+qs AS (
+  SELECT q, lbl, (q * n_rows + 99) // 100 AS k, n_rows
+  FROM n, (VALUES {", ".join(f"({q}, '{lbl}')" for q, lbl in HDR_QS)}) AS v(q, lbl)
+),
+est AS (
+  SELECT qs.lbl, qs.q, qs.k, qs.n_rows,
+         min(cum.bucket) AS bucket
+  FROM qs JOIN cum ON cum.cum_cnt >= qs.k
+  GROUP BY qs.lbl, qs.q, qs.k, qs.n_rows
+),
+ranked AS MATERIALIZED (
+  SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rn FROM cents
+)
+SELECT e.lbl AS quantile, e.n_rows, e.bucket,
+       CAST(2 ** e.bucket AS BIGINT) AS est_lo_cents,
+       CAST(2 ** (e.bucket + 1) - 1 AS BIGINT) AS est_hi_cents,
+       r.c AS exact_cents,
+       {R4("abs(CAST(2 ** e.bucket AS DOUBLE) - r.c) / r.c")} AS rel_err_lo
+FROM est e JOIN ranked r ON r.rn = e.k
+""",
+)
+def agg_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style MERGEABLE histogram quantiles: order totals in exact
+    cents land in power-of-two (log2) buckets — an integer-exact sketch
+    whose per-bucket counts are associative, so partial histograms from a
+    thousand executors (or a thousand days) merge by addition, the
+    property percentile-monitoring at 100 TB actually needs. For p50/p95/
+    p99 the graded row carries the sketch's bucket bounds AND the true
+    order statistic at the same integer rank, with the relative error of
+    the bucket floor — the sketch-vs-exact honesty check built into the
+    operator.
+
+    Integer discipline end-to-end: bucket = bit-length(cents) − 1 (never
+    floor(log2(double)) — a ULP near a power of two must not move a
+    bucket), ranks k = ceil(q·n) as pure integer arithmetic, and the
+    exact order statistic rides the two-phase rank primitive
+    (operators/rank2.py — no single-partition global sort). The
+    cumulative bucket walk is a ≤64-row inequality self-join (bucket
+    count is bounded by the value range's bit width at any scale).
+    """
+    from upflow_spark.operators.rank2 import global_row_number
+
+    o = load(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    hist = cents.groupBy(
+        (F.length(F.bin(F.col("c"))) - 1).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ha = hist.select("bucket", "cnt")
+    hb = hist.select(F.col("bucket").alias("b2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        ha.join(hb, F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket", "cnt")
+        .agg(F.sum("cnt2").alias("cum_cnt"))
+    )
+    n = cents.agg(F.count(F.lit(1)).alias("n_rows"))
+    qs = (
+        spark.createDataFrame(
+            [(q, lbl) for q, lbl in HDR_QS], "q INT, lbl STRING"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "q",
+            "lbl",
+            ((F.col("q") * F.col("n_rows") + 99) / 100)
+            .cast("bigint")
+            .alias("k"),
+            "n_rows",
+        )
+    )
+    est = (
+        qs.join(cum, F.col("cum_cnt") >= F.col("k"))
+        .groupBy("lbl", "q", "k", "n_rows")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    ranked = global_row_number(cents, ["c", "o_orderkey"], out="rn")
+    exact = ranked.select("rn", F.col("c").alias("exact_cents"))
+    lo = F.pow(F.lit(2.0), F.col("bucket")).cast("bigint")
+    hi = (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1).cast("bigint")
+    return (
+        est.join(exact, est["k"] == exact["rn"])
+        .select(
+            F.col("lbl").alias("quantile"),
+            "n_rows",
+            "bucket",
+            lo.alias("est_lo_cents"),
+            hi.alias("est_hi_cents"),
+            "exact_cents",
+            r4(
+                F.abs(
+                    F.pow(F.lit(2.0), F.col("bucket")) - F.col("exact_cents")
+                )
+                / F.col("exact_cents")
+            ).alias("rel_err_lo"),
+        )
     )

@@ -474,3 +474,136 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+KM_GAP_US = 30 * 60 * 1_000_000  # session gap rule (30 min)
+KM_CENSOR_US = 3600 * 1_000_000  # sessions ending within 1h of horizon: censored
+
+
+@query(
+    "events_survival_km",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {KM_GAP_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM g
+),
+ses AS MATERIALIZED (
+  SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+  FROM s GROUP BY user_id, sid
+),
+h AS (SELECT max(en) AS horizon FROM ses),
+u AS MATERIALIZED (
+  SELECT CAST(floor((epoch_us(en) - epoch_us(st)) / 60000000.0) AS BIGINT) AS t,
+         CASE WHEN epoch_us(horizon) - epoch_us(en) >= {KM_CENSOR_US}
+              THEN 1 ELSE 0 END AS ev
+  FROM ses, h
+),
+cnts AS MATERIALIZED (
+  SELECT t, CAST(count(*) AS BIGINT) AS c_all, CAST(sum(ev) AS BIGINT) AS d_t
+  FROM u GROUP BY t
+),
+r AS MATERIALIZED (
+  SELECT a.t, a.d_t, CAST(sum(b.c_all) AS BIGINT) AS n_t
+  FROM cnts a JOIN cnts b ON b.t >= a.t
+  GROUP BY a.t, a.d_t
+)
+SELECT t AS t_minutes, n_t AS n_at_risk, d_t AS n_events,
+       CASE WHEN max(CASE WHEN d_t = n_t THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t) = 1 THEN 0.0
+            ELSE {R4("exp(sum(CASE WHEN d_t < n_t THEN "
+                     "ln(1.0 - CAST(d_t AS DOUBLE) / n_t) END) "
+                     "OVER (ORDER BY t))")}
+       END AS survival
+FROM r WHERE d_t > 0
+""",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over SESSION durations: sessions come
+    from the 30-minute gap rule, a session's lifetime is its
+    first-to-last-event span in whole minutes, and sessions ending within
+    an hour of the observation horizon are CENSORED (they may still have
+    been live when the window closed); everyone else is an 'ended'
+    event at their duration. Per event time: risk-set size, ended count,
+    and the KM estimate Π(1 − d/n) — the duration curve that handles
+    right-censoring correctly, which a naive duration histogram doesn't.
+
+    Shape: the sessionize pass is two user-partitioned windows + one
+    groupBy (the sessionize_gap plan family, high-cardinality keys), and
+    everything after happens on the per-duration-minute rollup — a
+    relation bounded by the longest session in minutes at ANY corpus
+    scale, so the risk-set inequality join and the ordered product are
+    constant-size. The running product is exp(Σ ln(1−d/n)) in the SAME
+    ordered window on both engines (the ts_cusum explicit-order
+    precedent), from doubles derived identically from integer counts;
+    the unpartitioned window is justified in TINY_WINDOW_OK.
+    """
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(F.col("ts")).over(wo)
+    ns = F.when(
+        prev.isNull()
+        | (eus - F.unix_micros(prev.cast("timestamp")) > KM_GAP_US),
+        1,
+    ).otherwise(0)
+    g = ev.select("user_id", "ts", "event_id", ns.alias("ns"))
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum("ns").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("sid"),
+    )
+    ses = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    h = ses.agg(F.max("en").alias("horizon"))
+    en_us = F.unix_micros(F.col("en").cast("timestamp"))
+    st_us = F.unix_micros(F.col("st").cast("timestamp"))
+    hor_us = F.unix_micros(F.col("horizon").cast("timestamp"))
+    u = ses.crossJoin(F.broadcast(h)).select(
+        F.floor((en_us - st_us) / 60000000.0).cast("long").alias("t"),
+        F.when(hor_us - en_us >= KM_CENSOR_US, 1).otherwise(0).alias("ev"),
+    )
+    cnts = u.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("ev").alias("d_t")
+    )
+    a = cnts.select(F.col("t"), F.col("d_t"))
+    b = cnts.select(F.col("t").alias("t2"), F.col("c_all"))
+    r = (
+        a.join(b, F.col("t2") >= F.col("t"))
+        .groupBy("t", "d_t")
+        .agg(F.sum("c_all").alias("n_t"))
+    )
+    # KM convention: once d_t = n_t (the whole risk set ends) survival is
+    # exactly 0 from that time on — branch BEFORE ln so neither engine
+    # evaluates ln(0) (DuckDB raises, Spark nulls)
+    w = Window.orderBy("t")
+    factor = F.when(
+        F.col("d_t") < F.col("n_t"),
+        F.log(1.0 - F.col("d_t").cast("double") / F.col("n_t")),
+    )
+    zero_seen = F.max(
+        F.when(F.col("d_t") == F.col("n_t"), 1).otherwise(0)
+    ).over(w)
+    surv = F.when(zero_seen == 1, F.lit(0.0)).otherwise(
+        r4(F.exp(F.sum(factor).over(w)))
+    )
+    return (
+        r.withColumn("survival", surv)
+        .filter(F.col("d_t") > 0)
+        .select(
+            F.col("t").alias("t_minutes"),
+            F.col("n_t").alias("n_at_risk"),
+            F.col("d_t").alias("n_events"),
+            "survival",
+        )
+    )

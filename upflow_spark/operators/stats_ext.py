@@ -945,3 +945,140 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ties_y",
         tau.alias("tau_b"),
     )
+
+
+PT_N_PERMS = 64
+PT_GA, PT_GB = "purchase", "click"
+
+
+@query(
+    "stat_permutation_test",
+    oracle=f"""
+WITH pool AS MATERIALIZED (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type IN ('{PT_GA}', '{PT_GB}')
+),
+obs AS (
+  SELECT {R4("abs(CAST(sum(CASE WHEN event_type = '" + PT_GA + "' THEN v END) AS DOUBLE)"
+             " / count(CASE WHEN event_type = '" + PT_GA + "' THEN 1 END)"
+             " - CAST(sum(CASE WHEN event_type = '" + PT_GB + "' THEN v END) AS DOUBLE)"
+             " / count(CASE WHEN event_type = '" + PT_GB + "' THEN 1 END))")} AS stat_obs,
+         CAST(count(CASE WHEN event_type = '{PT_GA}' THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN event_type = '{PT_GB}' THEN 1 END) AS BIGINT) AS n_b
+  FROM pool
+),
+perm AS MATERIALIZED (
+  SELECT p.b,
+         {R4("abs(CAST(sum(CASE WHEN p.g = 0 THEN p.v END) AS DOUBLE)"
+             " / count(CASE WHEN p.g = 0 THEN 1 END)"
+             " - CAST(sum(CASE WHEN p.g = 1 THEN p.v END) AS DOUBLE)"
+             " / count(CASE WHEN p.g = 1 THEN 1 END))")} AS stat_b
+  FROM (
+    SELECT t.b, pool.v,
+           CAST(('0x' || substr(md5(CAST(pool.event_id AS VARCHAR) || ':' ||
+                                    CAST(t.b AS VARCHAR)), 1, 1)) AS INT) % 2 AS g
+    FROM pool, unnest(range(0, {PT_N_PERMS})) AS t(b)
+  ) p
+  GROUP BY p.b
+)
+SELECT o.n_a, o.n_b, o.stat_obs,
+       CAST({PT_N_PERMS} AS BIGINT) AS n_perms,
+       (SELECT CAST(count(*) AS BIGINT) FROM perm WHERE stat_b >= o.stat_obs)
+         AS n_ge,
+       {R4("CAST(1 + (SELECT count(*) FROM perm WHERE stat_b >= o.stat_obs)"
+           " AS DOUBLE) / (" + str(PT_N_PERMS) + " + 1)")} AS p_value
+FROM obs o
+""",
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test for the mean-value difference
+    between two event types — the assumption-free alternative to
+    stat_welch_ttest when normality is suspect: the observed |Δmean| is
+    compared against {PT_N_PERMS} pseudo-random relabelings of the pooled
+    values, p = (1 + #{{perm ≥ obs}}) / (B + 1).
+
+    Reproducibility is the design point: relabelings come from
+    md5(event_id ':' b) parity — a deterministic hash both engines share
+    (the minhash primitive) — so the 'random' assignment is bit-identical
+    everywhere, the test is seedless-reproducible across reruns and
+    engines, and the whole key hash-verifies (a Fisher-Yates shuffle
+    would be engine-private state). Group means come from exact DECIMAL
+    sums; permuted and observed statistics are 4dp-rounded BEFORE the ≥
+    comparison (the rounded-ranking discipline) so the tail count is
+    engine-deterministic.
+
+    Shape: one filter scan + a bounded ×{PT_N_PERMS} explode (map-side,
+    same class as stat_bootstrap_ci's resample fan-out) + one groupBy(b)
+    — B rows out. At 100 TB the fan-out multiplier is the knob: the
+    pooled relation shuffles once on the permutation index, partial
+    aggregation does the rest.
+    """
+    ev = load(spark, sf_dir, "events")
+    pool = ev.filter(F.col("event_type").isin(PT_GA, PT_GB)).select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    mean_of = lambda cond: (  # noqa: E731
+        F.sum(F.when(cond, F.col("v"))).cast("double")
+        / F.count(F.when(cond, 1))
+    )
+    obs = pool.agg(
+        r4(
+            F.abs(
+                mean_of(F.col("event_type") == PT_GA)
+                - mean_of(F.col("event_type") == PT_GB)
+            )
+        ).alias("stat_obs"),
+        F.count(F.when(F.col("event_type") == PT_GA, 1)).alias("n_a"),
+        F.count(F.when(F.col("event_type") == PT_GB, 1)).alias("n_b"),
+    )
+    exploded = pool.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(PT_N_PERMS - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "v",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("g"),
+    )
+    perm = exploded.groupBy("b").agg(
+        r4(
+            F.abs(mean_of(F.col("g") == 0) - mean_of(F.col("g") == 1))
+        ).alias("stat_b")
+    )
+    tail = (
+        perm.crossJoin(F.broadcast(obs.select("stat_obs")))
+        .filter(F.col("stat_b") >= F.col("stat_obs"))
+        .agg(F.count(F.lit(1)).alias("n_ge"))
+    )
+    return (
+        obs.crossJoin(F.broadcast(tail))
+        .select(
+            "n_a",
+            "n_b",
+            "stat_obs",
+            F.lit(PT_N_PERMS).cast("long").alias("n_perms"),
+            "n_ge",
+            r4(
+                (1 + F.col("n_ge")).cast("double") / (PT_N_PERMS + 1)
+            ).alias("p_value"),
+        )
+    )

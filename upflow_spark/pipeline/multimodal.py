@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
@@ -449,4 +449,78 @@ def multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_blocks"),
         r4(1.0 - F.count(F.lit(1)).cast("double") / F.sum("c")).alias("dedup_ratio"),
         F.max("c").alias("max_block_reuse"),
+    )
+
+
+VAD_TAU = 20  # voiced threshold: mean per-sample energy >= TAU (integer test)
+
+_SQL_AUDIO_FRAMES = """
+  SELECT doc_id, k AS frame_idx,
+         CAST(list_sum(list_transform(range(1, len(substr(text, k * 64 + 1, 64)) + 1),
+              i -> abs(ascii(substr(substr(text, k * 64 + 1, 64), i, 1)) - 96)))
+           AS BIGINT) AS frame_energy,
+         CAST(length(substr(text, k * 64 + 1, 64)) AS BIGINT) AS n_samples
+  FROM documents,
+       unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(k)
+"""
+
+
+@query(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+WITH fr AS MATERIALIZED ({_SQL_AUDIO_FRAMES}),
+v AS (
+  SELECT doc_id, frame_idx, frame_energy,
+         frame_idx - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx) AS grp
+  FROM fr WHERE frame_energy >= {VAD_TAU} * n_samples
+),
+seg AS (
+  SELECT doc_id, min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(frame_energy) AS BIGINT) AS seg_energy
+  FROM v GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+            AS BIGINT) AS seg_idx,
+       start_frame, end_frame, n_frames, seg_energy
+FROM seg
+""",
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segmentation over the framed 'audio'
+    stream: frames whose MEAN per-sample energy clears the VAD threshold
+    are 'voiced', and contiguous voiced runs collapse to segments
+    (start/end frame, length, total energy) — the canonical
+    islands-and-gaps pass every speech pipeline runs between framing
+    (multimodal_audio_energy, whose Arrow kernel this reuses verbatim)
+    and per-segment feature extraction.
+
+    The threshold test is INTEGER-exact (frame_energy ≥ τ·n_samples — no
+    float mean ever decides membership), and the islands trick
+    (frame_idx − row_number, both per-doc windows on the high-cardinality
+    doc_id key) turns run detection into one groupBy — no self-join, no
+    sequential scan. At 100 TB frames partition by document, so the
+    segmentation inherits the framing pass's parallelism exactly.
+    """
+    fr = multimodal_audio_energy(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    v = fr.filter(
+        F.col("frame_energy") >= VAD_TAU * F.col("n_samples")
+    ).withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+    seg = v.groupBy("doc_id", "grp").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_energy").alias("seg_energy"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    return seg.select(
+        "doc_id",
+        F.row_number().over(ws).cast("long").alias("seg_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "seg_energy",
     )
