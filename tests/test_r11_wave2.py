@@ -132,30 +132,41 @@ def test_lttb_keeps_endpoints_and_bounds(spark):
         assert ends[etype][1] in ts_set
 
 
-def test_lsh_tuning_nested_configs_monotone(spark):
-    """With r dividing evenly (1|2|4|8), each coarser banding's candidate
-    set NESTS inside the finer one's: cand(16,1) ⊇ cand(8,2) ⊇ cand(4,4)
-    ⊇ cand(2,8) — so candidate counts and recall are monotone in band
-    count, and hits are bounded by both sides."""
+def test_lsh_tuning_report_bounds_and_cap(spark):
+    """Hits are bounded by both candidate and truth sets; the hot-bucket
+    cap is the skew guard (single-position bands on a shared-vocab corpus
+    MUST report hot buckets — the degeneracy the report exists to show),
+    and uncapped nesting still holds where no bucket was skipped: a
+    coarser banding with zero hot buckets is a SUBSET of any finer
+    banding that also skipped nothing (r divides evenly)."""
     rows = {r["config"]: r for r in QUERIES["dedup_lsh_tuning_report"](spark, SF).collect()}
     order = ["b16r1", "b8r2", "b4r4", "b2r8"]
     for cfg in order:
         r = rows[cfg]
         assert r["n_hits"] <= min(r["n_candidates"], r["n_true"])
+        assert r["n_hot_buckets"] >= 0
+    assert rows["b16r1"]["n_hot_buckets"] > 0, (
+        "single-position banding must overflow the cap on this corpus"
+    )
     for finer, coarser in zip(order, order[1:]):
-        assert rows[finer]["n_candidates"] >= rows[coarser]["n_candidates"]
-        assert rows[finer]["recall"] >= rows[coarser]["recall"]
+        if rows[finer]["n_hot_buckets"] == 0 and rows[coarser]["n_hot_buckets"] == 0:
+            assert rows[finer]["n_candidates"] >= rows[coarser]["n_candidates"]
+            assert rows[finer]["recall"] >= rows[coarser]["recall"]
 
 
 def test_lsh_tuning_b4r4_matches_shipped_banding(spark):
     """The (4,4) config is exactly the shipped dedup_minhash_banded_pairs
-    banding — its candidate count must equal the production candidate
-    relation's."""
+    banding — when it skipped no hot bucket, its candidate count must
+    equal the production candidate relation's."""
     from upflow_spark.pipeline.minhash_sql import _distinct_candidates
 
     rows = {r["config"]: r for r in QUERIES["dedup_lsh_tuning_report"](spark, SF).collect()}
-    shipped = _distinct_candidates(spark, SF).count()
-    assert rows["b4r4"]["n_candidates"] == shipped
+    if rows["b4r4"]["n_hot_buckets"] == 0:
+        shipped = _distinct_candidates(spark, SF).count()
+        assert rows["b4r4"]["n_candidates"] == shipped
+    else:  # capped: strictly fewer candidates than the uncapped relation
+        shipped = _distinct_candidates(spark, SF).count()
+        assert rows["b4r4"]["n_candidates"] < shipped
 
 
 # ---- batch 3 (wave 3): VAD, KM survival, permutation test, HDR hist, CDC stream
@@ -217,3 +228,55 @@ def test_stream_snapshot_cdc_versions(spark):
     for v in (2, 3, 4):
         assert rows[v]["n_buckets_rewritten"] <= rows[v]["n_buckets"]
         assert rows[v]["n_buckets_rewritten"] > 0
+
+
+def test_nested_struct_prune_reads_only_fin_leaves(spark):
+    """Nested schema pruning: ReadSchema must contain the two fin leaves
+    and must NOT decode the meta struct at all."""
+    plan = _plan(spark, "scan_nested_struct_prune")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads, "no parquet ReadSchema in plan"
+    nested = [ln for ln in reads if "fin" in ln]
+    assert nested, f"nested scan missing: {reads}"
+    for ln in nested:
+        assert "total" in ln and "odate" in ln
+        assert "meta" not in ln, f"meta struct not pruned: {ln}"
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "total" in ln]
+    assert pushed, "fin.total predicate not pushed to the nested scan"
+
+
+def test_rake_scores_positive_and_bounded(spark):
+    rows = QUERIES["text_keyword_rake"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_words"] <= 4
+        assert r["n_occurrences"] >= 1
+        # degree/freq >= 1 per word, so a phrase scores >= its word count
+        assert r["score"] >= r["n_words"] - 1e-9
+        assert len(r["phrase"].split(" ")) == r["n_words"]
+
+
+def test_dedup_impact_report_accounting(spark):
+    rows = QUERIES["curation_dedup_impact_report"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_removed"] <= r["n_clustered"] <= r["n_docs"]
+        assert r["poison"] == 0
+        assert 0.0 <= r["pct_removed"] <= 1.0
+        if r["n_removed"] == 0:
+            assert r["chars_removed"] == 0
+
+
+def test_branch_refs_resolve_to_snapshot_states(spark):
+    """'main' (v2) and 'audit-q1' (v1) must match the asof key's states."""
+    refs = {r["ref_name"]: r for r in QUERIES["scan_branch_tag_refs"](spark, SF).collect()}
+    asof = QUERIES["scan_snapshot_asof"](spark, SF).collect()
+    by_v: dict = {}
+    for r in asof:
+        acc = by_v.setdefault(r["version"], [0, 0.0])
+        acc[0] += r["n_rows"]
+        acc[1] += r["sum_price"]
+    assert refs["audit-q1"]["version"] == 1
+    assert refs["main"]["version"] == 2
+    assert refs["audit-q1"]["n_rows"] == by_v[1][0]
+    assert refs["main"]["n_rows"] == by_v[2][0]

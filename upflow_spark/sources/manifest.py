@@ -1064,3 +1064,108 @@ def _pe_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ).partitionBy("y", "mo").parquet(d2)
     _pe_layouts[memo_key] = (d1, d2)
     return d1, d2
+
+
+SNAP_REFS = (("main", 2), ("audit-q1", 1))  # named refs -> snapshot versions
+
+
+@query(
+    "scan_branch_tag_refs",
+    oracle=f"""
+WITH m AS (
+  SELECT max(o_orderkey) AS mx,
+         CAST(floor((max(o_orderkey) + {N_BUCKETS}.0) / {N_BUCKETS}) AS BIGINT)
+           AS step,
+         CAST(floor(max(o_orderkey) / {SNAP_CHANGE_FRACTION}.0) AS BIGINT) AS hi
+  FROM orders
+),
+v1 AS MATERIALIZED (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price,
+         CAST(floor(o_orderkey / step) AS INT) AS bucket
+  FROM orders, m
+),
+chg AS MATERIALIZED (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE 'D' END AS op,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1))
+              AS DECIMAL(20,3)) AS new_price
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND (o_orderkey % 5 = 0 OR o_orderkey % 11 = 0)
+),
+ins AS MATERIALIZED (
+  SELECT o_orderkey + m.mx + 1 AS o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND o_orderkey % 7 = 0
+),
+v2 AS MATERIALIZED (
+  SELECT o_orderkey, price,
+         CAST(floor(o_orderkey / (SELECT step FROM m)) AS INT) AS bucket
+  FROM (
+    SELECT o_orderkey, price FROM v1
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+    UNION ALL
+    SELECT o_orderkey, new_price AS price FROM chg WHERE op = 'U'
+    UNION ALL
+    SELECT o_orderkey, price FROM ins
+  )
+),
+refs AS (VALUES {", ".join(f"('{n}', {v})" for n, v in SNAP_REFS)})
+SELECT r.ref_name, r.version,
+       CASE r.version WHEN 1 THEN (SELECT CAST(count(*) AS BIGINT) FROM v1)
+                      ELSE (SELECT CAST(count(*) AS BIGINT) FROM v2) END
+         AS n_rows,
+       CASE r.version
+         WHEN 1 THEN (SELECT {R4("CAST(sum(price) AS DOUBLE)")} FROM v1)
+         ELSE (SELECT {R4("CAST(sum(price) AS DOUBLE)")} FROM v2) END
+         AS sum_price,
+       CASE r.version
+         WHEN 1 THEN (SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM v1)
+         ELSE (SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM v2) END
+         AS n_buckets
+FROM (SELECT * FROM refs) r(ref_name, version)
+""",
+)
+def scan_branch_tag_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named REFS over the snapshot chain — Iceberg branches/tags: a refs
+    relation maps human names ('main' → latest, 'audit-q1' → the pinned
+    audit version) to snapshot versions, and reads resolve the name
+    RELATIONALLY (refs ⋈ manifest → DPP-pruned scan) rather than by
+    driver-side if/else — so a ref flip is a one-row metadata write, and
+    a thousand concurrent readers of 'main' follow it atomically. Graded
+    per ref: resolved version, rows, exact-decimal sum, manifest size.
+
+    Completes the snapshot surface (asof = version numbers, incremental =
+    version diffs, cdc_apply = building versions, this = naming them).
+    Plan: the refs×manifest resolution is a broadcast of a refs table
+    onto the manifest relation; everything downstream is the proven AS-OF
+    read. At 100 TB refs are why time travel is usable: nobody passes
+    raw snapshot ids through a scheduler.
+    """
+    data_dir, man_path = _snapshot_layout(spark, sf_dir)
+    man = spark.read.parquet(man_path)
+    data = spark.read.parquet(data_dir)
+    refs = spark.createDataFrame(
+        list(SNAP_REFS), "ref_name STRING, version INT"
+    )
+    # relational ref resolution: refs ⋈ manifest (broadcast refs), then the
+    # standard manifest-selection semi-join per resolved version
+    sel = man.join(F.broadcast(refs), "version").select(
+        "ref_name", "version", "gen", "bucket"
+    )
+    rows = data.join(
+        F.broadcast(sel.select("ref_name", "gen", "bucket")),
+        ["gen", "bucket"],
+        "inner",
+    )
+    agg = rows.groupBy("ref_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("price").cast("double")).alias("sum_price"),
+    )
+    nb = sel.groupBy("ref_name", "version").agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )
+    return nb.join(agg, "ref_name").select(
+        "ref_name", "version", "n_rows", "sum_price", "n_buckets"
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
-from upflow_spark.parity import r4
+from upflow_spark.parity import R4, r4
 from upflow_spark.registry import query
 
 
@@ -64,3 +64,82 @@ def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp_ntz"))
     ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+NSP_PRICE_MIN = 150000  # fin.total filter bound (pushed into the nested scan)
+
+
+@query(
+    "scan_nested_struct_prune",
+    oracle=f"""
+SELECT year(o_orderdate) AS y, CAST(count(*) AS BIGINT) AS n_rows,
+       {R4("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")}
+         AS sum_total
+FROM orders
+WHERE o_totalprice > {NSP_PRICE_MIN}
+GROUP BY year(o_orderdate)
+""",
+)
+def scan_nested_struct_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema pruning — the columnar-read contract for struct
+    columns: orders is rewritten with two struct columns (meta = status/
+    priority, fin = total/date), and the graded query touches ONLY
+    fin.total and fin.odate. Parquet is columnar underneath nested types
+    (each leaf is its own column chunk), so Catalyst's nested-schema
+    pruning must shrink ReadSchema to the two fin leaves — the meta
+    struct is never decoded, and the fin.total predicate is pushed to the
+    scan. At 100 TB on wide event/feature structs (the props-bag shape
+    every telemetry table grows) this is the difference between reading
+    2 leaves and deserializing whole structs per row.
+
+    The plan pin (tests/test_r11_wave2.py) asserts ReadSchema contains
+    the fin leaves and NOT meta; the graded values prove the pruned read
+    is lossless against the flat source-of-truth.
+    """
+    from upflow_spark.sources.manifest import _work_dir
+
+    path = _nested_layout(spark, sf_dir)
+    n = spark.read.parquet(path)
+    return (
+        n.filter(F.col("fin.total") > NSP_PRICE_MIN)
+        .groupBy(F.year("fin.odate").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(
+                F.sum(F.col("fin.total").cast("decimal(18,2)")).cast("double")
+            ).alias("sum_total"),
+        )
+    )
+
+
+_nested_layouts: dict = {}
+
+
+def _nested_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+fixture) the struct-columned orders twin."""
+    import os
+
+    from upflow_spark.sources.manifest import _work_dir
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    memo_key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    if memo_key in _nested_layouts:
+        return _nested_layouts[memo_key]
+    for stale in [k for k in _nested_layouts if k != memo_key]:
+        _nested_layouts.pop(stale)
+    o = load(spark, sf_dir, "orders")
+    path = _work_dir(spark, sf_dir, "nested") + "/orders_nested"
+    o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").alias("custkey"),
+        ).alias("meta"),
+        F.struct(
+            F.col("o_totalprice").alias("total"),
+            F.col("o_orderdate").alias("odate"),
+        ).alias("fin"),
+    ).write.mode("overwrite").parquet(path)
+    _nested_layouts[memo_key] = path
+    return path
