@@ -280,3 +280,35 @@ def test_branch_refs_resolve_to_snapshot_states(spark):
     assert refs["main"]["version"] == 2
     assert refs["audit-q1"]["n_rows"] == by_v[1][0]
     assert refs["main"]["n_rows"] == by_v[2][0]
+
+
+def test_video_keyframe_dedup_groups(spark):
+    rows = QUERIES["multimodal_video_keyframe_dedup"](spark, SF).collect()
+    assert rows, "fixture must contain cross-video duplicate shots"
+    for r in rows:
+        assert r["n_videos"] >= 2
+        assert r["n_segments"] >= r["n_videos"]
+        assert r["total_frames"] >= r["n_segments"]
+
+
+def test_expectations_report_consistent(spark):
+    """passed must mirror the violation count exactly; the structural
+    checks (pk, nulls, domains, FK) hold on the fixture, while the
+    temporal rule legitimately catches dirt at some sfs — the report's
+    job is to COUNT it, not to hide it."""
+    rows = {(r["table_name"], r["check_name"]): r
+            for r in QUERIES["data_quality_expectations"](spark, SF).collect()}
+    assert len(rows) == 8
+    for r in rows.values():
+        assert r["passed"] == (r["n_violations"] == 0)
+        assert 0 <= r["n_violations"] <= r["n_checked"]
+    for key in (("orders", "pk_unique"), ("orders", "custkey_not_null"),
+                ("orders", "status_domain"), ("lineitem", "fk_orders")):
+        assert rows[key]["passed"] is True, f"{key} failed"
+
+
+def test_ab_lift_ci_brackets_diff(spark):
+    r = QUERIES["events_ab_lift_hashbucket"](spark, SF).collect()[0]
+    diff = r["mean_b"] - r["mean_a"]
+    assert r["ci_lo"] <= diff + 1e-6 and diff - 1e-6 <= r["ci_hi"]
+    assert r["n_a"] > 0 and r["n_b"] > 0

@@ -607,3 +607,121 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+@query(
+    "events_ab_lift_hashbucket",
+    oracle=f"""
+WITH assign AS MATERIALIZED (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1))
+              AS INT) % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+per_user AS MATERIALIZED (
+  SELECT a.user_id, a.arm,
+         COALESCE(sum(CAST(e.value AS DECIMAL(18,2)))
+                  FILTER (e.event_type = 'purchase'),
+                  CAST(0 AS DECIMAL(18,2))) AS rev
+  FROM assign a LEFT JOIN events e ON e.user_id = a.user_id
+  GROUP BY a.user_id, a.arm
+),
+g AS (
+  SELECT CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+         CAST(sum(rev) FILTER (arm = 0) AS DOUBLE) AS s_a,
+         CAST(sum(rev) FILTER (arm = 1) AS DOUBLE) AS s_b,
+         CAST(sum(rev * rev) FILTER (arm = 0) AS DOUBLE) AS q_a,
+         CAST(sum(rev * rev) FILTER (arm = 1) AS DOUBLE) AS q_b
+  FROM per_user
+)
+SELECT n_a, n_b,
+       {R4("s_a / n_a")} AS mean_a,
+       {R4("s_b / n_b")} AS mean_b,
+       {R4("(s_b / n_b) / (s_a / n_a) - 1.0")} AS lift,
+       {R4("(s_b / n_b - s_a / n_a) - 1.96 * sqrt("
+           "(q_a - s_a * s_a / n_a) / (n_a - 1) / n_a"
+           " + (q_b - s_b * s_b / n_b) / (n_b - 1) / n_b)")} AS ci_lo,
+       {R4("(s_b / n_b - s_a / n_a) + 1.96 * sqrt("
+           "(q_a - s_a * s_a / n_a) / (n_a - 1) / n_a"
+           " + (q_b - s_b * s_b / n_b) / (n_b - 1) / n_b)")} AS ci_hi
+FROM g
+""",
+)
+def events_ab_lift_hashbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with HASH-BUCKET assignment — the online-
+    experimentation primitive: every user is deterministically assigned
+    an arm by md5('exp1:' user_id) parity (the salted-hash assignment
+    real experiment platforms use — stable across sessions, reproducible
+    across engines, no assignment table to store), the metric is
+    per-user purchase revenue (zero for non-purchasers — the unit of
+    analysis is the USER, so heavy users don't double-count), and the
+    readout is mean per arm, relative lift, and the Welch 95% CI of the
+    absolute difference.
+
+    Variances come from exact DECIMAL per-user sums (rev and rev² are
+    2dp/4dp-representable; the stat_welch_ttest accumulation rule) and
+    the CI is finished in one identical IEEE expression per engine. One
+    user-keyed aggregate + one 2-group rollup — at 100 TB the experiment
+    readout is a single pass however many arms or metrics ride along.
+    """
+    ev = load(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("arm"),
+    )
+    per_user = (
+        assign.join(ev, "user_id", "left")
+        .groupBy("user_id", "arm")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("rev")
+        )
+    )
+    cnt = lambda a: F.count(F.when(F.col("arm") == a, 1))  # noqa: E731
+    ssum = lambda a, c: F.sum(F.when(F.col("arm") == a, c)).cast("double")  # noqa: E731
+    g = per_user.agg(
+        cnt(0).alias("n_a"),
+        cnt(1).alias("n_b"),
+        ssum(0, F.col("rev")).alias("s_a"),
+        ssum(1, F.col("rev")).alias("s_b"),
+        ssum(0, F.col("rev") * F.col("rev")).alias("q_a"),
+        ssum(1, F.col("rev") * F.col("rev")).alias("q_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    se = F.sqrt(
+        (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+        + (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        r4(mean_a).alias("mean_a"),
+        r4(mean_b).alias("mean_b"),
+        r4(mean_b / mean_a - 1.0).alias("lift"),
+        r4((mean_b - mean_a) - 1.96 * se).alias("ci_lo"),
+        r4((mean_b - mean_a) + 1.96 * se).alias("ci_hi"),
+    )

@@ -524,3 +524,113 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_frames",
         "seg_energy",
     )
+
+
+VKD_CUT_TAU = 40  # shot boundary: |energy jump| > tau (the scene_cut rule)
+
+
+@query(
+    "multimodal_video_keyframe_dedup",
+    oracle=f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+),
+fr AS MATERIALIZED (
+  SELECT doc_id, k,
+         list_sum(list_transform(range(1, len(substr(text, k * 64 + 1, 64)) + 1),
+              i -> abs(ascii(substr(substr(text, k * 64 + 1, 64), i, 1)) - 96)))
+           AS e
+  FROM docs,
+       unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(k)
+),
+d AS (
+  SELECT doc_id, k, e,
+         CASE WHEN lag(e) OVER w IS NULL
+                OR abs(e - lag(e) OVER w) > {VKD_CUT_TAU}
+              THEN 1 ELSE 0 END AS ns
+  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY k)
+),
+s AS (
+  SELECT doc_id, k, sum(ns) OVER (PARTITION BY doc_id ORDER BY k) AS sid
+  FROM d
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, sid, min(k) AS sk, max(k) AS ek FROM s GROUP BY doc_id, sid
+),
+sig AS MATERIALIZED (
+  SELECT sh.doc_id,
+         md5(substr(dd.text, sk * 64 + 1, (ek - sk + 1) * 64)) AS shot_md5,
+         ek - sk + 1 AS n_frames
+  FROM sh JOIN docs dd ON dd.doc_id = sh.doc_id
+)
+SELECT shot_md5,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
+FROM sig
+GROUP BY shot_md5
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def multimodal_video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video SHOT deduplication — the composition of three proven
+    kernels into the pipeline a video-corpus curation run actually ships:
+    scene-cut boundaries (multimodal_scene_cut's energy-jump rule) split
+    each 'video' payload into shots, every shot is content-addressed by
+    the digest of its exact byte span, and shots whose digest appears in
+    ≥2 distinct videos are reported as duplicate groups (videos touched,
+    segment count, frames represented) — intros, ads, and syndicated
+    footage found WITHOUT decoding anything twice.
+
+    Shape: framing + cuts are per-doc windows (high-cardinality key), the
+    shot span digest is one map-side substring+md5 against the payload
+    (no frame explosion survives the rollup), and the cross-video group
+    is a single digest-keyed aggregate — the same digest-shuffle class as
+    dedup_exact_content / multimodal_block_dedup, so at 100 TB the only
+    shuffle carries (digest, doc) rows. Integer energies keep boundaries
+    bit-identical across engines; the digest makes dedup exact, not
+    approximate.
+    """
+    docs = (
+        media_table(spark, sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select("doc_id")
+        .join(load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    )
+    fr = multimodal_audio_energy(spark, sf_dir).join(
+        F.broadcast(docs.select("doc_id")), "doc_id", "semi"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    ns = F.when(
+        F.lag("frame_energy").over(w).isNull()
+        | (
+            F.abs(F.col("frame_energy") - F.lag("frame_energy").over(w))
+            > VKD_CUT_TAU
+        ),
+        1,
+    ).otherwise(0)
+    d = fr.select("doc_id", "frame_idx", ns.alias("ns"))
+    s = d.select(
+        "doc_id",
+        "frame_idx",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    sh = s.groupBy("doc_id", "sid").agg(
+        F.min("frame_idx").alias("sk"), F.max("frame_idx").alias("ek")
+    )
+    sig = sh.join(docs, "doc_id").select(
+        "doc_id",
+        F.md5(
+            F.expr("substring(text, CAST(sk * 64 + 1 AS INT), CAST((ek - sk + 1) * 64 AS INT))")
+        ).alias("shot_md5"),
+        (F.col("ek") - F.col("sk") + 1).alias("n_frames"),
+    )
+    return (
+        sig.groupBy("shot_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_videos"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .filter(F.col("n_videos") >= 2)
+    )

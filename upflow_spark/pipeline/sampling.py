@@ -302,3 +302,127 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k4").desc(), F.col("doc_id").asc())
         .limit(AES_K)
     )
+
+
+@query(
+    "data_quality_expectations",
+    oracle=f"""
+WITH o AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dup,
+         CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS cust_null,
+         CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS price_bad,
+         CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+              AS BIGINT) AS status_bad
+  FROM orders
+),
+l AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50)
+              AS BIGINT) AS qty_bad,
+         CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.5)
+              AS BIGINT) AS disc_bad
+  FROM lineitem
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphans
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+),
+dt AS (
+  SELECT CAST(count(*) AS BIGINT) AS ship_before_order
+  FROM lineitem li JOIN orders oo ON oo.o_orderkey = li.l_orderkey
+  WHERE li.l_shipdate < oo.o_orderdate
+)
+SELECT * FROM (
+  SELECT 'orders' AS table_name, 'pk_unique' AS check_name,
+         o.n AS n_checked, o.pk_dup AS n_violations, o.pk_dup = 0 AS passed
+  FROM o
+  UNION ALL SELECT 'orders', 'custkey_not_null', o.n, o.cust_null,
+         o.cust_null = 0 FROM o
+  UNION ALL SELECT 'orders', 'price_positive', o.n, o.price_bad,
+         o.price_bad = 0 FROM o
+  UNION ALL SELECT 'orders', 'status_domain', o.n, o.status_bad,
+         o.status_bad = 0 FROM o
+  UNION ALL SELECT 'lineitem', 'qty_in_range', l.n, l.qty_bad,
+         l.qty_bad = 0 FROM l
+  UNION ALL SELECT 'lineitem', 'discount_in_range', l.n, l.disc_bad,
+         l.disc_bad = 0 FROM l
+  UNION ALL SELECT 'lineitem', 'fk_orders', l.n, fk.orphans,
+         fk.orphans = 0 FROM l, fk
+  UNION ALL SELECT 'lineitem', 'ship_after_order', l.n, dt.ship_before_order,
+         dt.ship_before_order = 0 FROM l, dt
+)
+""",
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS suite (the Deequ/
+    Great-Expectations surface): eight constraints over orders and
+    lineitem — primary-key uniqueness, non-null, value range, domain
+    membership, referential integrity, and the cross-table temporal rule
+    (no lineitem ships before its order) — evaluated together, with per-
+    check violation counts in the graded output, not just booleans (a
+    failing pipeline needs the blast radius, not a red light).
+
+    ONE aggregate pass per table computes every single-table check
+    (conditional counts share the scan; adding a ninth check adds a
+    column, not a job), plus one anti-join for the FK and one key-join
+    for the temporal rule. The 8-row report is an unpivot of those
+    aggregates. At 100 TB this is the nightly gate before a training
+    run: two table scans + one join, all partial-aggregated, regardless
+    of how long the expectation list grows.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    oa = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("cust_null"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price_bad"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("status_bad"),
+    )
+    la = li.agg(
+        F.count(F.lit(1)).alias("ln"),
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("qty_bad"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
+        ).alias("disc_bad"),
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(F.broadcast(o.select("o_orderkey")), F.col("l_orderkey") == F.col("o_orderkey"), "anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    dt = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).alias("ship_before_order"))
+    )
+    one = (
+        oa.crossJoin(F.broadcast(la))
+        .crossJoin(F.broadcast(fk))
+        .crossJoin(F.broadcast(dt))
+    )
+    checks = [
+        ("orders", "pk_unique", "n", "pk_dup"),
+        ("orders", "custkey_not_null", "n", "cust_null"),
+        ("orders", "price_positive", "n", "price_bad"),
+        ("orders", "status_domain", "n", "status_bad"),
+        ("lineitem", "qty_in_range", "ln", "qty_bad"),
+        ("lineitem", "discount_in_range", "ln", "disc_bad"),
+        ("lineitem", "fk_orders", "ln", "orphans"),
+        ("lineitem", "ship_after_order", "ln", "ship_before_order"),
+    ]
+    stack = ", ".join(
+        f"'{t}', '{c}', {n}, {v}" for t, c, n, v in checks
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(checks)}, {stack})"
+            " AS (table_name, check_name, n_checked, n_violations)"
+        )
+    ).withColumn("passed", F.col("n_violations") == 0)
