@@ -97,6 +97,13 @@ SHOWCASE = [
     ("scan_snapshot_asof", "snapshot time travel (r11): BOTH AS-OF reads reach the (gen,bucket)-partitioned data through dynamicpruningexpression PartitionFilters fed by broadcast manifest selections — no full-history scan, no SortMergeJoin, no collected bucket list"),
     ("tokenize_bpe_train", "BPE training (r11): each round is one vocab-bounded pair-count shuffle + pt-partitioned run-parity windows; the output plan is a bounded LocalTableScan (the learned 16-row artifact) — nothing data-sized converges on the driver but the 1-row-per-round argmax"),
     ("agg_pandas_udaf_trimmed_mean", "GROUPED_AGG pandas UDF (r11): ObjectHashAggregate over Arrow batches for the UDAF, native counts in a parallel HashAggregate, rejoined via BroadcastHashJoin on the 5-row segment key"),
+    # r11 second-half showcases: MOR read, partition evolution, nested
+    # pruning, the capped LSH banding joins, and the co-occurrence miner
+    ("scan_delete_vectors_mor", "merge-on-read deletes (r11): two-leg read — delete-free buckets pass ONLY a broadcast anti-join on the bucket set, delete-bearing buckets add a broadcast anti-join on the delete keys; no SortMergeJoin, deletes gathered by join from the delete files"),
+    ("scan_partition_evolution", "partition-spec evolution (r11): BOTH specs' scans carry PartitionFilters on their own partition columns (y for v1; y AND mo for v2) — rows_scanned in the graded output is exactly what pruning admits per spec"),
+    ("scan_nested_struct_prune", "nested schema pruning (r11): ReadSchema shrinks to the two fin leaves (meta struct never decoded) and the fin.total predicate lands in PushedFilters — 2 column chunks read of 5"),
+    ("dedup_lsh_tuning_report", "LSH banding evaluation (r11): four cap-filtered band tables self-join as struct-equality equi-joins (per-bucket pair work <= CAP^2 by construction), ground truth rides the memoized bit-packed GEMM index — no uncapped all-pairs path exists in the plan"),
+    ("graph_jaccard_neighbors", "co-purchase neighbor Jaccard (r11): open-triangle equi-join on the shared order key, >=2-co-occurrence filter before the degree joins, TakeOrderedAndProject top-k — no cartesian, no global sort"),
 ]
 
 

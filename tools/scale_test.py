@@ -135,6 +135,19 @@ PROBE_KEYS = [
     ("scan_snapshot_asof", "orders 10x (COW fold + 2 manifest-selected DPP reads)"),
     ("agg_pandas_udaf_trimmed_mean", "customer 10x (Arrow GROUPED_AGG, one shuffle)"),
     ("stream_pq_index_append", "embeddings 10x (4-wave encode + LUT join vs persisted codes)"),
+    # r11 second-half waves: table-format depth (MOR deletes, partition
+    # evolution, streaming snapshot writer), the capped LSH tuning report
+    # (hot-bucket guard bounds per-bucket pair work at CAP^2), the
+    # co-occurrence Jaccard miner, and the map-only ablation report
+    ("scan_delete_vectors_mor", "orders 10x (two-leg MOR read, 3 as-of levels)"),
+    ("scan_partition_evolution", "orders 10x (per-spec partition-pruned reads)"),
+    ("stream_snapshot_cdc_apply", "orders 10x (3 COW wave folds + 4 as-of reads)"),
+    ("dedup_lsh_tuning_report", "documents 10x (4 capped bandings + GEMM truth)"),
+    ("graph_jaccard_neighbors", "lineitem 10x (co-order open-triangle join)"),
+    ("curation_filter_ablation", "documents 10x (one scan, one aggregate, unpivot)"),
+    ("events_attribution_position", "events 10x (user-keyed touch join + conv windows)"),
+    ("multimodal_video_keyframe_dedup", "documents 10x (cut windows + digest agg)"),
+    ("data_quality_expectations", "orders+lineitem 10x (2 scans + FK/temporal joins)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate

@@ -984,7 +984,7 @@ def agg_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c"),
     )
     hist = cents.groupBy(
-        (F.length(F.bin(F.col("c"))) - 1).alias("bucket")
+        (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     ha = hist.select("bucket", "cnt")
     hb = hist.select(F.col("bucket").alias("b2"), F.col("cnt").alias("cnt2"))

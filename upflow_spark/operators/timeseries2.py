@@ -214,7 +214,7 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("x"),
         F.col("value").alias("y"),
-        F.ntile(TSD_BUCKETS).over(wt).alias("bucket"),
+        F.ntile(TSD_BUCKETS).over(wt).cast("long").alias("bucket"),
     )
     anch = pts.groupBy("event_type", "bucket").agg(
         (

@@ -562,7 +562,10 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hot = sizes.filter(F.col("c") > LSH_HOT_CAP).agg(
             F.count(F.lit(1)).alias("n_hot_buckets")
         )
-        fb = bands.join(F.broadcast(ok), ["band_idx", "bh"], "semi")
+        # no broadcast hint: the ok-bucket relation scales with the corpus
+        # (per-bucket counts) — let Catalyst broadcast under threshold and
+        # shuffle-join past it
+        fb = bands.join(ok, ["band_idx", "bh"], "semi")
         left = fb.select(
             F.col("doc_id").alias("doc_a"),
             F.col("band_idx").alias("bi_a"),

@@ -414,18 +414,20 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws_bp").alias("score_bp"),
         )
     )
+    # rank on the INTEGER score (never the rounded double re-scaled back —
+    # x/1e4*1e4 can land 1 ulp low and truncate across the top-k boundary)
     return (
         phr.groupBy("phrase", "n_words")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.max("score_bp").alias("score_bp"),
         )
+        .orderBy(F.desc("score_bp"), "phrase")
+        .limit(RAKE_TOPK)
         .select(
             "phrase",
             "n_words",
             "n_occurrences",
             r4(F.col("score_bp").cast("double") / 10000).alias("score"),
         )
-        .orderBy(F.desc((F.col("score") * 10000).cast("long")), "phrase")
-        .limit(RAKE_TOPK)
     )

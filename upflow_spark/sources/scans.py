@@ -102,7 +102,7 @@ def scan_nested_struct_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.read.parquet(path)
     return (
         n.filter(F.col("fin.total") > NSP_PRICE_MIN)
-        .groupBy(F.year("fin.odate").alias("y"))
+        .groupBy(F.year("fin.odate").cast("long").alias("y"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             r4(
