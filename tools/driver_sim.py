@@ -129,9 +129,12 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"CORRECTNESS_local_{rnd}.json",
     )
+    import time as _time
+
     with open(art, "w") as fh:
         json.dump(
             {
+                "generated_unix": int(_time.time()),
                 "sf_dir": SF_DIR,
                 "total": len(all_recs),
                 "match": sum(1 for r in all_recs if r["status"] == "match"),
