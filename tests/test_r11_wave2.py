@@ -312,3 +312,51 @@ def test_ab_lift_ci_brackets_diff(spark):
     diff = r["mean_b"] - r["mean_a"]
     assert r["ci_lo"] <= diff + 1e-6 and diff - 1e-6 <= r["ci_hi"]
     assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+# ---- wave 6: filtered search, FDR, k-means++ seeding
+
+
+def test_filtered_search_recall_bounds(spark):
+    rows = QUERIES["sim_filtered_topk_prepost"](spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["n_post_found"] <= 5
+        assert 0.0 <= r["post_recall"] <= 1.0
+        assert r["top1_id"] is not None
+        # top-1 of the filtered ranking is found iff it cracks the global
+        # top-20; either way recall counts it consistently
+        if r["post_recall"] == 1.0:
+            assert r["n_post_found"] >= 1
+
+
+def test_fdr_bh_step_up_properties(spark):
+    rows = sorted(
+        QUERIES["stat_fdr_bh"](spark, SF).collect(), key=lambda r: r["p_rank"]
+    )
+    assert len(rows) == 25
+    # p ascending in rank; rejection set is a prefix (step-up property)
+    for a, b in zip(rows, rows[1:]):
+        assert a["p_value"] <= b["p_value"] + 1e-9
+        assert not (b["rejected"] and not a["rejected"])
+    for r in rows:
+        assert 0.0 <= r["p_value"] <= 1.0 + 1e-9
+        if r["rejected"]:
+            # every rejected rank k satisfies exists j>=k with p_j <= j/m*a,
+            # and its own p is below the largest accepted threshold
+            assert r["p_value"] <= 25 / 25 * 0.05 + 1e-9
+
+
+def test_kmeanspp_seeds_spread(spark):
+    rows = sorted(
+        QUERIES["emb_kmeanspp_init"](spark, SF).collect(),
+        key=lambda r: r["seed_rank"],
+    )
+    assert [r["seed_rank"] for r in rows] == list(range(1, 9))
+    assert rows[0]["min_dist"] is None
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 8, "seeds must be distinct"
+    # greedy farthest-first: the min-distance sequence is non-increasing
+    dists = [r["min_dist"] for r in rows[1:]]
+    for a, b in zip(dists, dists[1:]):
+        assert b <= a + 1e-9

@@ -1082,3 +1082,134 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+FDR_ALPHA = 0.05
+FDR_SEG = "BUILDING"
+# Abramowitz-Stegun 26.2.17 normal-tail constants (identical literals both
+# engines -> identical IEEE evaluation; neither engine ships erf in SQL)
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_TWO_PI = 6.283185307179586
+
+
+def _sql_norm_two_sided_p(z: str) -> str:
+    az = f"abs({z})"
+    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
+    horner = f"({_AS_B[0]} + {t} * ({_AS_B[1]} + {t} * ({_AS_B[2]} + {t} * ({_AS_B[3]} + {t} * {_AS_B[4]}))))"
+    return (
+        f"2.0 * (exp(-({az}) * ({az}) / 2.0) / sqrt({_TWO_PI}))"
+        f" * {t} * {horner}"
+    )
+
+
+@query(
+    "stat_fdr_bh",
+    oracle=f"""
+WITH per_nation AS MATERIALIZED (
+  SELECT c_nationkey AS nationkey,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (c_mktsegment = '{FDR_SEG}') AS BIGINT) AS x1
+  FROM customer GROUP BY c_nationkey
+),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS n_all, CAST(sum(x1) AS BIGINT) AS x_all,
+         CAST(count(*) AS BIGINT) AS m
+  FROM per_nation
+),
+zed AS MATERIALIZED (
+  SELECT nationkey, n1, x1, m,
+         (CAST(x1 AS DOUBLE) / n1 - CAST(x_all - x1 AS DOUBLE) / (n_all - n1))
+           / sqrt((CAST(x_all AS DOUBLE) / n_all)
+                  * (1.0 - CAST(x_all AS DOUBLE) / n_all)
+                  * (1.0 / n1 + 1.0 / (n_all - n1))) AS z
+  FROM per_nation, tot
+),
+pv AS MATERIALIZED (
+  SELECT nationkey, n1, x1, m,
+         floor(z * 10000 + 0.5) / 10000 AS z_r,
+         floor(({_sql_norm_two_sided_p('z')}) * 10000 + 0.5) / 10000 AS p_r
+  FROM zed
+),
+ranked AS MATERIALIZED (
+  SELECT *, CAST(row_number() OVER (ORDER BY p_r, nationkey) AS BIGINT)
+              AS p_rank
+  FROM pv
+)
+SELECT nationkey, n1, x1, z_r AS z, p_r AS p_value, p_rank,
+       p_rank <= COALESCE(
+         max(CASE WHEN p_r <= CAST(p_rank AS DOUBLE) / m * {FDR_ALPHA}
+                  THEN p_rank END) OVER (), 0) AS rejected
+FROM ranked
+""",
+)
+def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a 25-test battery — the
+    multiple-comparisons step every per-segment metrics sweep needs
+    (25 nations each tested for an over/under-represented '{FDR_SEG}'
+    segment share WILL hand you a spurious p<0.05 by chance alone): per
+    nation a two-proportion z-test against the rest of the corpus, then
+    the BH step-up — rank p-values ascending, find the largest rank with
+    p ≤ (rank/m)·α, reject everything at or below it.
+
+    The normal tail is the Abramowitz-Stegun 26.2.17 polynomial (neither
+    engine ships erf in SQL; identical literal constants + identical
+    Horner shape ⇒ identical IEEE doubles), z and p are 4dp-rounded
+    BEFORE ranking (the rounded-rank discipline), and the step-up runs
+    on the 25-row per-nation aggregate — TINY_WINDOW_OK, bounded by the
+    number of tests at any corpus scale. One customer scan feeds the
+    whole battery.
+    """
+    c = load(spark, sf_dir, "customer")
+    per_nation = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count(F.when(F.col("c_mktsegment") == FDR_SEG, 1)).alias("x1"),
+    )
+    tot = per_nation.agg(
+        F.sum("n1").alias("n_all"),
+        F.sum("x1").alias("x_all"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    j = per_nation.crossJoin(F.broadcast(tot))
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = (F.col("x_all") - F.col("x1")).cast("double") / (
+        F.col("n_all") - F.col("n1")
+    )
+    pp = F.col("x_all").cast("double") / F.col("n_all")
+    z = (p1 - p2) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / (F.col("n_all") - F.col("n1")))
+    )
+    az = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    horner = _AS_B[0] + t * (
+        _AS_B[1] + t * (_AS_B[2] + t * (_AS_B[3] + t * _AS_B[4]))
+    )
+    p_two = 2.0 * (F.exp(-az * az / 2.0) / F.sqrt(F.lit(_TWO_PI))) * t * horner
+    pv = j.select(
+        "nationkey",
+        "n1",
+        "x1",
+        "m",
+        r4(z).alias("z_r"),
+        r4(p_two).alias("p_r"),
+    )
+    w = Window.orderBy("p_r", "nationkey")
+    ranked = pv.withColumn("p_rank", F.row_number().over(w).cast("long"))
+    hit = F.when(
+        F.col("p_r")
+        <= F.col("p_rank").cast("double") / F.col("m") * FDR_ALPHA,
+        F.col("p_rank"),
+    )
+    k = F.max(hit).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return ranked.select(
+        "nationkey",
+        "n1",
+        "x1",
+        F.col("z_r").alias("z"),
+        F.col("p_r").alias("p_value"),
+        "p_rank",
+        (F.col("p_rank") <= F.coalesce(k, F.lit(0))).alias("rejected"),
+    )

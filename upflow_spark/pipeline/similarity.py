@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
-from upflow_spark.parity import r4
+from upflow_spark.parity import R4, r4
 from upflow_spark.registry import query
 
 # cosine similarity between two double arrays, Spark side.
@@ -621,3 +621,216 @@ def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cos_bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+FS_N_PROBES, FS_K, FS_KPOST = 20, 5, 20
+
+
+@query(
+    "sim_filtered_topk_prepost",
+    oracle=f"""
+WITH probes AS MATERIALIZED (
+  SELECT vec_id AS probe_id, label AS probe_label, embedding AS pemb
+  FROM embeddings ORDER BY vec_id LIMIT {FS_N_PROBES}
+),
+scored AS MATERIALIZED (
+  SELECT p.probe_id, p.probe_label, e.vec_id, e.label,
+         floor(({_sql_cos('e.embedding', 'p.pemb')}) * 10000 + 0.5) / 10000
+           AS cos_r
+  FROM probes p, embeddings e WHERE e.vec_id <> p.probe_id
+),
+g AS MATERIALIZED (
+  SELECT probe_id, probe_label, vec_id, label, cos_r,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_r DESC, vec_id) AS rnk_g
+  FROM scored
+),
+f AS MATERIALIZED (
+  SELECT probe_id, probe_label, vec_id, cos_r, rnk_g,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_r DESC, vec_id) AS rnk_f
+  FROM g WHERE label = probe_label
+)
+SELECT probe_id, max(probe_label) AS probe_label,
+       max(CASE WHEN rnk_f = 1 THEN vec_id END) AS top1_id,
+       max(CASE WHEN rnk_f = 1 THEN cos_r END) AS top1_cos,
+       CAST(count(CASE WHEN rnk_f <= {FS_K} AND rnk_g <= {FS_KPOST}
+                       THEN 1 END) AS BIGINT) AS n_post_found,
+       {R4("CAST(count(CASE WHEN rnk_f <= " + str(FS_K) + " AND rnk_g <= "
+           + str(FS_KPOST) + " THEN 1 END) AS DOUBLE)"
+           " / least(" + str(FS_K) + ", max(rnk_f))")} AS post_recall
+FROM f GROUP BY probe_id
+""",
+)
+def sim_filtered_topk_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the pre-filter vs post-filter trade-off
+    report every attribute-filtered ANN deployment runs before choosing a
+    strategy: for {FS_N_PROBES} probes, the TRUE answer is the top-{FS_K}
+    among vectors sharing the probe's label (pre-filtering); the cheap
+    strategy takes the GLOBAL top-{FS_KPOST} and filters afterwards.
+    Graded per probe: the filtered top-1 (id + cosine) and how much of
+    the true filtered top-{FS_K} the post-filter route actually recovers
+    (n_post_found, recall) — low recall on selective filters is exactly
+    why vector stores grew filter-aware index probing.
+
+    Both rankings are 4dp-rounded-cosine + vec_id (the rounded-ADC
+    tie-break discipline) over the SAME scored relation, so the report
+    is deterministic and hash-checked. This is the brute-force rail —
+    probes × corpus with per-probe windows (probe_id partitions); the
+    production path routes the filtered search through the IVF cells
+    (sim_ann_ivf_pq_batch) with the label as a probe-time predicate on
+    the codes table, same plan family, and uses THIS key as its
+    recall gate (the emb_pq_recall_eval pattern).
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _unit("embedding").alias("emb")
+    )
+    probes = (
+        e.orderBy("vec_id")
+        .limit(FS_N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("probe_label"),
+            F.col("emb").alias("pemb"),
+        )
+    )
+    corpus = e.repartition(spark.sparkContext.defaultParallelism)
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "vec_id",
+            "label",
+            r4(_cos(F.col("emb"), F.col("pemb"))).alias("cos_r"),
+        )
+    )
+    wg = Window.partitionBy("probe_id").orderBy(F.desc("cos_r"), "vec_id")
+    g = scored.withColumn("rnk_g", F.row_number().over(wg))
+    f = g.filter(F.col("label") == F.col("probe_label")).withColumn(
+        "rnk_f", F.row_number().over(wg)
+    )
+    found = (F.col("rnk_f") <= FS_K) & (F.col("rnk_g") <= FS_KPOST)
+    return f.groupBy("probe_id").agg(
+        F.max("probe_label").alias("probe_label"),
+        F.max(F.when(F.col("rnk_f") == 1, F.col("vec_id"))).alias("top1_id"),
+        F.max(F.when(F.col("rnk_f") == 1, F.col("cos_r"))).alias("top1_cos"),
+        F.count(F.when(found, 1)).alias("n_post_found"),
+        r4(
+            F.count(F.when(found, 1)).cast("double")
+            / F.least(F.lit(FS_K), F.max("rnk_f"))
+        ).alias("post_recall"),
+    )
+
+
+KPP_K = 8  # seeds; greedy farthest-first (deterministic k-means++ variant)
+
+
+def _kpp_oracle() -> str:
+    parts = [
+        "s1 AS MATERIALIZED (SELECT vec_id, label, embedding"
+        " FROM embeddings ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS MATERIALIZED (
+  SELECT e.vec_id, e.label, e.embedding,
+         floor((1.0 - ({_sql_cos('e.embedding', 's.embedding')})) * 10000
+               + 0.5) / 10000 AS mind
+  FROM embeddings e, s1 s WHERE e.vec_id <> s.vec_id
+)""",
+    ]
+    for i in range(2, KPP_K + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT vec_id, label, embedding, mind"
+            f" FROM d{i - 1} ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < KPP_K:
+            parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT d.vec_id, d.label, d.embedding,
+         least(d.mind,
+               floor((1.0 - ({_sql_cos('d.embedding', 's.embedding')}))
+                     * 10000 + 0.5) / 10000) AS mind
+  FROM d{i - 1} d, s{i} s WHERE d.vec_id <> s.vec_id
+)""")
+    rows = [
+        "SELECT 1 AS seed_rank, vec_id, label, CAST(NULL AS DOUBLE)"
+        " AS min_dist FROM s1"
+    ] + [
+        f"SELECT {i} AS seed_rank, vec_id, label, mind AS min_dist FROM s{i}"
+        for i in range(2, KPP_K + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query("emb_kmeanspp_init", oracle=_kpp_oracle())
+def emb_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means seeding by greedy FARTHEST-FIRST traversal
+    (the derandomized k-means++ variant k-means‖ ships): seed 1 is the
+    smallest vec_id, every next seed is the vector maximizing its minimum
+    cosine distance to the seeds chosen so far — the spread-out
+    initialization that makes Lloyd iterations (emb_pq_encode,
+    sim_ann_ivf_kmeans) converge in the 2 rounds those keys budget.
+    Graded output: the {KPP_K} seeds in selection order with each one's
+    min-distance-to-priors at selection time.
+
+    Determinism discipline: distances are 4dp-rounded BEFORE the argmax
+    (rounded-rank rule, vec_id tie-break), so the greedy trajectory is
+    engine-exact and the oracle can replay it as an unrolled CTE chain —
+    the same verify-a-training-loop pattern as tokenize_bpe_train. Each
+    of the K−1 steps is one scan of the candidate relation with a
+    broadcast 1-row seed + a TakeOrdered(1): at 100 TB that is K linear
+    passes (or one pass per batch in the k-means‖ oversampling variant),
+    never a quadratic.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _unit("embedding").alias("emb")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    seed = e.orderBy("vec_id").limit(1).localCheckpoint()
+    out = seed.select(
+        F.lit(1).alias("seed_rank"),
+        "vec_id",
+        "label",
+        F.lit(None).cast("double").alias("min_dist"),
+    )
+    sel = seed.select(F.col("vec_id").alias("s_id"), F.col("emb").alias("s_emb"))
+    cand = (
+        e.crossJoin(F.broadcast(sel))
+        .filter(F.col("vec_id") != F.col("s_id"))
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            r4(1.0 - _cos(F.col("emb"), F.col("s_emb"))).alias("mind"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(2, KPP_K + 1):
+        s_i = (
+            cand.orderBy(F.desc("mind"), "vec_id").limit(1).localCheckpoint()
+        )
+        out = out.unionByName(
+            s_i.select(
+                F.lit(i).alias("seed_rank"),
+                "vec_id",
+                "label",
+                F.col("mind").alias("min_dist"),
+            )
+        )
+        if i < KPP_K:
+            sel = s_i.select(
+                F.col("vec_id").alias("s_id"), F.col("emb").alias("s_emb")
+            )
+            cand = (
+                cand.crossJoin(F.broadcast(sel))
+                .filter(F.col("vec_id") != F.col("s_id"))
+                .select(
+                    "vec_id",
+                    "label",
+                    "emb",
+                    F.least(
+                        F.col("mind"),
+                        r4(1.0 - _cos(F.col("emb"), F.col("s_emb"))),
+                    ).alias("mind"),
+                )
+                .localCheckpoint()
+            )
+    return out
