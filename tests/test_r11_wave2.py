@@ -360,3 +360,42 @@ def test_kmeanspp_seeds_spread(spark):
     dists = [r["min_dist"] for r in rows[1:]]
     for a, b in zip(dists, dists[1:]):
         assert b <= a + 1e-9
+
+
+# ---- wave 7: IVF cell stats, rollback, seasonal-naive backtest
+
+
+def test_ivf_cell_stats_conservation(spark):
+    rows = QUERIES["emb_ivf_cell_stats"](spark, SF).collect()
+    assert rows
+    total = sum(r["n_assigned"] for r in rows)
+    native = sum(r["n_native"] for r in rows)
+    for r in rows:
+        assert 0 < r["n_native"] <= r["n_assigned"]
+        assert 0.0 < r["purity"] <= 1.0
+        assert r["load_factor"] > 0
+    # load factors average ~1 by construction
+    avg_load = sum(r["load_factor"] * r["n_assigned"] for r in rows) / total
+    assert avg_load >= 1.0 - 1e-6
+    assert native <= total
+
+
+def test_rollback_restores_v1(spark):
+    rows = {r["version"]: r for r in QUERIES["scan_time_travel_rollback"](spark, SF).collect()}
+    assert rows[3]["is_rollback"] and not rows[1]["is_rollback"]
+    assert rows[3]["n_rows"] == rows[1]["n_rows"]
+    assert rows[3]["sum_price"] == rows[1]["sum_price"]
+    assert rows[3]["n_buckets"] == rows[1]["n_buckets"]
+    assert rows[2]["n_rows"] != rows[1]["n_rows"]
+
+
+def test_snaive_backtest_shape(spark):
+    rows = QUERIES["events_forecast_snaive_backtest"](spark, SF).collect()
+    assert len(rows) == 7
+    maes = {r["mae"] for r in rows}
+    assert len(maes) == 1
+    mae = maes.pop()
+    hand = sum(r["abs_err"] for r in rows) / len(rows)
+    assert abs(mae - hand) < 1e-3
+    for r in rows:
+        assert r["abs_err"] >= 0 and r["actual"] > 0

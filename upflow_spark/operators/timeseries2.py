@@ -283,3 +283,90 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(last.select(*cols))
         .unionByName(mid.select(*cols))
     )
+
+
+SN_SEASON_DAYS = 7  # seasonal-naive lag and holdout length
+
+
+@query(
+    "events_forecast_snaive_backtest",
+    oracle=f"""
+WITH daily AS MATERIALIZED (
+  SELECT date_trunc('day', ts) AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY date_trunc('day', ts)
+),
+h AS (SELECT max(day) AS last_day FROM daily),
+test AS MATERIALIZED (
+  SELECT d.day, d.rev AS actual, f.rev AS forecast
+  FROM daily d
+  JOIN daily f ON f.day = d.day - INTERVAL {SN_SEASON_DAYS} DAY, h
+  WHERE d.day > h.last_day - INTERVAL {SN_SEASON_DAYS} DAY
+),
+summ AS (
+  SELECT {R4("avg(CAST(abs(actual - forecast) AS DOUBLE))")} AS mae,
+         {R4("avg(CAST(abs(actual - forecast) AS DOUBLE)"
+             " / CAST(actual AS DOUBLE))")} AS mape
+  FROM test
+)
+SELECT t.day,
+       {R4("CAST(t.actual AS DOUBLE)")} AS actual,
+       {R4("CAST(t.forecast AS DOUBLE)")} AS forecast,
+       {R4("CAST(abs(t.actual - t.forecast) AS DOUBLE)")} AS abs_err,
+       s.mae, s.mape
+FROM test t, summ s
+""",
+)
+def events_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST — the baseline every forecasting
+    pipeline must beat before it ships anything fancier: forecast(day) =
+    actual(day − {SN_SEASON_DAYS}), evaluated on the last
+    {SN_SEASON_DAYS}-day holdout of the daily purchase-revenue series,
+    with per-day errors and the MAE/MAPE summary in the graded output.
+    The operator IS the honest-baseline discipline (M-competition rule):
+    a model that can't beat s-naive on the backtest doesn't deploy.
+
+    Forecasts join by DATE ARITHMETIC (day − interval), not row offset,
+    so calendar gaps never misalign the season. Revenue stays exact
+    DECIMAL through the daily rollup and the error subtraction; only the
+    final per-day casts and the {SN_SEASON_DAYS}-row error averages are
+    doubles (4dp-rounded both sides). One events scan + one tiny self
+    join on the per-day rollup — bounded by the observation window at
+    any corpus scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    h = daily.agg(F.max("day").alias("last_day"))
+    f = daily.select(
+        (F.col("day") + F.expr(f"INTERVAL {SN_SEASON_DAYS} DAYS")).alias("day"),
+        F.col("rev").alias("forecast"),
+    )
+    test = (
+        daily.join(f, "day")
+        .crossJoin(F.broadcast(h))
+        .filter(
+            F.col("day")
+            > F.col("last_day") - F.expr(f"INTERVAL {SN_SEASON_DAYS} DAYS")
+        )
+        .select("day", F.col("rev").alias("actual"), "forecast")
+    )
+    abs_err = F.abs(F.col("actual") - F.col("forecast"))
+    summ = test.agg(
+        r4(F.avg(abs_err.cast("double"))).alias("mae"),
+        r4(
+            F.avg(abs_err.cast("double") / F.col("actual").cast("double"))
+        ).alias("mape"),
+    )
+    return test.crossJoin(F.broadcast(summ)).select(
+        "day",
+        r4(F.col("actual").cast("double")).alias("actual"),
+        r4(F.col("forecast").cast("double")).alias("forecast"),
+        r4(abs_err.cast("double")).alias("abs_err"),
+        "mae",
+        "mape",
+    )

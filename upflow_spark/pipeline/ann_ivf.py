@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
-from upflow_spark.parity import r4
+from upflow_spark.parity import R4, r4
 from upflow_spark.pipeline.similarity import _cos, _dbl
 from upflow_spark.registry import query
 
@@ -794,4 +794,118 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", r4(F.col("a")).alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
         .limit(TOP_K)
+    )
+
+
+@query(
+    "emb_ivf_cell_stats",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT label AS cell, list(c ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos)
+  GROUP BY label
+),
+scored AS MATERIALIZED (
+  SELECT e.vec_id, e.label, c.cell,
+         floor(({_SQL_DOT_P.format(a="e.embedding", b="c.centroid")})
+               * 10000 + 0.5) / 10000 AS dot_r
+  FROM embeddings e, cent c
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, label, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot_r DESC, cell) AS rn
+    FROM scored) WHERE rn = 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+        FROM assigned)
+SELECT a.cell,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(count(*) FILTER (a.label = a.cell) AS BIGINT) AS n_native,
+       {R4("CAST(count(*) FILTER (a.label = a.cell) AS DOUBLE) / count(*)")}
+         AS purity,
+       {R4("CAST(count(*) AS DOUBLE) * max(t.n_cells) / max(t.n_vecs)")}
+         AS load_factor
+FROM assigned a, tot t
+GROUP BY a.cell
+""",
+)
+def emb_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-HEALTH report — the check a vector-index deployment runs
+    after building the coarse quantizer and before trusting NPROBE
+    routing: every vector is assigned to its NEAREST centroid (rounded
+    dot + cell tie-break — the actual inverted-file assignment, not the
+    label it was born with), and per cell the report grades size, native
+    membership, purity (quantizer confusion: how many residents the cell
+    'stole'), and load factor (cell size ÷ ideal — the imbalance that
+    turns NPROBE=2 into a hot-cell scan). A load factor far from 1 or a
+    low-purity cell is the signal to retrain (emb_kmeanspp_init feeds
+    that retrain with spread seeds).
+
+    Plan: one posexplode centroid build (the hash-checked sim_ann_ivf
+    kernel), one corpus×K-centroid broadcast join scored map-side,
+    argmax via a vec_id-partitioned window, ONE cell rollup. At 100 TB
+    this is a linear pass; the K-row centroid table broadcasts at any
+    corpus size.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    ex = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    centroids = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("centroid"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "label", "cell", r4(dot).alias("dot_r")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot_r"), "cell")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cell")
+    )
+    tot = assigned.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("cell").alias("n_cells"),
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.count(F.when(F.col("label") == F.col("cell"), 1)).alias(
+                "n_native"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_assigned",
+            "n_native",
+            r4(
+                F.col("n_native").cast("double") / F.col("n_assigned")
+            ).alias("purity"),
+            r4(
+                F.col("n_assigned").cast("double")
+                * F.col("n_cells")
+                / F.col("n_vecs")
+            ).alias("load_factor"),
+        )
     )

@@ -1169,3 +1169,132 @@ def scan_branch_tag_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb.join(agg, "ref_name").select(
         "ref_name", "version", "n_rows", "sum_price", "n_buckets"
     )
+
+
+@query(
+    "scan_time_travel_rollback",
+    oracle=f"""
+WITH m AS (
+  SELECT max(o_orderkey) AS mx,
+         CAST(floor((max(o_orderkey) + {N_BUCKETS}.0) / {N_BUCKETS}) AS BIGINT)
+           AS step,
+         CAST(floor(max(o_orderkey) / {SNAP_CHANGE_FRACTION}.0) AS BIGINT) AS hi
+  FROM orders
+),
+v1 AS MATERIALIZED (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price,
+         CAST(floor(o_orderkey / step) AS INT) AS bucket
+  FROM orders, m
+),
+chg AS MATERIALIZED (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE 'D' END AS op,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1))
+              AS DECIMAL(20,3)) AS new_price
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND (o_orderkey % 5 = 0 OR o_orderkey % 11 = 0)
+),
+ins AS MATERIALIZED (
+  SELECT o_orderkey + m.mx + 1 AS o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price,
+         CAST(floor((o_orderkey + m.mx + 1) / step) AS INT) AS bucket
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND o_orderkey % 7 = 0
+),
+v2 AS MATERIALIZED (
+  SELECT o_orderkey, price,
+         CAST(floor(o_orderkey / (SELECT step FROM m)) AS INT) AS bucket
+  FROM (
+    SELECT o_orderkey, price FROM v1
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+    UNION ALL SELECT o_orderkey, new_price AS price FROM chg WHERE op = 'U'
+    UNION ALL SELECT o_orderkey, price FROM ins
+  )
+)
+SELECT 1 AS version, FALSE AS is_rollback, CAST(count(*) AS BIGINT) AS n_rows,
+       {R4("CAST(sum(price) AS DOUBLE)")} AS sum_price,
+       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets
+FROM v1
+UNION ALL
+SELECT 2, FALSE, CAST(count(*) AS BIGINT), {R4("CAST(sum(price) AS DOUBLE)")},
+       CAST(count(DISTINCT bucket) AS BIGINT)
+FROM v2
+UNION ALL
+SELECT 3, TRUE, CAST(count(*) AS BIGINT), {R4("CAST(sum(price) AS DOUBLE)")},
+       CAST(count(DISTINCT bucket) AS BIGINT)
+FROM v1
+""",
+)
+def scan_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ROLLBACK — the undo button of the versioned-manifest
+    layout: version 3 is created by appending a manifest whose entries
+    POINT BACK at v1's (gen, bucket) set — no data file is written,
+    moved, or deleted; the bad v2 stays on disk for forensics while every
+    reader of 'latest' instantly sees v1's content again. Graded: all
+    three versions read AS OF through manifest selection — the hash
+    check itself proves v3 ≡ v1 row-for-row (the oracle computes v3
+    FROM v1), which is exactly the rollback contract.
+
+    At 100 TB this is why manifest-based formats make incident response
+    cheap: rollback is a metadata write of O(manifest) rows, reversible
+    itself, and concurrent readers never see a half-state. Plan: the v3
+    read is the same broadcast-selection DPP path as every AS-OF read —
+    nothing about rollback changes the read plan.
+    """
+    data_dir, man_path = _snapshot_layout(spark, sf_dir)
+    man = spark.read.parquet(man_path)
+    rb_path = _rollback_manifest(spark, sf_dir, man_path)
+    man3 = spark.read.parquet(rb_path)
+    data = spark.read.parquet(data_dir)
+    out = []
+    for v, src, is_rb in ((1, man, False), (2, man, False), (3, man3, True)):
+        sel = src.filter(F.col("version") == v).select("gen", "bucket")
+        agg = data.join(F.broadcast(sel), ["gen", "bucket"], "semi").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(F.sum("price").cast("double")).alias("sum_price"),
+        )
+        nb = src.filter(F.col("version") == v).agg(
+            F.count(F.lit(1)).alias("n_buckets")
+        )
+        out.append(
+            agg.select(
+                F.lit(v).alias("version"),
+                F.lit(is_rb).alias("is_rollback"),
+                "n_rows",
+                "sum_price",
+            ).crossJoin(F.broadcast(nb))
+        )
+    res = out[0]
+    for extra in out[1:]:
+        res = res.unionByName(extra)
+    return res
+
+
+_rollback_manifests: dict = {}
+
+
+def _rollback_manifest(
+    spark: SparkSession, sf_dir: str, man_path: str
+) -> str:
+    """Append-only rollback: write (once per session+fixture) a manifest
+    file carrying v1's entries re-stamped as version 3."""
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    memo_key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    if memo_key in _rollback_manifests:
+        return _rollback_manifests[memo_key]
+    for stale in [k for k in _rollback_manifests if k != memo_key]:
+        _rollback_manifests.pop(stale)
+    man = spark.read.parquet(man_path)
+    path = _work_dir(spark, sf_dir, "snapshot") + "/manifest_rollback"
+    (
+        man.unionByName(
+            man.filter(F.col("version") == 1).select(
+                F.lit(3).alias("version"), "gen", "bucket"
+            )
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _rollback_manifests[memo_key] = path
+    return path
