@@ -858,9 +858,12 @@ cnt AS (
   FROM sp GROUP BY c_nationkey
 )
 SELECT p.nationkey, c.n_sampled, p.conc, p.disc, p.ties_x, p.ties_y,
-       {R4("CAST(p.conc - p.disc AS DOUBLE) / sqrt(CAST("
+       CASE WHEN c.n_sampled * (c.n_sampled - 1) // 2 > p.ties_x
+             AND c.n_sampled * (c.n_sampled - 1) // 2 > p.ties_y
+            THEN {R4("CAST(p.conc - p.disc AS DOUBLE) / sqrt(CAST("
            "(c.n_sampled * (c.n_sampled - 1) // 2 - p.ties_x)"
            " * (c.n_sampled * (c.n_sampled - 1) // 2 - p.ties_y) AS DOUBLE))")}
+            ELSE CAST(NULL AS DOUBLE) END
          AS tau_b
 FROM pairs p JOIN cnt c ON c.nationkey = p.nationkey
 """,
@@ -932,10 +935,17 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled")
     )
     n0 = F.expr("n_sampled * (n_sampled - 1) div 2")
-    tau = r4(
-        (F.col("conc") - F.col("disc")).cast("double")
-        / F.sqrt(((n0 - F.col("ties_x")) * (n0 - F.col("ties_y"))).cast("double"))
-    )
+    # fully-tied guard (ADVICE r11): a zero denominator is NULL in both
+    # engines by construction, not engine-dependent NaN/Infinity.
+    tau = F.when(
+        (n0 > F.col("ties_x")) & (n0 > F.col("ties_y")),
+        r4(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                ((n0 - F.col("ties_x")) * (n0 - F.col("ties_y"))).cast("double")
+            )
+        ),
+    ).otherwise(F.lit(None).cast("double"))
     return pairs.join(F.broadcast(cnt), "nationkey").select(
         "nationkey",
         "n_sampled",

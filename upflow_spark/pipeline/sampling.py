@@ -393,7 +393,10 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = (
         li.select("l_orderkey")
-        .join(F.broadcast(o.select("o_orderkey")), F.col("l_orderkey") == F.col("o_orderkey"), "anti")
+        # no broadcast hint: orders is fact-scale, so the FK anti-join must
+        # stay a shuffle join at 100 TB (ADVICE r11) — Catalyst may still
+        # broadcast at fixture scale on its own estimate.
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "anti")
         .agg(F.count(F.lit(1)).alias("orphans"))
     )
     dt = (

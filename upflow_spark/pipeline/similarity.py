@@ -650,16 +650,22 @@ f AS MATERIALIZED (
          row_number() OVER (PARTITION BY probe_id
                             ORDER BY cos_r DESC, vec_id) AS rnk_f
   FROM g WHERE label = probe_label
+),
+per AS (
+  SELECT probe_id,
+         max(CASE WHEN rnk_f = 1 THEN vec_id END) AS top1_id,
+         max(CASE WHEN rnk_f = 1 THEN cos_r END) AS top1_cos,
+         CAST(count(CASE WHEN rnk_f <= {FS_K} AND rnk_g <= {FS_KPOST}
+                         THEN 1 END) AS BIGINT) AS n_post_found,
+         {R4("CAST(count(CASE WHEN rnk_f <= " + str(FS_K) + " AND rnk_g <= "
+             + str(FS_KPOST) + " THEN 1 END) AS DOUBLE)"
+             " / least(" + str(FS_K) + ", max(rnk_f))")} AS post_recall
+  FROM f GROUP BY probe_id
 )
-SELECT probe_id, max(probe_label) AS probe_label,
-       max(CASE WHEN rnk_f = 1 THEN vec_id END) AS top1_id,
-       max(CASE WHEN rnk_f = 1 THEN cos_r END) AS top1_cos,
-       CAST(count(CASE WHEN rnk_f <= {FS_K} AND rnk_g <= {FS_KPOST}
-                       THEN 1 END) AS BIGINT) AS n_post_found,
-       {R4("CAST(count(CASE WHEN rnk_f <= " + str(FS_K) + " AND rnk_g <= "
-           + str(FS_KPOST) + " THEN 1 END) AS DOUBLE)"
-           " / least(" + str(FS_K) + ", max(rnk_f))")} AS post_recall
-FROM f GROUP BY probe_id
+SELECT p.probe_id, p.probe_label, a.top1_id, a.top1_cos,
+       COALESCE(a.n_post_found, CAST(0 AS BIGINT)) AS n_post_found,
+       a.post_recall
+FROM probes p LEFT JOIN per a ON a.probe_id = p.probe_id
 """,
 )
 def sim_filtered_topk_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,8 +718,7 @@ def sim_filtered_topk_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk_f", F.row_number().over(wg)
     )
     found = (F.col("rnk_f") <= FS_K) & (F.col("rnk_g") <= FS_KPOST)
-    return f.groupBy("probe_id").agg(
-        F.max("probe_label").alias("probe_label"),
+    per = f.groupBy("probe_id").agg(
         F.max(F.when(F.col("rnk_f") == 1, F.col("vec_id"))).alias("top1_id"),
         F.max(F.when(F.col("rnk_f") == 1, F.col("cos_r"))).alias("top1_cos"),
         F.count(F.when(found, 1)).alias("n_post_found"),
@@ -721,6 +726,23 @@ def sim_filtered_topk_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(found, 1)).cast("double")
             / F.least(F.lit(FS_K), F.max("rnk_f"))
         ).alias("post_recall"),
+    )
+    # every probe appears in the report even when its label has no other
+    # corpus member (ADVICE r11): n_post_found = 0, scores NULL — the
+    # dropout would otherwise be silent on selective label distributions.
+    return (
+        probes.select("probe_id", "probe_label")
+        .join(per, "probe_id", "left")
+        .select(
+            "probe_id",
+            "probe_label",
+            "top1_id",
+            "top1_cos",
+            F.coalesce(F.col("n_post_found"), F.lit(0).cast("long")).alias(
+                "n_post_found"
+            ),
+            "post_recall",
+        )
     )
 
 

@@ -1324,10 +1324,18 @@ def stream_snapshot_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = base_t + 2.0 * i
             os.utime(os.path.join(dst, p), (t, t))
 
-    work = tempfile.mkdtemp(prefix="upflow_snapcdc_")
+    # reuse one per-(session, fixture) dir with atexit cleanup instead of a
+    # fresh data-sized mkdtemp per invocation (ADVICE r11 — bench sweeps
+    # re-time this key; every write below is mode("overwrite") so the same
+    # path is safe to reuse). The checkpoint must stay fresh per run: a
+    # drained availableNow checkpoint would skip the whole replay while the
+    # manifest has just been reset to v1.
+    from upflow_spark.sources.manifest import _work_dir
+
+    work = _work_dir(spark, sf_dir, "snapcdc")
     data_dir = os.path.join(work, "data")
     man_dir = os.path.join(work, "manifest")
-    ckpt = os.path.join(work, "ckpt")
+    ckpt = os.path.join(work, "ckpt_" + uuid.uuid4().hex)
 
     # snapshot v1: bucket-partitioned base + read-back manifest
     o = load(spark, sf_dir, "orders")
