@@ -359,27 +359,31 @@ def test_set_except_intersect_all_not_vacuous(spark):
 
 def test_knn_classify_ann_matches_numpy_reference(spark):
     """knn_classify_ann vs an INDEPENDENT numpy re-implementation of the
-    same IVF routing (label-mean centroids, NPROBE cells per query, 5-NN
-    vote, identical tie rules). Exact-match oracle — robust to fixture
-    regeneration, unlike an agreement floor vs the exact key (the fixture
-    embeddings are random, so label-mean cells are weak quantizers and
-    cross-key agreement is legitimately low)."""
+    same IVF routing (integer-lattice label centroids, NPROBE cells per
+    query by exact int64 squared distance, 5-NN cosine vote, identical tie
+    rules). Exact-match oracle — robust to fixture regeneration, unlike an
+    agreement floor vs the exact key (the fixture embeddings are random, so
+    label-mean cells are weak quantizers and cross-key agreement is
+    legitimately low)."""
     import numpy as np
     import pyarrow.parquet as pq
-    from upflow_spark.pipeline.ann_ivf import NPROBE
+    from upflow_spark.pipeline.ann_ivf import IVF_OFF, IVF_Q, NPROBE
 
     t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
-    M = np.vstack(t["embedding"].values).astype(np.float64)
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    raw = np.vstack(t["embedding"].values).astype(np.float64)
+    M = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+    lat = np.floor(raw * IVF_Q + 0.5).astype(np.int64) + IVF_OFF
     vec_ids = t["vec_id"].to_numpy()
     labels = t["label"].to_numpy()
     uniq = np.unique(labels)
-    cents = np.vstack([M[labels == l].mean(axis=0) for l in uniq])
+    cents = np.vstack(
+        [lat[labels == l].sum(axis=0) // (labels == l).sum() for l in uniq]
+    )
     expect = {}
     for qi in np.where(vec_ids % 50 == 0)[0]:
-        cell_cos = cents @ M[qi]
-        # rank cells: cos desc, label asc (np.lexsort is last-key-primary)
-        order = np.lexsort((uniq, -cell_cos))
+        d2 = ((cents - lat[qi][None, :]) ** 2).sum(axis=1)
+        # rank cells: d2 asc, label asc (np.lexsort is last-key-primary)
+        order = np.lexsort((uniq, d2))
         probed = set(uniq[order[:NPROBE]])
         cand = [
             i for i in range(len(M))

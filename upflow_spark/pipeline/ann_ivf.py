@@ -10,8 +10,11 @@ production build would k-means them.
 Scale: the cell assignment is one broadcast-centroid map pass; per-query
 work drops from O(N) to O(N * nprobe / n_cells). sim_ann_ivf is
 hash-checked against a full SQL restatement as of r10 (centroid avgs +
-dot ranking are engine-stable at this fixture's gaps); knn_classify_ann
-stays rows-only (per-query cell routing compounds float-order ties);
+dot ranking are engine-stable at this fixture's gaps); sim_ann_ivf_kmeans
+and knn_classify_ann are hash-checked as of r12 via the INTEGER-LATTICE
+discipline (components quantized once to a 1e-8 lattice, all centroid
+folds and cell routing in exact int64 arithmetic — order-free, so the
+distributed partial sums and the DuckDB restatement agree bit-for-bit);
 tests/test_ops.py additionally measures recall against the exact
 brute-force top-k.
 """
@@ -23,11 +26,33 @@ from pyspark.sql import functions as F
 
 from upflow_spark.io import load
 from upflow_spark.parity import R4, r4
-from upflow_spark.pipeline.similarity import _cos, _dbl
+from upflow_spark.pipeline.similarity import _cos, _dbl, _sql_cos
 from upflow_spark.registry import query
 
 NPROBE = 3
 TOP_K = 10
+
+# Integer-lattice discipline for the trained-quantizer keys: quantize each
+# component ONCE to a 1e-8 lattice (below the float32 input precision, so
+# semantically a no-op) and shift non-negative; every subsequent centroid
+# sum / mean / squared distance is then EXACT int64 arithmetic — order-free
+# across partitions AND engines. This is the repo's basis-point money
+# discipline applied to vectors (VERDICT r11 item 1).
+IVF_Q = 10**8
+IVF_OFF = 10**8  # shift => all lattice values positive => trunc div == floor
+_LAT_SQL = (
+    "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100000000 + 0.5)"
+    " AS BIGINT) + 100000000"
+)
+
+
+def _lat(col):  # noqa: ANN001, ANN201
+    """Scaled-integer lattice embedding (array<long>), Spark side."""
+    return F.transform(
+        col,
+        lambda x: F.floor(x.cast("double") * IVF_Q + F.lit(0.5)).cast("long")
+        + F.lit(IVF_OFF),
+    )
 
 
 _SQL_DOT_P = (
@@ -117,28 +142,87 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_classify_ann")  # rows-only: cell routing is float-order sensitive
+def _knn_ann_oracle() -> str:
+    cos = _sql_cos("q.embedding", "n.embedding")
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         {_LAT_SQL} AS e
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT label AS cell, pos, CAST(sum(e) // count(*) AS BIGINT) AS c
+  FROM ev GROUP BY label, pos
+),
+qcells AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT d.query_id, d.cell,
+           row_number() OVER (PARTITION BY d.query_id
+                              ORDER BY d.d2 ASC, d.cell ASC) AS cr
+    FROM (
+      SELECT ev.vec_id AS query_id, c.cell,
+             sum((ev.e - c.c) * (ev.e - c.c)) AS d2
+      FROM ev JOIN cent c ON ev.pos = c.pos
+      WHERE ev.vec_id % 50 = 0
+      GROUP BY ev.vec_id, c.cell
+    ) d) WHERE cr <= {NPROBE}
+),
+pairs AS MATERIALIZED (
+  SELECT qc.query_id, q.label AS true_label, n.label AS neigh_label,
+         row_number() OVER (PARTITION BY qc.query_id
+                            ORDER BY {cos} DESC, n.vec_id ASC) AS rn
+  FROM qcells qc
+  JOIN embeddings q ON q.vec_id = qc.query_id
+  JOIN embeddings n ON n.label = qc.cell AND n.vec_id <> qc.query_id
+),
+votes AS (
+  SELECT query_id, true_label, neigh_label, count(*) AS n_votes
+  FROM pairs WHERE rn <= 5
+  GROUP BY query_id, true_label, neigh_label
+)
+SELECT query_id, true_label, neigh_label AS predicted_label
+FROM (
+  SELECT query_id, true_label, neigh_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, neigh_label ASC) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
+@query("knn_classify_ann", oracle=_knn_ann_oracle())
 def knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-NN majority-label classification with IVF-routed candidates — the
     scale path for `knn_classify` (VERDICT r1 item 8: the exact key's
     brute-force Q x N pair join shrinks to Q x N x NPROBE / n_cells here).
 
     Same probe set (vec_id % 50 = 0), same vote/tie rules as the exact key,
-    but each query only scores vectors in its NPROBE closest IVF cells
-    (label-mean coarse quantizer, as sim_ann_ivf). Everything is DataFrame
+    but each query only scores vectors in its NPROBE closest IVF cells.
+    HASH-CHECKED as of r12 (was rows-only): the coarse quantizer is an
+    integer-lattice label centroid — components quantized once to the 1e-8
+    lattice (below float32 input precision), per-(label, dim) TRUNCATING
+    integer mean — and cell routing ranks EXACT int64 squared distances
+    (ties to the lowest cell), so routing is order-free and bit-identical
+    in both engines; only the final 5-NN vote uses float cosine, the same
+    hash-checked expression class as knn_classify. Everything is DataFrame
     joins — per-query cell ranking is a broadcast-centroid window, not a
-    driver loop — so Q can be millions. tests/test_ops.py floors the
-    prediction agreement against the exact key.
+    driver loop — so Q can be millions. tests/test_ops.py exact-matches
+    against an independent numpy re-implementation.
     """
     from upflow_spark.pipeline.similarity import _unit
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _unit("embedding").alias("emb")
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        "vec_id",
+        "label",
+        _unit("embedding").alias("emb"),
+        _lat("embedding").alias("ei"),
     )
-    ex = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    ex = e.select("label", F.posexplode("ei").alias("pos", "v"))
     centroids = (
         ex.groupBy("label", "pos")
-        .agg(F.avg("v").alias("c"))
+        .agg(F.expr("sum(v) div count(1)").alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
@@ -150,18 +234,21 @@ def knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("emb").alias("q_emb"),
+        F.col("ei").alias("q_ei"),
     )
-    # rank all cells per query (Q x n_cells rows — tiny), keep NPROBE
+    # rank all cells per query (Q x n_cells rows — tiny), keep NPROBE;
+    # d2 is an exact integer fold, so the ranking has no float-order risk
+    d2 = F.aggregate(
+        F.zip_with(F.col("q_ei"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
     wc = Window.partitionBy("query_id").orderBy(
-        F.col("cell_cos").desc(), F.col("cell").asc()
+        F.col("d2").asc(), F.col("cell").asc()
     )
     q_cells = (
         q.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "cell",
-            _cos(F.col("q_emb"), F.col("centroid")).alias("cell_cos"),
-        )
+        .select("query_id", "cell", d2.alias("d2"))
         .withColumn("cr", F.row_number().over(wc))
         .filter(F.col("cr") <= NPROBE)
         .select("query_id", F.col("cell").alias("label"))
@@ -204,81 +291,147 @@ K_CELLS = 8
 KMEANS_ITERS = 3
 
 
-@query("sim_ann_ivf_kmeans")  # rows-only: iterative float algorithm (no SQL twin)
+def _ivf_kmeans_oracle() -> str:
+    """Unrolled integer-lattice Lloyd's as chained CTEs (the emb_pq_encode
+    proof pattern, VERDICT r11 item 1): seeds are the first K lattice
+    vectors by vec_id; each round assigns by EXACT int64 squared distance
+    (ties to the lowest cell) and updates by truncating integer mean, so
+    DuckDB reproduces the distributed trainer bit-for-bit."""
+    parts = [
+        f"""ev AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         {_LAT_SQL} AS e
+  FROM embeddings
+)""",
+        f"""seedids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {K_CELLS})
+)""",
+        "cent0 AS MATERIALIZED (SELECT s.cell, ev.pos, ev.e AS c"
+        " FROM seedids s JOIN ev USING (vec_id))",
+    ]
+    for t in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""d{t} AS MATERIALIZED (
+  SELECT ev.vec_id, c.cell, sum((ev.e - c.c) * (ev.e - c.c)) AS d2
+  FROM ev JOIN cent{t - 1} c ON ev.pos = c.pos
+  GROUP BY ev.vec_id, c.cell
+)""")
+        parts.append(f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d{t}) WHERE rn = 1
+)""")
+        parts.append(f"""cent{t} AS MATERIALIZED (
+  SELECT a.cell, ev.pos, CAST(sum(ev.e) // count(*) AS BIGINT) AS c
+  FROM a{t} a JOIN ev USING (vec_id) GROUP BY a.cell, ev.pos
+  UNION ALL
+  SELECT c.cell, c.pos, c.c FROM cent{t - 1} c
+  WHERE c.cell NOT IN (SELECT cell FROM a{t})
+)""")
+    T = KMEANS_ITERS
+    parts.append(f"""dfin AS MATERIALIZED (
+  SELECT ev.vec_id, c.cell, sum((ev.e - c.c) * (ev.e - c.c)) AS d2
+  FROM ev JOIN cent{T} c ON ev.pos = c.pos
+  GROUP BY ev.vec_id, c.cell
+)""")
+    parts.append("""afin AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dfin) WHERE rn = 1
+)""")
+    parts.append(f"""cells AS (
+  SELECT cell FROM (
+    SELECT c.cell, sum((p.e - c.c) * (p.e - c.c)) AS d2
+    FROM cent{T} c JOIN ev p ON p.pos = c.pos AND p.vec_id = 0
+    GROUP BY c.cell)
+  ORDER BY d2 ASC, cell ASC LIMIT {NPROBE}
+)""")
+    parts.append(
+        "probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)"
+    )
+    parts.append("""cand AS MATERIALIZED (
+  SELECT emb.vec_id, af.cell, emb.embedding
+  FROM embeddings emb
+  JOIN afin af ON af.vec_id = emb.vec_id
+  JOIN cells USING (cell)
+  WHERE emb.vec_id <> 0
+)""")
+    cos = _sql_cos("cand.embedding", "probe.p")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT cand.vec_id, cand.cell,\n"
+        f"       floor(({cos}) * 10000 + 0.5) / 10000 AS cos_sim\n"
+        f"FROM cand, probe\n"
+        f"ORDER BY {cos} DESC, cand.vec_id ASC\n"
+        f"LIMIT {TOP_K}"
+    )
+
+
+@query("sim_ann_ivf_kmeans", oracle=_ivf_kmeans_oracle())
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a k-means-trained coarse quantizer (spherical Lloyd's).
+    """IVF with a k-means-trained coarse quantizer (Lloyd's on the integer
+    lattice).
 
     Unlike sim_ann_ivf's label-mean cells, the quantizer here is learned:
     KMEANS_ITERS rounds of (assign to nearest centroid, recompute cell
-    means, renormalize). Each round is one broadcast-centroid map pass plus
-    one groupBy shuffle of dim-exploded partial sums; only the K x dim
-    centroid table ever reaches the driver (the MLlib pattern — the corpus
-    itself never leaves the executors, so the loop scales to 100 TB with
-    K x dim x iters driver traffic).
+    means). Each round is one Arrow map pass emitting K tiny per-partition
+    (sum-vector, count) rows; only the K x dim centroid table ever reaches
+    the driver (the MLlib treeAggregate pattern — the corpus itself never
+    leaves the executors, so the loop scales to 100 TB with K x dim x iters
+    driver traffic).
+
+    HASH-CHECKED as of r12 (was rows-only): components are quantized ONCE
+    to the 1e-8 integer lattice (below float32 input precision — the
+    basis-point discipline applied to vectors), after which every Lloyd
+    fold is exact int64 arithmetic: assignment by integer squared distance
+    with ties to the lowest cell, centroid update by truncating integer
+    mean, empty cells carrying their previous centroid. Integer sums are
+    order-free, so partition-parallel partials equal the oracle's unrolled
+    sequential CTEs exactly; only the final in-cell cosine ranking is
+    float, the same r4-rounded expression class as sim_probe_topk.
 
     Probe path: rank the K centroids against the probe driver-side (tiny),
     search the NPROBE best cells exactly.
     """
+    import numpy as np
+    import pandas as pd
+
     from upflow_spark.pipeline.similarity import _unit
 
     e = (
         load(spark, sf_dir, "embeddings")
-        # single-file fixture -> 1 partition; the per-row K x dim dot-product
-        # expression is the hot loop, spread it across cores before persist
+        # single-file fixture -> 1 partition; spread the per-row K x dim
+        # distance workload across cores before persist
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", _unit("embedding").alias("emb"))
+        .select("vec_id", _lat("embedding").alias("ei"))
         .persist()
     )
 
-    def best_cell(cents):  # noqa: ANN001, ANN202
-        # argmax over K dot products as ONE Arrow-batched matmul. The
-        # expression-tree alternative (K named_structs of zip_with/aggregate
-        # HOFs over dim literals) forces a full codegen recompile every
-        # iteration because the centroid literals change — measured ~2 s
-        # compile x 4 passes; the pandas UDF is compile-free and the
-        # (batch x dim) @ (dim x K) product is exactly what BLAS is for.
-        # NESTED function on purpose: module-level callables cloudpickle by
-        # reference and break when the driver cwd isn't the repo.
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import IntegerType
+    # deterministic seeding: the first K lattice vectors by vec_id
+    cents = np.asarray(
+        [r["ei"] for r in e.orderBy("vec_id").limit(K_CELLS).collect()],
+        dtype=np.int64,
+    )
+    dim = cents.shape[1]
 
-        C = np.asarray(cents, dtype=np.float64).T  # dim x K
-
-        # no type hints: `from __future__ import annotations` stringifies
-        # them and pyspark's hint inference rejects the strings
-        @pandas_udf(IntegerType())
-        def _assign(emb):  # noqa: ANN001, ANN202
-            M = np.vstack(emb.to_numpy())  # batch x dim
-            return pd.Series((M @ C).argmax(axis=1).astype("int32"))
-
-        return _assign("emb")
-
-    # deterministic seeding: the first K vectors by vec_id
-    cents = [
-        r["emb"]
-        for r in e.orderBy("vec_id").limit(K_CELLS).collect()
-    ]
-    import numpy as np
-    import pandas as pd
-
-    dim = len(cents[0])
     for _ in range(KMEANS_ITERS):
-        # r5: assign + per-cell partial sums FUSED in one Arrow map pass —
-        # the r4 shape (pandas-UDF assign, posexplode to K x dim rows, two
-        # groupBy shuffles, collect) paid ~1 s of job overhead per
-        # iteration; here each partition emits K tiny (sum-vector, count)
-        # rows and the only traffic is K x partitions x dim doubles. Same
-        # merge-on-driver topology MLlib's KMeans uses (treeAggregate).
-        C = np.asarray(cents, dtype=np.float64).T  # dim x K
+        C = cents.copy()  # K x dim int64, broadcast via closure
 
         def partials(batches):  # noqa: ANN001, ANN202
-            sums = np.zeros((K_CELLS, dim), dtype=np.float64)
+            # NESTED function on purpose: module-level callables cloudpickle
+            # by reference and break when the driver cwd isn't the repo.
+            sums = np.zeros((K_CELLS, dim), dtype=np.int64)
             ns = np.zeros(K_CELLS, dtype=np.int64)
             for pdf in batches:
-                m = np.vstack(pdf["emb"].to_numpy())
-                a = (m @ C).argmax(axis=1)
+                m = np.vstack(pdf["ei"].to_numpy()).astype(np.int64)
+                diff = m[:, None, :] - C[None, :, :]
+                # int64 all the way: (1.2e8)^2 * 64 dims < 2^63, no overflow;
+                # argmin's first-occurrence rule == ties to the lowest cell
+                a = (diff * diff).sum(axis=2).argmin(axis=1)
                 for k in np.unique(a):
                     sel = a == k
                     sums[k] += m[sel].sum(axis=0)
@@ -291,30 +444,45 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-        rows = e.select("emb").mapInPandas(
-            partials, "cell int, s array<double>, n long"
+        rows = e.select("ei").mapInPandas(
+            partials, "cell int, s array<long>, n long"
         ).collect()
-        sums = np.zeros((K_CELLS, dim), dtype=np.float64)
+        sums = np.zeros((K_CELLS, dim), dtype=np.int64)
         ns = np.zeros(K_CELLS, dtype=np.int64)
         for r in rows:
-            sums[r["cell"]] += np.array(r["s"], dtype=np.float64)
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.int64)
             ns[r["cell"]] += r["n"]
-        new = []
+        new = cents.copy()
         for k in range(K_CELLS):
             if ns[k] > 0:  # empty cells keep their old centroid
-                v = sums[k] / ns[k]
-                nrm = float(np.sqrt((v * v).sum())) or 1.0
-                new.append((v / nrm).tolist())
-            else:
-                new.append(cents[k])
+                new[k] = sums[k] // ns[k]  # positive => trunc == floor
         cents = new
 
-    probe_vec = e.filter(F.col("vec_id") == 0).collect()[0]["emb"]
+    probe_i = np.asarray(
+        e.filter(F.col("vec_id") == 0).collect()[0]["ei"], dtype=np.int64
+    )
     e.unpersist()
-    scores = [
-        (sum(x * y for x, y in zip(c, probe_vec)), k) for k, c in enumerate(cents)
-    ]
-    probed = [k for _, k in sorted(scores, reverse=True)[:NPROBE]]
+    pd2 = ((cents - probe_i[None, :]) ** 2).sum(axis=1)
+    probed = sorted(range(K_CELLS), key=lambda k: (int(pd2[k]), k))[:NPROBE]
+
+    Cf = cents
+
+    def cell_of(col):  # noqa: ANN001, ANN202
+        # argmin over K integer squared distances as ONE Arrow-batched pass
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import IntegerType
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them and pyspark's hint inference rejects the strings
+        @pandas_udf(IntegerType())
+        def _assign(ei):  # noqa: ANN001, ANN202
+            m = np.vstack(ei.to_numpy()).astype(np.int64)
+            diff = m[:, None, :] - Cf[None, :, :]
+            return pd.Series(
+                (diff * diff).sum(axis=2).argmin(axis=1).astype("int32")
+            )
+
+        return _assign(col)
 
     probe = (
         load(spark, sf_dir, "embeddings")
@@ -324,9 +492,11 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         load(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", _unit("embedding").alias("emb"))
-        .withColumn("cell", best_cell(cents).cast("long"))
-        .filter(F.col("cell").isin([int(k) for k in probed]) & (F.col("vec_id") != 0))
+        .select("vec_id", _unit("embedding").alias("emb"), _lat("embedding").alias("ei"))
+        .withColumn("cell", cell_of(F.col("ei")))
+        .filter(
+            F.col("cell").isin([int(k) for k in probed]) & (F.col("vec_id") != 0)
+        )
     )
     dot = F.aggregate(
         F.zip_with(F.col("emb"), F.col("p"), lambda x, y: x * y),
