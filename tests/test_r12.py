@@ -81,3 +81,80 @@ def test_multi_table_snapshot_consistent_at_every_version(spark):
     assert v2["n_orders"] < v1["n_orders"]
     assert v2["n_lineitems_joined"] < v1["n_lineitems_joined"]
     assert v2["sum_orders_price"] < v1["sum_orders_price"]
+
+
+def test_unigram_train_matches_sequential_reference(spark):
+    """tokenize_unigram_train vs an INDEPENDENT sequential-python
+    re-implementation of the whole trainer (regex pretok, weighted
+    substring seeding, 2 hard-EM rounds of integer-cost Viterbi with the
+    longest-token tie rule, top-32 by (count desc, token asc)) — the
+    tokenize_bpe_train proof pattern."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from upflow_spark.pipeline.textstats import BPE_PRETOK_RE
+    from upflow_spark.pipeline.unigram import (
+        UNI_BIG,
+        UNI_MAXP,
+        UNI_MAXT,
+        UNI_ROUNDS,
+        UNI_TOPK,
+    )
+
+    texts = pq.read_table(f"{SF}/documents.parquet").to_pandas()["text"]
+    w: dict[str, int] = {}
+    rx = re.compile(BPE_PRETOK_RE)
+    for txt in texts:
+        for pt in rx.findall(txt):
+            w[pt] = w.get(pt, 0) + 1
+    pts = {pt: c for pt, c in w.items() if len(pt) <= UNI_MAXP}
+
+    counts: dict[str, int] = {}
+    for pt, c in pts.items():
+        for i in range(len(pt)):
+            for t in range(1, min(UNI_MAXT, len(pt) - i) + 1):
+                counts[pt[i : i + t]] = counts.get(pt[i : i + t], 0) + c
+
+    def viterbi(pt: str, c: dict) -> list[str]:
+        n = len(pt)
+        dp = [0] + [None] * n
+        bp = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best, bt = None, 0
+            for t in range(1, min(UNI_MAXT, i) + 1):
+                sub = pt[i - t : i]
+                cnt = c.get(sub, 0)
+                if t > 1 and cnt == 0:
+                    continue
+                v = dp[i - t] + (UNI_BIG - cnt)
+                if best is None or v < best or (v == best and t > bt):
+                    best, bt = v, t
+            dp[i], bp[i] = best, bt
+        toks, i = [], n
+        while i > 0:
+            toks.append(pt[i - bp[i] : i])
+            i -= bp[i]
+        return toks
+
+    for _ in range(UNI_ROUNDS):
+        new: dict[str, int] = {}
+        for pt, c in pts.items():
+            for tok in viterbi(pt, counts):
+                new[tok] = new.get(tok, 0) + c
+        counts = new
+
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_TOPK]
+    expect = [
+        (i + 1, tok, len(tok), cnt) for i, (tok, cnt) in enumerate(top)
+    ]
+    rows = sorted(
+        QUERIES["tokenize_unigram_train"](spark, SF).collect(),
+        key=lambda r: r["vocab_rank"],
+    )
+    got = [
+        (r["vocab_rank"], r["token"], r["token_len"], r["cnt"]) for r in rows
+    ]
+    assert got == expect
+    # sanity: multi-char tokens actually won vocabulary slots
+    assert any(r["token_len"] > 1 for r in rows)
