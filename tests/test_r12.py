@@ -158,3 +158,19 @@ def test_unigram_train_matches_sequential_reference(spark):
     assert got == expect
     # sanity: multi-char tokens actually won vocabulary slots
     assert any(r["token_len"] > 1 for r in rows)
+
+
+def test_ivf_cell_split_non_degrading_and_scoped(spark):
+    """The split must actually split (new cells, moved vectors), must not
+    degrade probe recall vs the exact rail (with the documented
+    NPROBE_POST bump), and the post-split candidate bill must stay in the
+    same ballpark — the point of the maintenance cycle."""
+    from upflow_spark.pipeline.ann_ivf import SPLIT_TOP
+
+    rows = {r["state"]: r for r in QUERIES["emb_ivf_cell_split"](spark, SF).collect()}
+    pre, post = rows["pre_split"], rows["post_split"]
+    assert post["n_cells"] == pre["n_cells"] + SPLIT_TOP
+    assert post["n_moved"] > 0
+    assert post["n_hits10"] >= pre["n_hits10"]
+    # candidate mass held roughly constant by the nprobe bump
+    assert post["n_candidates"] <= 2 * pre["n_candidates"]
