@@ -36,6 +36,11 @@ def _prior_timings(path: str) -> dict[str, float]:
 
 RETIME_RATIO = 1.5  # in-sweep rows >1.5x their prior-round value re-time
 RETIME_FLOOR = 0.5  # sub-second rows are +-30% box noise — never re-time
+# rows collecting more than this through the driver are flagged transfer-
+# bound in the table (VERDICT r11 item 9): their wall time is dominated by
+# the single-collect contract of this audit, not by cluster-side compute,
+# so a regression in REAL compute would be masked without the marker
+TRANSFER_BOUND_ROWS = 50_000
 
 
 def main() -> None:
@@ -129,9 +134,22 @@ def main() -> None:
         "| key | sec | rows |",
         "|---|---|---|",
     ]
+    n_tb = 0
     for dt, key, n, err in results:
         cell = f"FAILED: {err}" if err else f"{dt:.3f}"
-        lines.append(f"| {key} | {cell} | {n} |")
+        mark = ""
+        if not err and n >= TRANSFER_BOUND_ROWS:
+            mark = " †"
+            n_tb += 1
+        lines.append(f"| {key} | {cell} | {n}{mark} |")
+    if n_tb:
+        lines += [
+            "",
+            f"† transfer-bound ({n_tb} keys): ≥{TRANSFER_BOUND_ROWS:,} rows"
+            " collected through the driver — wall time is dominated by this"
+            " audit's single-collect contract, not cluster-side compute;"
+            " compare these rows against their own history only.",
+        ]
     if retimed:
         lines += [
             "",
