@@ -174,3 +174,32 @@ def test_ivf_cell_split_non_degrading_and_scoped(spark):
     assert post["n_hits10"] >= pre["n_hits10"]
     # candidate mass held roughly constant by the nprobe bump
     assert post["n_candidates"] <= 2 * pre["n_candidates"]
+
+
+def test_ivf_cell_merge_non_degrading(spark):
+    from upflow_spark.pipeline.ann_ivf import MERGE_BOTTOM
+
+    rows = {r["state"]: r for r in QUERIES["emb_ivf_cell_merge"](spark, SF).collect()}
+    pre, post = rows["pre_merge"], rows["post_merge"]
+    assert post["n_cells"] == pre["n_cells"] - (MERGE_BOTTOM - 1)
+    assert post["n_moved"] > 0
+    # merged cell carries both member sets: recall cannot drop
+    assert post["n_hits10"] >= pre["n_hits10"]
+
+
+def test_snapshot_expire_live_version_untouched(spark):
+    r = QUERIES["scan_snapshot_expire"](spark, SF).collect()[0]
+    assert r["n_versions_pre"] == 2 and r["n_versions_post"] == 1
+    assert r["n_files_expired"] > 0
+    assert r["n_entries_post"] == r["n_entries_pre"] - r["n_files_expired"]
+    assert r["n_rows_latest"] > 0
+
+
+def test_unigram_apply_consistent_with_docs(spark):
+    """Per-doc encode stats: tokens never exceed chars, never fall below
+    pretokens, and the bp ratio is the exact integer division."""
+    rows = QUERIES["tokenize_unigram_apply"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_pretokens"] <= r["n_tokens"] <= r["n_chars"]
+        assert r["chars_per_token_bp"] == (r["n_chars"] * 10000) // r["n_tokens"]

@@ -1397,3 +1397,137 @@ def stat_kendall_tau_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ties_y",
         tau.alias("tau_b"),
     )
+
+
+KW_R4_H = R4(
+    "12.0 / (CAST(nn AS DOUBLE) * (nn + 1))"
+    " * sum_term - 3.0 * (CAST(nn AS DOUBLE) + 1)"
+)
+
+
+@query(
+    "stat_kruskal_wallis",
+    oracle=f"""
+WITH vals AS MATERIALIZED (
+  SELECT o_orderpriority AS grp,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM orders
+),
+dv AS MATERIALIZED (
+  SELECT vc, CAST(count(*) AS BIGINT) AS t FROM vals GROUP BY vc
+),
+rk AS MATERIALIZED (
+  SELECT vc, t,
+         CAST(COALESCE(sum(t) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS lt
+  FROM dv
+),
+gs AS MATERIALIZED (
+  SELECT v.grp, CAST(count(*) AS BIGINT) AS n_j,
+         CAST(sum(2 * r.lt + r.t + 1) AS BIGINT) AS rank_sum2
+  FROM vals v JOIN rk r ON r.vc = v.vc
+  GROUP BY v.grp
+),
+tot AS (
+  SELECT CAST(sum(n_j) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(rank_sum2 AS DOUBLE) * rank_sum2 / (4.0 * n_j)) AS sum_term
+  FROM gs
+),
+ties AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM dv
+),
+h AS (
+  SELECT nn, k, {KW_R4_H} AS h_stat,
+         CAST(1.0 - CAST(tsum AS DOUBLE)
+              / (CAST(nn AS DOUBLE) * nn * nn - nn) AS DOUBLE) AS cfac
+  FROM tot, ties
+)
+SELECT g.grp, g.n_j, g.rank_sum2, h.nn AS n_total,
+       CAST(h.k - 1 AS BIGINT) AS deg_free, h.h_stat,
+       {R4("h.h_stat / h.cfac")} AS h_corrected
+FROM gs g, h
+""",
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H — the k-group nonparametric ANOVA (rank-based
+    twin of stat_anova_f, completing the battery beside the 2-group
+    stat_mannwhitney_u): does order price differ by priority class
+    without assuming normality?
+
+    Exactness discipline: money in integer cents; tied ranks carried as
+    2×average-rank, which is ALWAYS an integer (a tie block spanning
+    ranks a..b has 2·avg = a+b = 2·cnt_lt + cnt_eq + 1), so per-group
+    rank sums are exact int64 in both engines regardless of partitioning.
+    The global ranking itself never materializes: only per-distinct-value
+    (cnt_lt, cnt_eq) pairs are needed, derived here from the rank2
+    two-phase row_number (min+max of rn within a value block — tie-order
+    free), a grouped aggregate at any scale. H and the tie-corrected
+    H/C finish in one identical IEEE expression per engine (r4).
+
+    Graded per group: n, rank-sum (2×), plus the shared N, dof, H and
+    corrected H. At 100 TB: one rank2 pass + two groupBys — the same
+    cost envelope as a global sort.
+    """
+    vals = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("vc"),
+    )
+    rn = global_row_number(vals, ["vc"], out="rn")
+    rk = (
+        rn.groupBy("vc")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            (F.min("rn") + F.max("rn")).alias("r2"),  # 2 x average rank
+        )
+    )
+    gs = (
+        rn.select("grp", "vc")
+        .join(F.broadcast(rk.select("vc", "r2")), "vc")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_j"),
+            F.sum("r2").cast("long").alias("rank_sum2"),
+        )
+    )
+    tot = gs.agg(
+        F.sum("n_j").cast("long").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("rank_sum2").cast("double")
+            * F.col("rank_sum2")
+            / (F.lit(4.0) * F.col("n_j"))
+        ).alias("sum_term"),
+    )
+    ties = rk.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tsum")
+    )
+    nn_d = F.col("nn").cast("double")
+    h_stat = r4(
+        F.lit(12.0) / (nn_d * (F.col("nn") + 1)) * F.col("sum_term")
+        - F.lit(3.0) * (nn_d + 1)
+    )
+    cfac = (
+        F.lit(1.0)
+        - F.col("tsum").cast("double") / (nn_d * F.col("nn") * F.col("nn") - F.col("nn"))
+    ).cast("double")
+    h = tot.crossJoin(F.broadcast(ties)).select(
+        "nn",
+        "k",
+        h_stat.alias("h_stat"),
+        cfac.alias("cfac"),
+    )
+    return gs.crossJoin(F.broadcast(h)).select(
+        "grp",
+        "n_j",
+        "rank_sum2",
+        F.col("nn").alias("n_total"),
+        (F.col("k") - 1).cast("long").alias("deg_free"),
+        "h_stat",
+        r4(F.col("h_stat") / F.col("cfac")).alias("h_corrected"),
+    )

@@ -1427,3 +1427,265 @@ def emb_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pre.select(*cols).unionByName(post.select(*cols))
     e.unpersist()
     return res
+
+
+MERGE_BOTTOM = 2  # merge the 2 least-loaded cells per maintenance cycle
+
+
+def _cell_merge_oracle() -> str:
+    d2 = "sum((x.e - c.c) * (x.e - c.c))"
+    cosp = _sql_cos("e.embedding", "pr.p")
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         {_LAT_SQL} AS e
+  FROM embeddings
+),
+cent0 AS MATERIALIZED (
+  SELECT label AS cell, pos, CAST(sum(e) // count(*) AS BIGINT) AS c
+  FROM ev GROUP BY label, pos
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM ev x JOIN cent0 c ON x.pos = c.pos
+    GROUP BY x.vec_id, c.cell
+  ) WHERE rn = 1
+),
+sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY cell),
+mc AS MATERIALIZED (
+  SELECT cell FROM sizes ORDER BY n ASC, cell ASC LIMIT {MERGE_BOTTOM}
+),
+newid AS (SELECT min(cell) AS cell FROM mc),
+merged AS MATERIALIZED (
+  SELECT (SELECT cell FROM newid) AS cell, x.pos,
+         CAST(sum(x.e) // count(*) AS BIGINT) AS c
+  FROM asg a JOIN mc USING (cell) JOIN ev x ON x.vec_id = a.vec_id
+  GROUP BY x.pos
+),
+cent1 AS MATERIALIZED (
+  SELECT c.cell, c.pos, c.c FROM cent0 c
+  WHERE c.cell NOT IN (SELECT cell FROM mc)
+  UNION ALL
+  SELECT cell, pos, c FROM merged
+),
+asg1 AS MATERIALIZED (
+  SELECT a.vec_id, a.cell FROM asg a
+  WHERE a.cell NOT IN (SELECT cell FROM mc)
+  UNION ALL
+  SELECT a.vec_id, (SELECT cell FROM newid) AS cell
+  FROM asg a JOIN mc USING (cell)
+),
+pv AS MATERIALIZED (SELECT pos, e FROM ev WHERE vec_id = 0),
+cells0 AS MATERIALIZED (
+  SELECT cell FROM (
+    SELECT c.cell, sum((p.e - c.c) * (p.e - c.c)) AS d2
+    FROM cent0 c JOIN pv p ON p.pos = c.pos GROUP BY c.cell)
+  ORDER BY d2 ASC, cell ASC LIMIT {NPROBE}
+),
+cells1 AS MATERIALIZED (
+  SELECT cell FROM (
+    SELECT c.cell, sum((p.e - c.c) * (p.e - c.c)) AS d2
+    FROM cent1 c JOIN pv p ON p.pos = c.pos GROUP BY c.cell)
+  ORDER BY d2 ASC, cell ASC LIMIT {NPROBE}
+),
+probe AS MATERIALIZED (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+exact10 AS MATERIALIZED (
+  SELECT e.vec_id FROM embeddings e, probe pr WHERE e.vec_id <> 0
+  ORDER BY {cosp} DESC, e.vec_id ASC LIMIT {TOP_K}
+),
+cand0 AS MATERIALIZED (
+  SELECT a.vec_id FROM asg a JOIN cells0 USING (cell) WHERE a.vec_id <> 0
+),
+cand1 AS MATERIALIZED (
+  SELECT a.vec_id FROM asg1 a JOIN cells1 USING (cell) WHERE a.vec_id <> 0
+),
+top0 AS MATERIALIZED (
+  SELECT e.vec_id FROM embeddings e JOIN cand0 USING (vec_id), probe pr
+  ORDER BY {cosp} DESC, e.vec_id ASC LIMIT {TOP_K}
+),
+top1 AS MATERIALIZED (
+  SELECT e.vec_id FROM embeddings e JOIN cand1 USING (vec_id), probe pr
+  ORDER BY {cosp} DESC, e.vec_id ASC LIMIT {TOP_K}
+)
+SELECT 'pre_merge' AS state,
+       (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM cent0) AS n_cells,
+       CAST(0 AS BIGINT) AS n_moved,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand0) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM top0 t
+        JOIN exact10 x ON x.vec_id = t.vec_id) AS n_hits10
+UNION ALL
+SELECT 'post_merge',
+       (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM cent1),
+       (SELECT CAST(count(*) AS BIGINT) FROM asg a JOIN mc USING (cell)
+        WHERE a.cell <> (SELECT cell FROM newid)),
+       (SELECT CAST(count(*) AS BIGINT) FROM cand1),
+       (SELECT CAST(count(*) AS BIGINT) FROM top1 t
+        JOIN exact10 x ON x.vec_id = t.vec_id)
+"""
+
+
+@query("emb_ivf_cell_merge", oracle=_cell_merge_oracle())
+def emb_ivf_cell_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell maintenance, the MERGE dual of emb_ivf_cell_split:
+    underloaded cells waste NPROBE budget (probing a near-empty cell buys
+    almost no candidates), so the cycle merges the MERGE_BOTTOM
+    least-loaded cells into one — new centroid = exact integer mean over
+    the union of members, id = the smaller of the two (deterministic),
+    codes rewritten only for the cell that lost its id. Recall@10 vs the
+    exact rail is graded before and after with the SAME NPROBE: the
+    merged cell carries both member sets, so the probe's candidate mass
+    can only grow where it matters.
+
+    Same r12 integer-lattice discipline as the split: every structural
+    decision (assignment, coldest-cell ranking, merged centroid, probe
+    routing) is exact int64, floats only in the final r4 cosine top-10s.
+    At 100 TB: split + merge together are the rebalancing loop a
+    production IVF index runs on schedule, both semi-join scoped to the
+    affected cells' members.
+    """
+    from upflow_spark.pipeline.similarity import _unit
+
+    def d2(a, b):  # noqa: ANN001, ANN202
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id", "label", _unit("embedding").alias("emb"),
+            _lat("embedding").alias("ei"),
+        )
+        .persist()
+    )
+
+    def to_arr():  # noqa: ANN202
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        )
+
+    ex = e.select("label", F.posexplode("ei").alias("pos", "v"))
+    cent0 = (
+        ex.groupBy("label", "pos")
+        .agg(F.expr("sum(v) div count(1)").alias("c"))
+        .groupBy("label")
+        .agg(to_arr().alias("centroid"))
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    asg = (
+        e.crossJoin(F.broadcast(cent0))
+        .select(
+            "vec_id", "cell", d2(F.col("ei"), F.col("centroid")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    ).localCheckpoint()
+    mc = (
+        asg.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").asc(), F.col("cell").asc())
+        .limit(MERGE_BOTTOM)
+        .select("cell")
+    ).localCheckpoint()  # read by merged/cent1/asg1/n_moved
+    new_id = mc.agg(F.min("cell").alias("cell"))
+    merged = (
+        asg.join(F.broadcast(mc), "cell", "semi")
+        .join(e.select("vec_id", "ei"), "vec_id")
+        .select(F.posexplode("ei").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.expr("sum(v) div count(1)").alias("c"))
+        .groupBy()
+        .agg(to_arr().alias("centroid"))
+        .crossJoin(F.broadcast(new_id))
+        .select("cell", "centroid")
+    )
+    cent1 = cent0.join(F.broadcast(mc), "cell", "anti").unionByName(merged)
+    asg1 = asg.join(F.broadcast(mc), "cell", "anti").unionByName(
+        asg.join(F.broadcast(mc), "cell", "semi")
+        .crossJoin(F.broadcast(new_id.select(F.col("cell").alias("nc"))))
+        .select(F.col("nc").alias("cell"), "vec_id")
+    )
+    pv = e.filter(F.col("vec_id") == 0).select(
+        F.col("ei").alias("p_ei"), F.col("emb").alias("p")
+    )
+
+    def probe_cells(cents):  # noqa: ANN001, ANN202
+        return (
+            cents.crossJoin(F.broadcast(pv.select("p_ei")))
+            .select("cell", d2(F.col("centroid"), F.col("p_ei")).alias("d2"))
+            .orderBy(F.col("d2").asc(), F.col("cell").asc())
+            .limit(NPROBE)
+            .select("cell")
+        )
+
+    cos = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("p"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    exact10 = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(pv.select("p")))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+
+    def report(state, membership, cells, n_moved_df, nc_df):  # noqa: ANN001, ANN202
+        cand = membership.join(F.broadcast(cells), "cell", "semi").filter(
+            F.col("vec_id") != 0
+        )
+        top = (
+            e.join(F.broadcast(cand.select("vec_id")), "vec_id", "semi")
+            .crossJoin(F.broadcast(pv.select("p")))
+            .select("vec_id", cos.alias("cos_raw"))
+            .orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+        return (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(
+                    top.join(F.broadcast(exact10), "vec_id", "semi").agg(
+                        F.count(F.lit(1)).alias("n_hits10")
+                    )
+                )
+            )
+            .crossJoin(F.broadcast(n_moved_df))
+            .crossJoin(F.broadcast(nc_df))
+            .withColumn("state", F.lit(state))
+        )
+
+    zero_moved = spark.range(1).select(F.lit(0).cast("long").alias("n_moved"))
+    moved = (
+        asg.join(F.broadcast(mc), "cell", "semi")
+        .join(F.broadcast(new_id), "cell", "anti")
+        .agg(F.count(F.lit(1)).alias("n_moved"))
+    )
+    nc0 = cent0.agg(F.countDistinct("cell").alias("n_cells"))
+    nc1 = cent1.agg(F.countDistinct("cell").alias("n_cells"))
+    cols = ["state", "n_cells", "n_moved", "n_candidates", "n_hits10"]
+    res = (
+        report("pre_merge", asg, probe_cells(cent0), zero_moved, nc0)
+        .select(*cols)
+        .unionByName(
+            report("post_merge", asg1, probe_cells(cent1), moved, nc1).select(
+                *cols
+            )
+        )
+    )
+    e.unpersist()
+    return res

@@ -38,12 +38,15 @@ UNI_BIG = 2**40  # per-token cost base: BIG - cnt (fewest tokens dominates)
 UNI_TOPK = 32  # graded vocab artifact size
 
 
-def _uni_oracle() -> str:
-    """The full trainer as unrolled CTEs: seed counts = weighted substring
-    occurrences; per round, a 16-position integer DP (per position: argmin
-    over the ≤4 incoming token lengths, ties to the LONGEST token) plus a
-    16-step backtrack re-derives every pretoken's Viterbi segmentation,
-    and one groupBy re-scores the vocabulary."""
+def _uni_cte_parts(rounds: int) -> list:
+    """The trainer as unrolled CTE parts through c{rounds}: seed counts =
+    weighted substring occurrences; per round, a 16-position integer DP
+    (per position: argmin over the ≤4 incoming token lengths, ties to the
+    LONGEST token) plus a 16-step backtrack re-derives every pretoken's
+    Viterbi segmentation, and one groupBy re-scores the vocabulary.
+    Shared by the trainer oracle (rounds=UNI_ROUNDS) and the apply
+    composition (rounds=UNI_ROUNDS+1 — the extra round's backtrack IS the
+    final-vocabulary segmentation)."""
     parts = [
         f"""occ AS MATERIALIZED (
   SELECT pt, CAST(count(*) AS BIGINT) AS w FROM (
@@ -68,7 +71,7 @@ def _uni_oracle() -> str:
   FROM edges GROUP BY sub
 )""",
     ]
-    for r in range(1, UNI_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         parts.append(f"""ecost{r} AS MATERIALIZED (
   SELECT e.pt, e.i, e.t, e.sub,
          {UNI_BIG} - COALESCE(c.cnt, 0) AS cost
@@ -120,6 +123,11 @@ def _uni_oracle() -> str:
 {usage}
   ) GROUP BY tok
 )""")
+    return parts
+
+
+def _uni_oracle() -> str:
+    parts = _uni_cte_parts(UNI_ROUNDS)
     return (
         "WITH\n" + ",\n".join(parts) + "\n"
         f"SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC)"
@@ -127,6 +135,36 @@ def _uni_oracle() -> str:
         f"       tok AS token, CAST(length(tok) AS INT) AS token_len, cnt\n"
         f"FROM c{UNI_ROUNDS}\n"
         f"ORDER BY cnt DESC, tok ASC\nLIMIT {UNI_TOPK}"
+    )
+
+
+def _uni_apply_oracle() -> str:
+    R = UNI_ROUNDS + 1  # the extra round segments under the FINAL counts
+    parts = _uni_cte_parts(R)
+    ntok_union = "\n    UNION ALL\n".join(
+        f"    SELECT pt FROM bt{R}_{s}" for s in range(1, UNI_MAXP + 1)
+    )
+    parts.append(f"""ntok AS MATERIALIZED (
+  SELECT pt, CAST(count(*) AS BIGINT) AS ntk FROM (
+{ntok_union}
+  ) GROUP BY pt
+)""")
+    parts.append(f"""dpt AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{BPE_PRETOK_RE}', 0)) AS pt
+  FROM documents
+)""")
+    return (
+        "WITH\n" + ",\n".join(parts) + "\n"
+        f"""SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pretokens,
+       CAST(sum(length(d.pt)) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN length(d.pt) <= {UNI_MAXP} THEN n.ntk
+                     ELSE length(d.pt) END) AS BIGINT) AS n_tokens,
+       CAST(sum(length(d.pt)) * 10000 //
+            sum(CASE WHEN length(d.pt) <= {UNI_MAXP} THEN n.ntk
+                     ELSE length(d.pt) END) AS BIGINT) AS chars_per_token_bp
+FROM dpt d LEFT JOIN ntok n ON n.pt = d.pt
+GROUP BY d.doc_id"""
     )
 
 
@@ -179,7 +217,7 @@ def _uni_estep(spark: SparkSession, pts: DataFrame, cdict: dict) -> DataFrame:
 
         c = bc.value
         for pdf in batches:
-            out_w, out_tok = [], []
+            out_pt, out_w, out_tok = [], [], []
             for pt, w in zip(pdf["pt"], pdf["w"]):
                 n = len(pt)
                 dp = [0] + [None] * n
@@ -200,17 +238,22 @@ def _uni_estep(spark: SparkSession, pts: DataFrame, cdict: dict) -> DataFrame:
                 i = n
                 while i > 0:
                     t = bp[i]
+                    out_pt.append(pt)
                     out_w.append(int(w))
                     out_tok.append(pt[i - t : i])
                     i -= t
-            yield pd.DataFrame({"w": out_w, "tok": out_tok})
+            yield pd.DataFrame({"pt": out_pt, "w": out_w, "tok": out_tok})
 
-    return pts.select("pt", "w").mapInPandas(seg, "w long, tok string")
+    return pts.select("pt", "w").mapInPandas(
+        seg, "pt string, w long, tok string"
+    )
 
 
 # (appId, fixture identity) -> final [(rank, token, len, cnt)] — the
 # persisted-artifact memo, same policy as bpe._bpe_learned_cache.
 _uni_vocab_cache: dict = {}
+# same memo, full FINAL counts dict — the model the apply key encodes with
+_uni_counts_cache: dict = {}
 
 
 @query("tokenize_unigram_train", oracle=_uni_oracle())
@@ -256,7 +299,67 @@ def tokenize_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         _uni_vocab_cache[key] = [
             (i + 1, tok, len(tok), cnt) for i, (tok, cnt) in enumerate(top)
         ]
+        _uni_counts_cache[key] = counts
     return spark.createDataFrame(
         _uni_vocab_cache[key],
         "vocab_rank long, token string, token_len int, cnt long",
+    )
+
+
+@query("tokenize_unigram_apply", oracle=_uni_apply_oracle())
+def tokenize_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned unigram vocabulary — the apply
+    half completing the unigram lifecycle (the tokenize_bpe_apply_learned
+    composition pattern): every document's pretokens are Viterbi-segmented
+    under the FINAL trained counts, and the graded per-document report is
+    the encoder bill a data pipeline actually budgets with: pretoken count,
+    character count, token count, and chars-per-token in integer basis
+    points (exact integer division — no float ratio).
+
+    The segmentation pass is per-DISTINCT-pretoken (Heaps-bounded), joined
+    back to the per-document pretoken multiset — the corpus never pays the
+    DP, only the join. Pretokens longer than UNI_MAXP fall back to
+    char-count tokens (documented cap, mirrored in the oracle). The oracle
+    reuses the trainer's unrolled CTE chain with one extra round — the
+    extra round's backtrack IS the final-vocabulary segmentation.
+
+    Rides the session-memoized trained counts (_uni_counts_cache), so in a
+    sweep the trainer key pays the EM loop and this key pays one E-step +
+    one join — exactly how a production encoder consumes a persisted vocab.
+    """
+    import os
+
+    st_f = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (
+        spark.sparkContext.applicationId, sf_dir, st_f.st_mtime_ns, st_f.st_size
+    )
+    if key not in _uni_counts_cache:
+        tokenize_unigram_train(spark, sf_dir)
+    counts = _uni_counts_cache[key]
+    pts = _uni_pts(spark, sf_dir).localCheckpoint()
+    ntok = (
+        _uni_estep(spark, pts, counts)
+        .groupBy("pt")
+        .agg(F.count(F.lit(1)).alias("ntk"))
+    )
+    d = load(spark, sf_dir, "documents")
+    dpt = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)
+        ).alias("pt"),
+    )
+    tok_of = F.when(
+        F.length("pt") <= UNI_MAXP, F.col("ntk")
+    ).otherwise(F.length("pt").cast("long"))
+    return (
+        dpt.join(F.broadcast(ntok), "pt", "left")
+        .select("doc_id", F.length("pt").cast("long").alias("nc"), tok_of.alias("nt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum("nc").alias("n_chars"),
+            F.sum("nt").alias("n_tokens"),
+            F.expr("(sum(nc) * 10000) div sum(nt)").alias("chars_per_token_bp"),
+        )
     )

@@ -1647,3 +1647,145 @@ def scan_snapshot_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+@query(
+    "scan_snapshot_expire",
+    oracle=f"""
+WITH m AS (
+  SELECT max(o_orderkey) AS mx,
+         CAST(floor((max(o_orderkey) + {N_BUCKETS}.0) / {N_BUCKETS}) AS BIGINT)
+           AS step,
+         CAST(floor(max(o_orderkey) / {SNAP_CHANGE_FRACTION}.0) AS BIGINT) AS hi
+  FROM orders
+),
+v1 AS MATERIALIZED (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price,
+         CAST(floor(o_orderkey / step) AS INT) AS bucket
+  FROM orders, m
+),
+chg AS MATERIALIZED (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE 'D' END AS op,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1))
+              AS DECIMAL(20,3)) AS new_price
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND (o_orderkey % 5 = 0 OR o_orderkey % 11 = 0)
+),
+ins AS MATERIALIZED (
+  SELECT o_orderkey + m.mx + 1 AS o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price,
+         CAST(floor((o_orderkey + m.mx + 1) / step) AS INT) AS bucket
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND o_orderkey % 7 = 0
+),
+rw AS MATERIALIZED (
+  SELECT DISTINCT CAST(floor(o_orderkey / step) AS INT) AS b
+  FROM (SELECT o_orderkey FROM chg UNION ALL SELECT o_orderkey FROM ins), m
+),
+v2 AS MATERIALIZED (
+  SELECT o_orderkey, price, bucket FROM v1
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+  UNION ALL
+  SELECT c.o_orderkey, c.new_price AS price,
+         CAST(floor(c.o_orderkey / m.step) AS INT) AS bucket
+  FROM chg c, m WHERE c.op = 'U'
+  UNION ALL
+  SELECT o_orderkey, price, bucket FROM ins
+),
+g1b AS (SELECT DISTINCT bucket FROM v1),
+g2b AS (SELECT DISTINCT bucket FROM v2 WHERE bucket IN (SELECT b FROM rw)),
+expd AS (SELECT bucket FROM g1b WHERE bucket IN (SELECT b FROM rw))
+SELECT CAST(2 AS BIGINT) AS n_versions_pre,
+       CAST(1 AS BIGINT) AS n_versions_post,
+       (SELECT CAST(count(*) AS BIGINT) FROM g1b)
+         + (SELECT CAST(count(*) AS BIGINT) FROM g2b) AS n_entries_pre,
+       (SELECT CAST(count(*) AS BIGINT) FROM expd) AS n_files_expired,
+       (SELECT CAST(count(*) AS BIGINT) FROM g1b)
+         + (SELECT CAST(count(*) AS BIGINT) FROM g2b)
+         - (SELECT CAST(count(*) AS BIGINT) FROM expd) AS n_entries_post,
+       (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_rows_latest,
+       (SELECT {R4("CAST(sum(price) AS DOUBLE)")} FROM v2)
+         AS sum_price_latest
+""",
+)
+def scan_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT EXPIRY / VACUUM — the retention leg that completes the
+    table-format lifecycle (build → read → rollback → purge → EXPIRE):
+    retire every version older than the latest, physically delete the
+    data files no surviving version references (gen-1 buckets that v2
+    rewrote), and commit a manifest containing only the survivors. The
+    graded read-back proves the live version is untouched AFTER the
+    physical delete: row count and exact-decimal sum of the v2 AS-OF read
+    over what is actually left on disk.
+
+    The key operates on its OWN copy of the snapshot chain (a VACUUM
+    dress rehearsal — the shared layout keeps serving the other snapshot
+    keys), and every graded count comes from the filesystem or manifest
+    read-back, never intent: entries pre/post are directory counts,
+    expired files are the reachability anti-join (all entries MINUS
+    entries referenced by surviving versions), the canonical GC rule.
+
+    At 100 TB this is the scheduled job that keeps history from eating
+    the lake: reachability is a manifest-only anti-join (metadata-sized),
+    deletes touch only unreferenced files, and the live read path never
+    blocks.
+    """
+    import shutil
+
+    data_dir, man_path = _snapshot_layout(spark, sf_dir)
+    work = _work_dir(spark, sf_dir, "expire")
+    tgt_data = os.path.join(work, "data")
+    tgt_man = os.path.join(work, "manifest_pre")
+    shutil.rmtree(tgt_data, ignore_errors=True)
+    shutil.rmtree(tgt_man, ignore_errors=True)
+    shutil.copytree(data_dir, tgt_data)
+    shutil.copytree(man_path, tgt_man)
+
+    man = spark.read.parquet(tgt_man)
+    nv_pre = man.select("version").distinct().count()
+    live = man.filter(F.col("version") == 2).select("gen", "bucket").distinct()
+    entries = man.select("gen", "bucket").distinct()
+    # reachability GC: entries referenced by NO surviving version
+    unreferenced = entries.join(live, ["gen", "bucket"], "anti")
+    expired = unreferenced.collect()  # bounded: <= N_BUCKETS rows
+    def _n_bucket_dirs() -> int:
+        return sum(
+            1
+            for g in os.listdir(tgt_data)
+            if g.startswith("gen=")
+            for b in os.listdir(os.path.join(tgt_data, g))
+            if b.startswith("bucket=")
+        )
+
+    n_pre = _n_bucket_dirs()
+    for r in expired:
+        shutil.rmtree(
+            os.path.join(tgt_data, f"gen={r['gen']}", f"bucket={r['bucket']}"),
+            ignore_errors=True,
+        )
+    man.filter(F.col("version") == 2).write.mode("overwrite").parquet(
+        os.path.join(work, "manifest_post")
+    )
+    man2 = spark.read.parquet(os.path.join(work, "manifest_post"))
+    nv_post = man2.select("version").distinct().count()
+    n_post = _n_bucket_dirs()
+    sel = man2.select("gen", "bucket")
+    latest = (
+        spark.read.parquet(tgt_data)
+        .join(F.broadcast(sel), ["gen", "bucket"], "semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_latest"),
+            r4(F.sum("price").cast("double")).alias("sum_price_latest"),
+        )
+    )
+    return latest.select(
+        F.lit(nv_pre).cast("long").alias("n_versions_pre"),
+        F.lit(nv_post).cast("long").alias("n_versions_post"),
+        F.lit(n_pre).cast("long").alias("n_entries_pre"),
+        F.lit(len(expired)).cast("long").alias("n_files_expired"),
+        F.lit(n_post).cast("long").alias("n_entries_post"),
+        "n_rows_latest",
+        "sum_price_latest",
+    )
