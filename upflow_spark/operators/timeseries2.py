@@ -370,3 +370,185 @@ def events_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFra
         "mae",
         "mape",
     )
+
+
+def _bs_seg(sa: str, qa: str, sb: str, qb: str, na: str, nb: str) -> str:
+    """Segment SSE over (a, b] from exact-decimal prefix sums, finished in
+    one fixed double expression: Q - S*S/n (identical IEEE tree on both
+    engines; mirrored token-for-token by the python driver fit)."""
+    return (
+        f"(CAST({qb} - {qa} AS DOUBLE)"
+        f" - CAST({sb} - {sa} AS DOUBLE) * CAST({sb} - {sa} AS DOUBLE)"
+        f" / ({nb} - {na}))"
+    )
+
+
+_BS_SEG0 = _bs_seg("0", "0", "p.s", "p.q", "0", "p.i")
+
+
+@query(
+    "ts_changepoint_binseg",
+    oracle=f"""
+WITH daily AS MATERIALIZED (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1
+),
+p AS MATERIALIZED (
+  SELECT day,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(sum(rev) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,4)) AS s,
+         CAST(sum(CAST(floor(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2))) AS DECIMAL(38,0))) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,0)) AS q
+  FROM daily
+),
+tot AS MATERIALIZED (
+  SELECT i AS n, s AS sn, q AS qn FROM p ORDER BY i DESC LIMIT 1
+),
+c1 AS (
+  SELECT p.i, p.day,
+         {_BS_SEG0}
+         + {_bs_seg("p.s", "p.q", "t.sn", "t.qn", "p.i", "t.n")} AS sse
+  FROM p, tot t WHERE p.i < t.n
+),
+s1 AS MATERIALIZED (SELECT i, day FROM c1 ORDER BY sse ASC, day ASC LIMIT 1),
+p1 AS MATERIALIZED (
+  SELECT p.i AS i1, p.s AS s1s, p.q AS s1q FROM p JOIN s1 ON p.i = s1.i
+),
+c2 AS (
+  SELECT p.i, p.day,
+         CASE WHEN p.i < o.i1 THEN
+           {_BS_SEG0}
+           + {_bs_seg("p.s", "p.q", "o.s1s", "o.s1q", "p.i", "o.i1")}
+           + {_bs_seg("o.s1s", "o.s1q", "t.sn", "t.qn", "o.i1", "t.n")}
+         ELSE
+           {_bs_seg("0", "0", "o.s1s", "o.s1q", "0", "o.i1")}
+           + {_bs_seg("o.s1s", "o.s1q", "p.s", "p.q", "o.i1", "p.i")}
+           + {_bs_seg("p.s", "p.q", "t.sn", "t.qn", "p.i", "t.n")}
+         END AS sse
+  FROM p, tot t, p1 o WHERE p.i < t.n AND p.i <> o.i1
+),
+s2 AS MATERIALIZED (SELECT i FROM c2 ORDER BY sse ASC, day ASC LIMIT 1),
+bnd AS MATERIALIZED (
+  SELECT least(p1.i1, s2.i) AS a, greatest(p1.i1, s2.i) AS b FROM p1, s2
+),
+pa AS (SELECT p.* FROM p JOIN bnd ON p.i = bnd.a),
+pb AS (SELECT p.* FROM p JOIN bnd ON p.i = bnd.b),
+segs AS (
+  SELECT 1 AS seg_id, (SELECT min(day) FROM p) AS start_day,
+         pa.day AS end_day, pa.i AS n_days,
+         CAST(pa.s AS DOUBLE) AS seg_sum,
+         CAST(pa.s AS DOUBLE) / pa.i AS seg_mean,
+         {_bs_seg("0", "0", "pa.s", "pa.q", "0", "pa.i")} AS seg_sse
+  FROM pa
+  UNION ALL
+  SELECT 2, (SELECT day FROM p, bnd WHERE p.i = bnd.a + 1),
+         pb.day, pb.i - pa.i,
+         CAST(pb.s - pa.s AS DOUBLE),
+         CAST(pb.s - pa.s AS DOUBLE) / (pb.i - pa.i),
+         {_bs_seg("pa.s", "pa.q", "pb.s", "pb.q", "pa.i", "pb.i")}
+  FROM pa, pb
+  UNION ALL
+  SELECT 3, (SELECT day FROM p, bnd WHERE p.i = bnd.b + 1),
+         (SELECT day FROM p ORDER BY i DESC LIMIT 1), t.n - pb.i,
+         CAST(t.sn - pb.s AS DOUBLE),
+         CAST(t.sn - pb.s AS DOUBLE) / (t.n - pb.i),
+         {_bs_seg("pb.s", "pb.q", "t.sn", "t.qn", "pb.i", "t.n")}
+  FROM pb, tot t
+)
+SELECT CAST(seg_id AS BIGINT) AS seg_id, start_day, end_day,
+       CAST(n_days AS BIGINT) AS n_days,
+       {R4("seg_sum")} AS seg_sum, {R4("seg_mean")} AS seg_mean,
+       {R4("seg_sse")} AS seg_sse
+FROM segs
+""",
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point detection over the daily revenue
+    series (the ruptures/binseg classic, completing the regime-change
+    battery beside CUSUM, Hampel and STL): split 1 minimizes two-segment
+    SSE over every candidate day; split 2 re-evaluates every remaining
+    candidate against the fixed first split; graded output = the three
+    segments (dates, day counts, sums, means, SSEs).
+
+    Exactness: daily revenues and their prefix sums S_i, Q_i (= Σrev,
+    Σrev²) are EXACT DECIMAL end-to-end, so every candidate's SSE is one
+    fixed double expression over exact inputs — bit-identical across
+    engines; argmin ties break to the earliest day. The corpus-sized work
+    is the one groupBy(day) rollup; the series itself is bounded by the
+    CALENDAR at any scale, so the binseg search is a driver-side model
+    fit over ≤ a few thousand (day, S, Q) triples — the PQ-codebook
+    "model on driver, data on cluster" topology, mirrored token-for-token
+    by the oracle's SQL restatement.
+    """
+    import math
+    from decimal import Decimal
+
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+        .orderBy("day")
+    )
+    rows = daily.collect()  # bounded by the calendar at any corpus scale
+    days = [r["day"] for r in rows]
+    from decimal import ROUND_FLOOR
+
+    s = [Decimal(0)]
+    q = [0]  # scale-0: a DECIMAL(38,0) <-> double cast is ONE int->double
+    # rounding on both engines (a (38,4) cast double-rounds in DuckDB:
+    # scaled-int -> double, then /10^4 — observed 1-ULP drift at 1e15)
+    for r in rows:
+        rev = r["rev"]
+        s.append(s[-1] + rev)
+        q.append(q[-1] + int((rev * rev).to_integral_value(ROUND_FLOOR)))
+    n = len(days)
+
+    def sse(a: int, b: int) -> float:
+        ds = float(s[b] - s[a])
+        return float(q[b] - q[a]) - ds * ds / (b - a)
+
+    c1 = [(sse(0, i) + sse(i, n), i) for i in range(1, n)]
+    i1 = min(c1)[1]  # float min; ties impossible on continuous SSE, but
+    # the tuple tie-break (sse, i) == (sse ASC, day ASC) regardless
+    best2 = None
+    for i in range(1, n):
+        if i == i1:
+            continue
+        if i < i1:
+            v = sse(0, i) + sse(i, i1) + sse(i1, n)
+        else:
+            v = sse(0, i1) + sse(i1, i) + sse(i, n)
+        if best2 is None or (v, i) < best2:
+            best2 = (v, i)
+    i2 = best2[1]
+    a, b = min(i1, i2), max(i1, i2)
+
+    def r4f(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def seg_row(k: int, lo: int, hi: int) -> tuple:
+        tot = float(s[hi] - s[lo])
+        return (
+            k,
+            days[lo],
+            days[hi - 1],
+            hi - lo,
+            r4f(tot),
+            r4f(tot / (hi - lo)),
+            r4f(sse(lo, hi)),
+        )
+
+    out = [seg_row(1, 0, a), seg_row(2, a, b), seg_row(3, b, n)]
+    return spark.createDataFrame(
+        out,
+        "seg_id long, start_day timestamp, end_day timestamp, n_days long,"
+        " seg_sum double, seg_mean double, seg_sse double",
+    )

@@ -369,3 +369,117 @@ def agg_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         r4(F.sum("o_totalprice")).alias("revenue"),
     )
+
+
+SCD2M_EFF = "1998-01-01 00:00:00"  # effective timestamp of the merge batch
+
+
+@query(
+    "scd2_merge_apply",
+    oracle=f"""
+WITH hist AS MATERIALIZED (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         true AS is_current
+  FROM customer
+),
+chg AS MATERIALIZED (
+  SELECT c_custkey,
+         CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+                    * 1.1 * 100 + 0.5) AS BIGINT) AS new_bal_c
+  FROM customer WHERE c_custkey % 7 = 0
+),
+applied AS MATERIALIZED (
+  -- untouched current rows
+  SELECT h.* FROM hist h
+  WHERE h.c_custkey NOT IN (SELECT c_custkey FROM chg)
+  UNION ALL
+  -- closed-out prior versions of changed keys
+  SELECT h.c_custkey, h.c_nationkey, h.bal_c, h.valid_from,
+         TIMESTAMP '{SCD2M_EFF}' AS valid_to, false AS is_current
+  FROM hist h JOIN chg USING (c_custkey)
+  UNION ALL
+  -- the new current versions
+  SELECT h.c_custkey, h.c_nationkey, c.new_bal_c, TIMESTAMP '{SCD2M_EFF}',
+         CAST(NULL AS TIMESTAMP), true
+  FROM hist h JOIN chg c USING (c_custkey)
+)
+SELECT c_nationkey AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_history_rows,
+       CAST(count(*) FILTER (is_current) AS BIGINT) AS n_current,
+       CAST(count(*) FILTER (NOT is_current) AS BIGINT) AS n_closed,
+       CAST(sum(bal_c) FILTER (is_current) AS BIGINT) AS sum_current_bal_c
+FROM applied GROUP BY c_nationkey
+""",
+)
+def scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE APPLY — fold a change batch into a type-2 history table
+    (the write half completing the SCD2 family: scd2_history derives the
+    intervals, scd2_point_lookup reads them, THIS key maintains them):
+    every changed business key's current row is CLOSED OUT (valid_to =
+    the batch's effective timestamp) and a new open-ended version is
+    inserted; untouched keys pass through. Graded per nation: history
+    row count, current vs closed counts, and the exact integer-cents sum
+    of current balances — the invariant a dimension-maintenance job
+    checks after every merge (exactly one current row per key).
+
+    Plan: ONE anti-join (untouched), one inner join each for close-outs
+    and inserts, all on the broadcast changed-key set; money in integer
+    cents end-to-end. At 100 TB this is MERGE INTO on an SCD2 dimension:
+    cost ∝ the change batch, the history table shuffles once on the key.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("bal_c"),
+    )
+    eff = F.lit(SCD2M_EFF).cast("timestamp")
+    hist = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_c",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    chg = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.floor(
+                F.col("c_acctbal").cast("decimal(12,2)").cast("double")
+                * 1.1 * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("new_bal_c"),
+        )
+    )
+    untouched = hist.join(F.broadcast(chg.select("c_custkey")), "c_custkey", "anti")
+    closed = hist.join(F.broadcast(chg.select("c_custkey")), "c_custkey").select(
+        "c_custkey", "c_nationkey", "bal_c", "valid_from",
+        eff.alias("valid_to"), F.lit(False).alias("is_current"),
+    )
+    fresh = hist.join(F.broadcast(chg), "c_custkey").select(
+        "c_custkey", "c_nationkey",
+        F.col("new_bal_c").alias("bal_c"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    applied = untouched.unionByName(closed).unionByName(fresh)
+    return applied.groupBy(
+        F.col("c_nationkey").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_history_rows"),
+        F.count(F.when(F.col("is_current"), 1)).alias("n_current"),
+        F.count(F.when(~F.col("is_current"), 1)).alias("n_closed"),
+        F.sum(F.when(F.col("is_current"), F.col("bal_c")))
+        .cast("long")
+        .alias("sum_current_bal_c"),
+    )
