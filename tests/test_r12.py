@@ -203,3 +203,19 @@ def test_unigram_apply_consistent_with_docs(spark):
     for r in rows:
         assert r["n_pretokens"] <= r["n_tokens"] <= r["n_chars"]
         assert r["chars_per_token_bp"] == (r["n_chars"] * 10000) // r["n_tokens"]
+
+
+def test_cc_incremental_contracts_not_recomputes(spark):
+    """The delta pass must run on the CONTRACTED graph: super-edges are
+    bounded by component pairs, not by the delta edge count — that is the
+    entire scalability claim. Hash equality vs the from-scratch oracle is
+    covered by test_oracle; this pins the mechanism."""
+    from upflow_spark.pipeline.cluster import _cc_inc_stats
+
+    rows = QUERIES["graph_cc_incremental"](spark, SF).collect()
+    st = dict(_cc_inc_stats)
+    assert st["n_delta_edges"] > 0
+    assert st["n_super_edges"] <= st["n_base_components"] ** 2
+    assert st["n_super_edges"] < st["n_delta_edges"] or st["n_delta_edges"] <= 2
+    assert st["n_final_components"] == len(rows)
+    assert sum(r["n_nodes"] for r in rows) >= len(rows)

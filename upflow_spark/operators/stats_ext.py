@@ -1531,3 +1531,127 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_stat",
         r4(F.col("h_stat") / F.col("cfac")).alias("h_corrected"),
     )
+
+
+@query(
+    "stat_levene_brown_forsythe",
+    oracle=f"""
+WITH vals AS MATERIALIZED (
+  SELECT o_orderpriority AS grp,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM orders
+),
+med AS MATERIALIZED (
+  SELECT grp, CAST(2 * median(vc) AS BIGINT) AS med2 FROM vals GROUP BY grp
+),
+z AS MATERIALIZED (
+  SELECT v.grp, abs(2 * v.vc - m.med2) AS z2
+  FROM vals v JOIN med m ON m.grp = v.grp
+),
+gs AS MATERIALIZED (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_j,
+         CAST(sum(z2) AS DECIMAL(38,0)) AS s_j,
+         CAST(sum(CAST(z2 * z2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q_j
+  FROM z GROUP BY grp
+),
+tot AS (
+  SELECT CAST(sum(n_j) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(s_j) AS DECIMAL(38,0)) AS s_all
+  FROM gs
+),
+terms AS (
+  SELECT
+    sum(g.n_j * (CAST(g.s_j AS DOUBLE) / g.n_j
+                 - CAST(t.s_all AS DOUBLE) / t.nn)
+              * (CAST(g.s_j AS DOUBLE) / g.n_j
+                 - CAST(t.s_all AS DOUBLE) / t.nn)) AS between_ss,
+    sum(CAST(g.q_j AS DOUBLE)
+        - CAST(g.s_j AS DOUBLE) * CAST(g.s_j AS DOUBLE) / g.n_j) AS within_ss
+  FROM gs g, tot t
+)
+SELECT g.grp, g.n_j, CAST(m.med2 AS BIGINT) AS med2,
+       {R4("CAST(g.s_j AS DOUBLE) / g.n_j")} AS mean_absdev2,
+       t.nn AS n_total, CAST(t.k - 1 AS BIGINT) AS df1,
+       CAST(t.nn - t.k AS BIGINT) AS df2,
+       {R4("(x.between_ss / (t.k - 1)) / (x.within_ss / (t.nn - t.k))")}
+         AS f_stat
+FROM gs g JOIN med m ON m.grp = g.grp, tot t, terms x
+""",
+)
+def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-based Levene) test for EQUAL VARIANCES of
+    order price across priority classes — the gatekeeper you run before
+    trusting stat_anova_f's homoscedasticity assumption (and the robust
+    median-centered variant, which is the recommendation over the
+    mean-centered original).
+
+    Exactness: values in integer cents; per-group medians carried as
+    2×median (an integer even when the median interpolates between two
+    order stats), so every absolute deviation z = |2x − med2| is exact
+    int64 and the ANOVA-on-z sufficient statistics (Σz, Σz² per group)
+    accumulate in exact DECIMAL(38,0) — the scale-0 class whose
+    double cast is a single rounding on both engines. F finishes in one
+    identical IEEE expression (r4). Graded per group: n, med2, mean
+    absolute deviation, plus the shared dof and F.
+
+    Scale: one groupBy for medians (the exact-percentile UDAF is fine
+    per-group at this cardinality; the rank2 two-phase variant —
+    agg_median_per_group_two_phase — is the drop-in past ~1M distinct
+    values per group), one join, one aggregation pass.
+    """
+    vals = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("vc"),
+    )
+    med = vals.groupBy("grp").agg(
+        (F.percentile("vc", F.lit(0.5)) * 2).cast("long").alias("med2")
+    )
+    z = vals.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("vc") - F.col("med2")).alias("z2")
+    )
+    gs = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum(F.col("z2").cast("decimal(38,0)")).alias("s_j"),
+        F.sum((F.col("z2") * F.col("z2")).cast("decimal(38,0)")).alias("q_j"),
+    )
+    tot = gs.agg(
+        F.sum("n_j").cast("long").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s_j").cast("decimal(38,0)").alias("s_all"),
+    )
+    dev = (
+        F.col("s_j").cast("double") / F.col("n_j")
+        - F.col("s_all").cast("double") / F.col("nn")
+    )
+    terms = gs.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("n_j") * dev * dev).alias("between_ss"),
+        F.sum(
+            F.col("q_j").cast("double")
+            - F.col("s_j").cast("double")
+            * F.col("s_j").cast("double")
+            / F.col("n_j")
+        ).alias("within_ss"),
+    )
+    f_stat = r4(
+        (F.col("between_ss") / (F.col("k") - 1))
+        / (F.col("within_ss") / (F.col("nn") - F.col("k")))
+    )
+    return (
+        gs.join(F.broadcast(med), "grp")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            "grp",
+            "n_j",
+            "med2",
+            r4(F.col("s_j").cast("double") / F.col("n_j")).alias(
+                "mean_absdev2"
+            ),
+            F.col("nn").alias("n_total"),
+            (F.col("k") - 1).cast("long").alias("df1"),
+            (F.col("nn") - F.col("k")).cast("long").alias("df2"),
+            f_stat.alias("f_stat"),
+        )
+    )
