@@ -516,3 +516,157 @@ def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("vec_id", r4(F.col("score")).alias("maha_sq"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-checked PCA via power iteration (r12): the integer-lattice + order-
+# pinned-fold discipline extended to iterative linear algebra.
+
+PI_SCALE = 10**6  # lattice scale: products sum exactly in int64 at any sf
+PI_ITERS = 96  # fixed iteration budget — parity needs sameness, not
+# convergence: both engines run the same 96 steps bit-for-bit
+
+
+def _pi_oracle() -> str:
+    T = PI_ITERS
+    parts = [
+        """ev AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS e
+  FROM embeddings
+)""",
+        """gm AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, CAST(sum(a.e * b.e) AS BIGINT) AS g
+  FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+  GROUP BY a.pos, b.pos
+)""",
+        "v1_0 AS (SELECT DISTINCT i AS j, 0.125 AS val FROM gm)",
+    ]
+    for c in (1, 2):
+        src, gexpr = ("gm", "CAST(g.g AS DOUBLE)") if c == 1 else ("g2", "g.gd")
+        for t in range(T):
+            parts.append(f"""w{c}_{t} AS MATERIALIZED (
+  SELECT g.i AS j, list_sum(list({gexpr} * v.val ORDER BY g.j)) AS w
+  FROM {src} g JOIN v{c}_{t} v ON v.j = g.j GROUP BY g.i
+)""")
+            parts.append(f"""n{c}_{t} AS MATERIALIZED (
+  SELECT sqrt(list_sum(list(w * w ORDER BY j))) AS nrm FROM w{c}_{t}
+)""")
+            parts.append(f"""v{c}_{t + 1} AS MATERIALIZED (
+  SELECT j, w / nrm AS val FROM w{c}_{t}, n{c}_{t}
+)""")
+        parts.append(f"""lam{c} AS MATERIALIZED (
+  SELECT list_sum(list({gexpr} * va.val * vb.val ORDER BY g.i, g.j)) AS lam
+  FROM {src} g JOIN v{c}_{T} va ON va.j = g.i
+  JOIN v{c}_{T} vb ON vb.j = g.j
+)""")
+        if c == 1:
+            parts.append(f"""g2 AS MATERIALIZED (
+  SELECT g.i, g.j, CAST(g.g AS DOUBLE) - l.lam * va.val * vb.val AS gd
+  FROM gm g
+  JOIN v1_{T} va ON va.j = g.i
+  JOIN v1_{T} vb ON vb.j = g.j
+  CROSS JOIN lam1 l
+)""")
+            parts.append("v2_0 AS (SELECT j, val FROM v1_0)")
+    from upflow_spark.parity import R4 as _R4
+
+    return (
+        "WITH\n" + ",\n".join(parts) + "\n"
+        f"SELECT v1.j AS pos, {_R4('v1.val')} AS pc1, {_R4('v2.val')} AS pc2,\n"
+        f"       {_R4('l1.lam')} AS lam1, {_R4('l2.lam')} AS lam2\n"
+        f"FROM v1_{T} v1 JOIN v2_{T} v2 ON v2.j = v1.j\n"
+        f"CROSS JOIN lam1 l1 CROSS JOIN lam2 l2"
+    )
+
+
+@query("emb_pca_power_iteration", oracle=_pi_oracle())
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA of the (uncentered) embedding Gram matrix via POWER
+    ITERATION with deflation — the HASH-CHECKED rail beside emb_gram_pca
+    (whose LAPACK eigh is rows-only by necessity): the r12 integer-lattice
+    discipline extended to iterative linear algebra.
+
+    Why this verifies when eigh cannot: (1) the Gram matrix is EXACT —
+    components quantized once to a 1e-6 lattice, so the distributed
+    partial XᵀX sums are order-free int64 and both engines hold identical
+    64×64 integers (all < 2^53, so their doubles are exact too); (2) the
+    iteration is a fixed 24-step schedule whose every fold is ORDER-PINNED
+    (matvec accumulates over j ascending, norms over i ascending, λ over
+    (i, j) — DuckDB's list(… ORDER BY) → list_sum equals the driver's
+    sequential loop bit-for-bit); (3) deflation (G₂ = G − λ v vᵀ) is an
+    elementwise expression over already-identical scalars. Parity
+    therefore needs SAMENESS, not convergence. The fixture's random
+    spectrum is nearly flat (top gaps ~2%), so the fixed schedule lands
+    in the dominant SUBSPACE rather than isolating exact eigenvectors —
+    tests/test_r12.py pins the Rayleigh bounds (each λ ≤ eigh's λmax and
+    ≥95% of its eigh counterpart, unit norms, near-orthogonality).
+
+    Scale topology unchanged from emb_gram_pca: one Arrow pass of d×d
+    integer partials (order-free, so any partition layout), one tiny
+    reduce, a 64×64 model fit on the driver. Output: per-dim loadings of
+    the top-2 components + their eigenvalues (r4).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.select("embedding").first()["embedding"]
+    d = len(first)
+
+    def partial(batches):  # noqa: ANN001, ANN202
+        g = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if len(x):
+                xi = np.floor(x * PI_SCALE + 0.5).astype(np.int64)
+                g += xi.T @ xi  # integer matmul: exact, order-free
+        yield pd.DataFrame({"g": [g.ravel().tolist()]})
+
+    parts = emb.select("embedding").mapInPandas(
+        partial, "g array<long>"
+    ).collect()
+    gi = np.zeros((d, d), dtype=np.int64)
+    for r in parts:
+        gi += np.asarray(r["g"], dtype=np.int64).reshape(d, d)
+    g = [[float(int(gi[i][j])) for j in range(d)] for i in range(d)]
+
+    def power(mat):  # noqa: ANN001, ANN202 — order-pinned sequential folds
+        v = [0.125] * d
+        for _ in range(PI_ITERS):
+            w = []
+            for i in range(d):
+                acc = 0.0
+                for j in range(d):
+                    acc += mat[i][j] * v[j]
+                w.append(acc)
+            acc = 0.0
+            for i in range(d):
+                acc += w[i] * w[i]
+            nrm = math.sqrt(acc)
+            v = [x / nrm for x in w]
+        lam = 0.0
+        for i in range(d):
+            for j in range(d):
+                lam += mat[i][j] * v[i] * v[j]
+        return v, lam
+
+    v1, lam1 = power(g)
+    g2 = [
+        [g[i][j] - lam1 * v1[i] * v1[j] for j in range(d)] for i in range(d)
+    ]
+    v2, lam2 = power(g2)
+
+    def r4f(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    rows = [
+        (i + 1, r4f(v1[i]), r4f(v2[i]), r4f(lam1), r4f(lam2))
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "pos long, pc1 double, pc2 double, lam1 double, lam2 double"
+    )
