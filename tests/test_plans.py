@@ -628,6 +628,7 @@ TINY_WINDOW_OK = {
     "stat_theil_sen": "median rank over O(day-span²) slope pairs — scale-invariant in rows",
     "events_survival_km": "KM ordered product over the per-lifetime-day rollup (≤ observation-window days at any scale)",
     "stat_fdr_bh": "BH step-up over the 25-row per-nation test battery (bounded by the number of TESTS, not data)",
+    "sample_neyman_allocation": "largest-remainder rank over the 5-row stratum table (bounded by STRATA, not data)",
     # §2-E window-primitive key: tests Spark's own unpartitioned frame per
     # the SURVEY contract
     "win_percent_cume": "§2-E primitive key — the unpartitioned frame IS the surface",

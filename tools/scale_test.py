@@ -148,6 +148,23 @@ PROBE_KEYS = [
     ("events_attribution_position", "events 10x (user-keyed touch join + conv windows)"),
     ("multimodal_video_keyframe_dedup", "documents 10x (cut windows + digest agg)"),
     ("data_quality_expectations", "orders+lineitem 10x (2 scans + FK/temporal joins)"),
+    # r12 additions: full-data rank stats, the unigram trainer family,
+    # table-format maintenance (purge/expire/multi-table), checkpoint
+    # recovery, incremental CC by contraction, integer-lattice IVF
+    # maintenance, and the order-pinned power-iteration PCA
+    ("stat_kendall_tau_full", "customer+orders 10x (3 integer groupBys + per-nation Fenwick)"),
+    ("tokenize_unigram_train", "documents 10x (2 hard-EM rounds over the bounded vocab)"),
+    ("tokenize_unigram_apply", "documents 10x (per-distinct-pt Viterbi + doc join)"),
+    ("sink_rewrite_purge_deletes", "orders 10x (semi-join-scoped bucket rewrite + read-back)"),
+    ("scan_snapshot_multi_table", "orders+lineitem 10x (atomic 2-relation commit, as-of joins)"),
+    ("scan_snapshot_expire", "orders 10x (reachability anti-join + physical delete)"),
+    ("stream_restart_exactly_once", "orders 10x (kill after crash wave, checkpoint replay)"),
+    ("graph_cc_incremental", "lineitem 10x (base CC + supernode contraction wave)"),
+    ("emb_pca_power_iteration", "embeddings 10x (one int64 Gram pass; 96 fixed driver steps)"),
+    ("emb_ivf_cell_split", "embeddings 10x (int-lattice hot-cell 2-means + recall gate)"),
+    ("stat_kruskal_wallis", "orders 10x (rank2 two-phase pass + 2 groupBys)"),
+    ("ts_changepoint_binseg", "orders 10x (decimal rollup; calendar-bounded driver fit)"),
+    ("scd2_merge_apply", "customer 10x (broadcast change batch, 3 joins)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate

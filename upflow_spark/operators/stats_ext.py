@@ -1655,3 +1655,100 @@ def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             f_stat.alias("f_stat"),
         )
     )
+
+
+@query(
+    "stat_cohens_d_pairs",
+    oracle=f"""
+WITH gs AS MATERIALIZED (
+  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)
+                       * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS q
+  FROM orders GROUP BY o_orderpriority
+),
+v AS (
+  SELECT grp, n, CAST(s AS DOUBLE) / n AS mean_c,
+         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           / (n - 1) AS var_c
+  FROM gs
+)
+SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS n_a, b.n AS n_b,
+       {R4("(a.mean_c - b.mean_c) / 100")} AS mean_diff,
+       {R4("(a.mean_c - b.mean_c)"
+           " / sqrt(((a.n - 1) * a.var_c + (b.n - 1) * b.var_c)"
+           " / (a.n + b.n - 2))")} AS cohens_d,
+       {R4("(a.mean_c - b.mean_c)"
+           " / sqrt(((a.n - 1) * a.var_c + (b.n - 1) * b.var_c)"
+           " / (a.n + b.n - 2))"
+           " * (1.0 - 3.0 / (4.0 * (a.n + b.n) - 9))")} AS hedges_g
+FROM v a JOIN v b ON a.grp < b.grp
+""",
+)
+def stat_cohens_d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise EFFECT SIZES between priority classes — the column every
+    test battery needs next to its p-values (stat_anova_f / welch /
+    kruskal say *whether* groups differ; Cohen's d says *how much*, and
+    Hedges' g corrects the small-sample bias).
+
+    All sufficient statistics (n, Σx, Σx² in integer cents) accumulate in
+    exact DECIMAL(38,0) — order-free, single-rounding double casts — and
+    d / g finish in one identical IEEE expression per engine (r4). The
+    pair join is over the 5-row group-stats relation: a broadcast
+    triangle at any data scale.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    gs = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("grp"), cents.alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("q"),
+        )
+    )
+    v = gs.select(
+        "grp",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_c"),
+        (
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var_c"),
+    )
+    a = v.select(
+        F.col("grp").alias("grp_a"), F.col("n").alias("n_a"),
+        F.col("mean_c").alias("m_a"), F.col("var_c").alias("v_a"),
+    )
+    b = v.select(
+        F.col("grp").alias("grp_b"), F.col("n").alias("n_b"),
+        F.col("mean_c").alias("m_b"), F.col("var_c").alias("v_b"),
+    )
+    pooled = F.sqrt(
+        ((F.col("n_a") - 1) * F.col("v_a") + (F.col("n_b") - 1) * F.col("v_b"))
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = (F.col("m_a") - F.col("m_b")) / pooled
+    return (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .select(
+            "grp_a", "grp_b", "n_a", "n_b",
+            r4((F.col("m_a") - F.col("m_b")) / 100).alias("mean_diff"),
+            r4(d).alias("cohens_d"),
+            r4(
+                d
+                * (
+                    F.lit(1.0)
+                    - F.lit(3.0) / (4.0 * (F.col("n_a") + F.col("n_b")) - 9)
+                )
+            ).alias("hedges_g"),
+        )
+    )

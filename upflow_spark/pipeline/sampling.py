@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from upflow_spark.io import load
 from upflow_spark.operators.rank2 import global_row_number
-from upflow_spark.parity import r4
+from upflow_spark.parity import R4, r4
 from upflow_spark.registry import query
 
 
@@ -429,3 +429,127 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (table_name, check_name, n_checked, n_violations)"
         )
     ).withColumn("passed", F.col("n_violations") == 0)
+
+
+NEYMAN_BUDGET = 1000  # total sample budget to allocate across strata
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH gs AS MATERIALIZED (
+  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_pop,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)
+                       * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS q
+  FROM orders GROUP BY o_orderpriority
+),
+w AS MATERIALIZED (
+  SELECT grp, n_pop,
+         n_pop * sqrt((CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_pop)
+                      / (n_pop - 1)) AS wgt
+  FROM gs
+),
+tw AS (SELECT sum(wgt) AS total FROM (SELECT wgt FROM w ORDER BY grp) ),
+sh AS MATERIALIZED (
+  SELECT grp, n_pop, wgt, {NEYMAN_BUDGET} * wgt / t.total AS share,
+         CAST(floor({NEYMAN_BUDGET} * wgt / t.total) AS BIGINT) AS base
+  FROM w, tw t
+),
+rem AS (
+  SELECT CAST({NEYMAN_BUDGET} - sum(base) AS BIGINT) AS r FROM sh
+),
+rk AS (
+  SELECT grp, n_pop, wgt, share, base,
+         row_number() OVER (ORDER BY share - base DESC, grp ASC) AS frac_rank
+  FROM sh
+)
+SELECT rk.grp, rk.n_pop,
+       {R4("rk.wgt / rk.n_pop / 100")} AS sigma,
+       {R4("rk.share")} AS share,
+       rk.base + CASE WHEN rk.frac_rank <= rem.r THEN 1 ELSE 0 END
+         AS n_alloc
+FROM rk, rem
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-OPTIMAL stratified sample allocation — before drawing the
+    stratified sample (sample_stratified executes one), a survey-grade
+    pipeline decides HOW MANY rows each stratum gets: n_h ∝ N_h·σ_h
+    (variance-weighted, minimizing the estimator variance at fixed
+    budget), integerized by the LARGEST-REMAINDER method so the
+    allocations sum exactly to the budget — deterministic, no float
+    round-tripping (floors + a remainder rank with a stratum tie-break).
+
+    Sufficient statistics per stratum (n, Σx, Σx² in integer cents)
+    accumulate in exact DECIMAL(38,0); σ and the shares finish in
+    identical IEEE expressions; the remainder ranking runs over the
+    5-row stratum table (bounded by the STRATA, not the data). Graded:
+    population size, σ, fractional share, and the final integer
+    allocation per stratum (Σ n_alloc = {NEYMAN_BUDGET} by construction).
+    """
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    gs = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("grp"), cents.alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pop"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("q"),
+        )
+    )
+    w = gs.select(
+        "grp",
+        "n_pop",
+        (
+            F.col("n_pop")
+            * F.sqrt(
+                (
+                    F.col("q").cast("double")
+                    - F.col("s").cast("double")
+                    * F.col("s").cast("double")
+                    / F.col("n_pop")
+                )
+                / (F.col("n_pop") - 1)
+            )
+        ).alias("wgt"),
+    )
+    # Σwgt folded in stratum order on both engines (a 5-element sum is
+    # still order-sensitive in doubles — the r11 basis-point lesson)
+    tw = (
+        w.orderBy("grp")
+        .agg(F.sum("wgt").alias("total"))
+    )
+    sh = w.crossJoin(F.broadcast(tw)).select(
+        "grp",
+        "n_pop",
+        "wgt",
+        (F.lit(NEYMAN_BUDGET) * F.col("wgt") / F.col("total")).alias("share"),
+        F.floor(F.lit(NEYMAN_BUDGET) * F.col("wgt") / F.col("total"))
+        .cast("long")
+        .alias("base"),
+    )
+    rem = sh.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("base")).cast("long").alias("r")
+    )
+    wfr = Window.orderBy((F.col("share") - F.col("base")).desc(), F.col("grp").asc())
+    return (
+        sh.withColumn("frac_rank", F.row_number().over(wfr))
+        .crossJoin(F.broadcast(rem))
+        .select(
+            "grp",
+            "n_pop",
+            r4(F.col("wgt") / F.col("n_pop") / 100).alias("sigma"),
+            r4(F.col("share")).alias("share"),
+            (
+                F.col("base")
+                + F.when(F.col("frac_rank") <= F.col("r"), 1).otherwise(0)
+            ).cast("long").alias("n_alloc"),
+        )
+    )

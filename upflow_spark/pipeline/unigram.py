@@ -363,3 +363,43 @@ def tokenize_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(sum(nc) * 10000) div sum(nt)").alias("chars_per_token_bp"),
         )
     )
+
+
+def _uni_vocab_oracle() -> str:
+    parts = _uni_cte_parts(UNI_ROUNDS)
+    return (
+        "WITH\n" + ",\n".join(parts) + "\n"
+        f"SELECT tok,\n"
+        f"       CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC)"
+        f" AS BIGINT) AS vocab_id,\n"
+        f"       cnt AS n_occurrences\n"
+        f"FROM c{UNI_ROUNDS}"
+    )
+
+
+@query("tokenize_unigram_vocab_ids", oracle=_uni_vocab_oracle())
+def tokenize_unigram_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram VOCABULARY artifact — every token the final
+    hard-EM segmentation actually uses, with its corpus-weighted usage
+    count and a dense frequency-ranked id (ties by token): the unigram
+    twin of tokenize_bpe_vocab_ids, completing the family's three
+    persisted artifacts (trainer → encoder bill → vocab/ids).
+
+    Rides the session-memoized final counts (_uni_counts_cache — the
+    persisted-model policy shared with the BPE keys), so in a sweep this
+    key is a driver-side sort of the Heaps-bounded vocabulary.
+    """
+    import os
+
+    st_f = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (
+        spark.sparkContext.applicationId, sf_dir, st_f.st_mtime_ns, st_f.st_size
+    )
+    if key not in _uni_counts_cache:
+        tokenize_unigram_train(spark, sf_dir)
+    counts = _uni_counts_cache[key]
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(tok, i + 1, cnt) for i, (tok, cnt) in enumerate(ranked)],
+        "tok string, vocab_id long, n_occurrences long",
+    )
