@@ -104,6 +104,15 @@ SHOWCASE = [
     ("scan_nested_struct_prune", "nested schema pruning (r11): ReadSchema shrinks to the two fin leaves (meta struct never decoded) and the fin.total predicate lands in PushedFilters — 2 column chunks read of 5"),
     ("dedup_lsh_tuning_report", "LSH banding evaluation (r11): four cap-filtered band tables self-join as struct-equality equi-joins (per-bucket pair work <= CAP^2 by construction), ground truth rides the memoized bit-packed GEMM index — no uncapped all-pairs path exists in the plan"),
     ("graph_jaccard_neighbors", "co-purchase neighbor Jaccard (r11): open-triangle equi-join on the shared order key, >=2-co-occurrence filter before the degree joins, TakeOrderedAndProject top-k — no cartesian, no global sort"),
+    # r12 showcases: MOR purge, atomic multi-table snapshots, incremental
+    # CC by contraction, full-data rank stats, integer-lattice trainers
+    ("sink_rewrite_purge_deletes", "MOR purge (r12): the rewrite leg is semi-join-scoped to delete-bearing buckets (broadcast bucket set + broadcast delete-key anti-join); the post state reads the COMMITTED clean files back — untouched buckets appear in neither write nor rewrite leg"),
+    ("scan_snapshot_multi_table", "atomic two-relation snapshot (r12): orders and lineitem both resolve (rel, gen, bucket) through ONE shared manifest via broadcast semi-joins; the per-version join is co-bucketed on the order key, orphan check is a broadcast anti-join"),
+    ("graph_cc_incremental", "incremental CC (r12): the delta wave joins the label table (not the graph), contracts to supernode edges, and the merge map comes back as a BroadcastHashJoin over labels — nothing accumulated-graph-sized shuffles in the delta path"),
+    ("stat_kendall_tau_full", "full-data Kendall tau (r12): tie terms from three integer groupBys, discordances from ONE nation-grouped Arrow pass (FlatMapGroupsInPandas) — the O(n^2) pair join exists only in the oracle"),
+    ("emb_pca_power_iteration", "hash-checked PCA (r12): one Arrow pass of order-free int64 Gram partials; the 96-step iteration is a driver-side model fit, so the output plan is a bounded LocalTableScan — the corpus is scanned exactly once"),
+    ("tokenize_unigram_train", "unigram trainer (r12): each hard-EM round is ONE map-only Arrow segmentation pass against the broadcast vocab counts + ONE vocabulary-sized groupBy — the corpus pays a single scan into weighted pretoken counts"),
+    ("emb_ivf_cell_split", "IVF cell split (r12): integer-lattice assignment via an int64 HOF fold against broadcast centroids; the 2-means split legs are semi-join-scoped to hot-cell members; both recall probes end in TakeOrderedAndProject top-10s"),
 ]
 
 

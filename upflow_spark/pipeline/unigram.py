@@ -24,6 +24,9 @@ that is 2 shuffles per round over vocabulary-sized relations.
 
 from __future__ import annotations
 
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,7 +41,7 @@ UNI_BIG = 2**40  # per-token cost base: BIG - cnt (fewest tokens dominates)
 UNI_TOPK = 32  # graded vocab artifact size
 
 
-def _uni_cte_parts(rounds: int) -> list:
+def _uni_cte_parts(rounds: int, doc_where: str = "") -> list:
     """The trainer as unrolled CTE parts through c{rounds}: seed counts =
     weighted substring occurrences; per round, a 16-position integer DP
     (per position: argmin over the ≤4 incoming token lengths, ties to the
@@ -51,7 +54,7 @@ def _uni_cte_parts(rounds: int) -> list:
         f"""occ AS MATERIALIZED (
   SELECT pt, CAST(count(*) AS BIGINT) AS w FROM (
     SELECT unnest(regexp_extract_all(text, '{BPE_PRETOK_RE}', 0)) AS pt
-    FROM documents
+    FROM documents {doc_where}
   ) GROUP BY pt
 )""",
         f"""pts AS MATERIALIZED (
@@ -402,4 +405,213 @@ def tokenize_unigram_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(tok, i + 1, cnt) for i, (tok, cnt) in enumerate(ranked)],
         "tok string, vocab_id long, n_occurrences long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming OOV monitor against the frozen unigram vocabulary
+
+OOV_STATIC_MOD = 4  # static training split: doc_id % 4 = 0; waves = doc_id % 4
+
+
+def _oov_oracle() -> str:
+    R = UNI_ROUNDS + 1
+    parts = _uni_cte_parts(R, f"WHERE doc_id % {OOV_STATIC_MOD} = 0")
+    ntok_union = "\n    UNION ALL\n".join(
+        f"    SELECT pt FROM bt{R}_{s}" for s in range(1, UNI_MAXP + 1)
+    )
+    parts.append(f"""ntok AS MATERIALIZED (
+  SELECT pt, CAST(count(*) AS BIGINT) AS ntk FROM (
+{ntok_union}
+  ) GROUP BY pt
+)""")
+    parts.append(f"""dpt AS MATERIALIZED (
+  SELECT CAST(doc_id % {OOV_STATIC_MOD} AS INT) AS wave, doc_id,
+         unnest(regexp_extract_all(text, '{BPE_PRETOK_RE}', 0)) AS pt
+  FROM documents
+)""")
+    return (
+        "WITH\n" + ",\n".join(parts) + "\n"
+        f"""SELECT d.wave,
+       CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_pretokens,
+       CAST(count(CASE WHEN m.pt IS NULL THEN 1 END) AS BIGINT)
+         AS n_oov_pretokens,
+       CAST(sum(length(d.pt)) AS BIGINT) AS n_chars,
+       CAST(sum(COALESCE(n.ntk, length(d.pt))) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN m.pt IS NULL THEN 1 END) * 10000 // count(*)
+            AS BIGINT) AS oov_bp
+FROM dpt d
+LEFT JOIN (SELECT DISTINCT pt FROM occ) m ON m.pt = d.pt
+LEFT JOIN ntok n ON n.pt = d.pt
+GROUP BY d.wave"""
+    )
+
+
+@query("stream_tokenizer_oov_monitor", oracle=_oov_oracle())
+def stream_tokenizer_oov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER DRIFT MONITOR on a live ingest stream — the production
+    composition of the unigram family with the streaming rails: the vocab
+    is trained ONCE on the static split (doc_id % {OOV_STATIC_MOD} = 0;
+    the quantizer-stability contract shared with the PQ/LSH index keys —
+    retraining mid-stream would make stored token ids incomparable), and
+    each arriving document wave is scored against the FROZEN model:
+    pretoken count, out-of-vocabulary pretokens (never seen in training —
+    the char-fallback encode path), token count under the frozen
+    segmentation, and the OOV rate in integer basis points. Rising OOV is
+    the canonical signal a corpus shifted under a deployed tokenizer.
+
+    Streaming shape: 4-wave file replay, foreachBatch joins each wave
+    against the broadcast frozen (pretoken → token-count) map and the
+    static-pretoken membership set (both Heaps-bounded), per-wave rows
+    land in wave-keyed overwrite partitions (the family's exactly-once
+    sink contract), graded output is the read-back. Unseen pretokens and
+    >UNI_MAXP pretokens cost one token per char (documented fallback,
+    mirrored in the oracle).
+    """
+    import os
+    import time as _time
+
+    from upflow_spark.session import ensure_conf
+    from upflow_spark.sources.manifest import _work_dir
+
+    ensure_conf(spark)
+    st_f = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"upflow_oovmon_waves_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{st_f.st_mtime_ns}_{st_f.st_size}",
+    )
+    d = load(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        d.select(
+            "doc_id", "text", (F.col("doc_id") % OOV_STATIC_MOD).cast("int").alias("wave")
+        ).repartitionByRange(OOV_STATIC_MOD, "wave").write.mode(
+            "overwrite"
+        ).parquet(dst)
+    parts_f = sorted(p for p in os.listdir(dst) if p.startswith("part-"))
+    mtimes = [os.stat(os.path.join(dst, p)).st_mtime for p in parts_f]
+    if any(b <= a for a, b in zip(mtimes, mtimes[1:])):
+        base_t = _time.time() - 2.0 * len(parts_f)
+        for i, p in enumerate(parts_f):
+            t = base_t + 2.0 * i
+            os.utime(os.path.join(dst, p), (t, t))
+
+    # frozen model: 2 hard-EM rounds on the static split only
+    static_pts = (
+        d.filter(F.col("doc_id") % OOV_STATIC_MOD == 0)
+        .select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)
+            ).alias("pt")
+        )
+        .groupBy("pt")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    member = {r["pt"] for r in static_pts.select("pt").collect()}
+    pts = static_pts.filter(F.length("pt") <= UNI_MAXP).select(
+        "pt", "w", F.length("pt").cast("int").alias("n")
+    ).localCheckpoint()
+    counts = {r["tok"]: int(r["cnt"]) for r in _uni_seed_counts(pts).collect()}
+    for _ in range(UNI_ROUNDS):
+        usage = _uni_estep(spark, pts, counts)
+        counts = {
+            r["tok"]: int(r["cnt"])
+            for r in usage.groupBy("tok")
+            .agg(F.sum("w").cast("long").alias("cnt"))
+            .collect()
+        }
+    ntok = {
+        r["pt"]: int(r["ntk"])
+        for r in _uni_estep(spark, pts, counts)
+        .groupBy("pt")
+        .agg(F.count(F.lit(1)).alias("ntk"))
+        .collect()
+    }
+    bc_member = spark.sparkContext.broadcast(member)
+    bc_ntok = spark.sparkContext.broadcast(ntok)
+
+    work = _work_dir(spark, sf_dir, "oovmon")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt_" + uuid.uuid4().hex)
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("wave", IntegerType()),
+        ]
+    )
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        import re
+
+        rx = re.compile(BPE_PRETOK_RE)
+
+        def stats(batches):  # noqa: ANN001, ANN202
+            import pandas as pd
+
+            mem, nt = bc_member.value, bc_ntok.value
+            for pdf in batches:
+                rows = []
+                for w, doc_id, text in zip(
+                    pdf["wave"], pdf["doc_id"], pdf["text"]
+                ):
+                    npt = nov = nch = ntk_sum = 0
+                    for pt in rx.findall(text):
+                        npt += 1
+                        nch += len(pt)
+                        if pt not in mem:
+                            nov += 1
+                        ntk_sum += nt.get(pt, len(pt))
+                    rows.append((int(w), int(doc_id), npt, nov, nch, ntk_sum))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "wave", "doc_id", "npt", "nov", "nch", "ntk",
+                    ],
+                )
+
+        per_doc = batch_df.mapInPandas(
+            stats,
+            "wave int, doc_id long, npt long, nov long, nch long, ntk long",
+        )
+        waves = sorted(
+            r["wave"] for r in batch_df.select("wave").distinct().collect()
+        )
+        for w in waves:
+            agg = per_doc.filter(F.col("wave") == w).agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.sum("npt").alias("n_pretokens"),
+                F.sum("nov").alias("n_oov_pretokens"),
+                F.sum("nch").alias("n_chars"),
+                F.sum("ntk").alias("n_tokens"),
+            )
+            agg.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"wave={int(w)}")
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dst)
+        .writeStream.foreachBatch(score)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        F.col("wave").cast("int").alias("wave"),
+        "n_docs",
+        "n_pretokens",
+        "n_oov_pretokens",
+        "n_chars",
+        "n_tokens",
+        F.expr("(n_oov_pretokens * 10000) div n_pretokens").alias("oov_bp"),
     )
