@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
-from upflow_spark.operators.rank2 import global_row_number
+from upflow_spark.operators.rank2 import global_cumsum, global_row_number
 from upflow_spark.parity import R4, r4
 from upflow_spark.registry import query
 
@@ -1750,5 +1750,284 @@ def stat_cohens_d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.lit(3.0) / (4.0 * (F.col("n_a") + F.col("n_b")) - 9)
                 )
             ).alias("hedges_g"),
+        )
+    )
+
+
+WSR_Y1, WSR_Y2 = 1994, 1995
+_WSR_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_WSR_ND = "CAST(n_pairs AS DOUBLE)"
+_WSR_Z = (
+    f"(CAST(w2_plus AS DOUBLE) - {_WSR_ND} * ({_WSR_ND} + 1.0) / 2.0)"
+    f" / sqrt({_WSR_ND} * ({_WSR_ND} + 1.0) * (2.0 * {_WSR_ND} + 1.0) / 6.0"
+    f" - CAST(tsum AS DOUBLE) / 12.0)"
+)
+
+
+@query(
+    "stat_wilcoxon_signed_rank",
+    oracle=f"""
+WITH py AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN year(o_orderdate) = {WSR_Y1}
+                       THEN {_WSR_CENTS} ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN year(o_orderdate) = {WSR_Y2}
+                       THEN {_WSR_CENTS} ELSE 0 END) AS BIGINT) AS s2,
+         max(CASE WHEN year(o_orderdate) = {WSR_Y1} THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN year(o_orderdate) = {WSR_Y2} THEN 1 ELSE 0 END) AS h2
+  FROM orders
+  WHERE year(o_orderdate) IN ({WSR_Y1}, {WSR_Y2})
+  GROUP BY o_custkey
+),
+d AS MATERIALIZED (
+  SELECT s2 - s1 AS d FROM py WHERE h1 = 1 AND h2 = 1
+),
+nz AS (SELECT CAST(count(*) FILTER (d = 0) AS BIGINT) AS n_zero FROM d),
+g AS MATERIALIZED (
+  SELECT abs(d) AS vc, CAST(count(*) AS BIGINT) AS t,
+         CAST(count(*) FILTER (d > 0) AS BIGINT) AS npos
+  FROM d WHERE d <> 0 GROUP BY abs(d)
+),
+r AS (
+  SELECT t, npos,
+         CAST(COALESCE(sum(t) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS lt
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n_pairs,
+         CAST(sum(npos) AS BIGINT) AS n_pos,
+         CAST(sum(t - npos) AS BIGINT) AS n_neg,
+         CAST(sum(npos * (2 * lt + t + 1)) AS BIGINT) AS w2_plus,
+         CAST(sum((t - npos) * (2 * lt + t + 1)) AS BIGINT) AS w2_minus,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+  FROM r
+),
+zc AS (
+  SELECT n_pairs, n_pos, n_neg, nz.n_zero, w2_plus, w2_minus,
+         {_WSR_Z} AS z
+  FROM s, nz
+)
+SELECT n_pairs, n_pos, n_neg, n_zero, w2_plus, w2_minus,
+       {R4("z")} AS z_stat,
+       {R4(_sql_norm_two_sided_p("z"))} AS p_value
+FROM zc
+""",
+)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED nonparametric battery member
+    (beside the independent-sample stat_mannwhitney_u and k-group
+    stat_kruskal_wallis): did per-customer spend shift between {WSR_Y1}
+    and {WSR_Y2}, pairing each customer with itself?
+
+    Exactness discipline: per-customer yearly totals in integer cents
+    (DECIMAL sums — order-free), differences d = s2 − s1 exact int64;
+    zero differences dropped per the classic procedure (count graded).
+    Signed ranks carry the Kruskal–Wallis 2×average-rank trick: a tie
+    block over ranks a..b has 2·avg = 2·cnt_lt + t + 1, always integer,
+    so W⁺/W⁻ are exact int64 in both engines regardless of partitioning
+    (invariant: w2_plus + w2_minus = n(n+1)). The normal approximation
+    with tie correction, z = (w2⁺ − n(n+1)/2) / √(n(n+1)(2n+1)/6 −
+    Σ(t³−t)/12) on the DOUBLED scale, and the Abramowitz–Stegun 26.2.17
+    two-sided tail finish in identical IEEE expressions (both engines
+    lack erf in SQL).
+
+    At 100 TB: one groupBy(custkey) over the year-filtered fact (partial
+    aggregation map-side), one groupBy(|d|) on the customer-sized
+    difference relation, and rank2's two-phase cumulative count — no
+    global sort, no window over data-sized relations.
+    """
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    py = (
+        o.filter(yr.isin(WSR_Y1, WSR_Y2))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == WSR_Y1, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("s1"),
+            F.sum(F.when(yr == WSR_Y2, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("s2"),
+            F.max(F.when(yr == WSR_Y1, 1).otherwise(0)).alias("h1"),
+            F.max(F.when(yr == WSR_Y2, 1).otherwise(0)).alias("h2"),
+        )
+    )
+    d = (
+        py.filter((F.col("h1") == 1) & (F.col("h2") == 1))
+        .select((F.col("s2") - F.col("s1")).alias("d"))
+        .localCheckpoint()  # feeds the zero-count and the ranked branch once
+    )
+    nz = d.agg(F.count(F.when(F.col("d") == 0, 1)).cast("long").alias("n_zero"))
+    g = (
+        d.filter(F.col("d") != 0)
+        .groupBy(F.abs(F.col("d")).alias("vc"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.count(F.when(F.col("d") > 0, 1)).cast("long").alias("npos"),
+        )
+    )
+    r = global_cumsum(g, ["vc"], {"cum": F.col("t")})
+    lt = F.col("cum") - F.col("t")
+    r2 = 2 * lt + F.col("t") + 1
+    s = r.agg(
+        F.sum("t").cast("long").alias("n_pairs"),
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum(F.col("t") - F.col("npos")).cast("long").alias("n_neg"),
+        F.sum(F.col("npos") * r2).cast("long").alias("w2_plus"),
+        F.sum((F.col("t") - F.col("npos")) * r2).cast("long").alias("w2_minus"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tsum"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    z = (F.col("w2_plus").cast("double") - nd * (nd + 1.0) / 2.0) / F.sqrt(
+        nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0
+        - F.col("tsum").cast("double") / 12.0
+    )
+    az = F.abs(z)
+    t_ = 1.0 / (1.0 + 0.2316419 * az)
+    horner = _AS_B[0] + t_ * (
+        _AS_B[1] + t_ * (_AS_B[2] + t_ * (_AS_B[3] + t_ * _AS_B[4]))
+    )
+    p_two = 2.0 * (F.exp(-az * az / 2.0) / F.sqrt(F.lit(_TWO_PI))) * t_ * horner
+    return s.crossJoin(F.broadcast(nz)).select(
+        "n_pairs",
+        "n_pos",
+        "n_neg",
+        "n_zero",
+        "w2_plus",
+        "w2_minus",
+        r4(z).alias("z_stat"),
+        r4(p_two).alias("p_value"),
+    )
+
+
+_CRV_E = "(CAST(r AS DOUBLE) * c / total)"
+
+
+@query(
+    "stat_cramers_v",
+    oracle=f"""
+WITH j AS MATERIALIZED (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cells AS MATERIALIZED (
+  SELECT seg, pri, CAST(count(*) AS BIGINT) AS n_obs
+  FROM j GROUP BY seg, pri
+),
+rt AS (SELECT seg, CAST(sum(n_obs) AS BIGINT) AS r FROM cells GROUP BY seg),
+ct AS (SELECT pri, CAST(sum(n_obs) AS BIGINT) AS c FROM cells GROUP BY pri),
+tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS total,
+         CAST(count(DISTINCT seg) AS BIGINT) AS nseg,
+         CAST(count(DISTINCT pri) AS BIGINT) AS npri
+  FROM cells
+),
+cx AS MATERIALIZED (
+  SELECT cells.seg, cells.pri, n_obs, {_CRV_E} AS e,
+         (CAST(n_obs AS DOUBLE) - {_CRV_E}) / sqrt({_CRV_E}) AS resid
+  FROM cells JOIN rt USING (seg) JOIN ct USING (pri), tot
+),
+g AS (
+  SELECT list_sum(list(resid * resid ORDER BY seg, pri)) AS chi2 FROM cx
+)
+SELECT cx.seg, cx.pri, cx.n_obs,
+       {R4("cx.e")} AS expected,
+       {R4("cx.resid")} AS pearson_resid,
+       {R4("g.chi2")} AS chi2,
+       CAST((tot.nseg - 1) * (tot.npri - 1) AS BIGINT) AS dof,
+       {R4(
+           "sqrt(g.chi2 / (CAST(tot.total AS DOUBLE)"
+           " * CAST(least(tot.nseg - 1, tot.npri - 1) AS DOUBLE)))"
+       )} AS cramers_v
+FROM cx, g, tot
+""",
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size + per-cell Pearson residuals for the
+    market-segment × order-priority contingency — the HOW-MUCH and WHERE
+    columns beside stat_chi2_independence's p-value-shaped χ² (a 100 TB
+    crosstab is always "significant"; V and the residual map are what an
+    analyst actually reads): resid_ij = (n_ij − e_ij)/√e_ij,
+    V = √(χ² / (N·min(r−1, c−1))).
+
+    The 25-cell χ² sum is ORDER-PINNED on both engines (contributions
+    folded in (seg, pri) order: Spark array_sort + sequential
+    F.aggregate ≡ DuckDB list(... ORDER BY) → list_sum), so the graded
+    statistic is bit-stable under any partitioning — the defensive
+    version of the chi2 key's free-order 25-cell sum. Counts and margins
+    are exact int64; e/resid/V finish in identical IEEE expressions.
+
+    Plan: one fact-dim join, one groupBy to the ≤25-cell table; margins
+    re-aggregate the cells, never the data. Same cost as a crosstab at
+    any scale.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    cells = j.groupBy("seg", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    rt = cells.groupBy("seg").agg(F.sum("n_obs").cast("long").alias("r"))
+    ct = cells.groupBy("pri").agg(F.sum("n_obs").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("n_obs").cast("long").alias("total"),
+        F.countDistinct("seg").cast("long").alias("nseg"),
+        F.countDistinct("pri").cast("long").alias("npri"),
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("total")
+    cx = (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "pri",
+            "n_obs",
+            e.alias("e"),
+            ((F.col("n_obs").cast("double") - e) / F.sqrt(e)).alias("resid"),
+        )
+        .localCheckpoint()  # 25 cells; feeds the pinned fold + the output
+    )
+    g = cx.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("seg", "pri", F.col("resid").alias("rv")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["rv"] * x["rv"],
+        ).alias("chi2")
+    )
+    return (
+        cx.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "pri",
+            "n_obs",
+            r4(F.col("e")).alias("expected"),
+            r4(F.col("resid")).alias("pearson_resid"),
+            r4(F.col("chi2")).alias("chi2"),
+            ((F.col("nseg") - 1) * (F.col("npri") - 1))
+            .cast("long")
+            .alias("dof"),
+            r4(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("total").cast("double")
+                        * F.least(F.col("nseg") - 1, F.col("npri") - 1).cast(
+                            "double"
+                        )
+                    )
+                )
+            ).alias("cramers_v"),
         )
     )

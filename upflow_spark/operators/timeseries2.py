@@ -552,3 +552,115 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_id long, start_day timestamp, end_day timestamp, n_days long,"
         " seg_sum double, seg_mean double, seg_sse double",
     )
+
+
+ACF_MAX_LAG = 7
+_ACF_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_ACF_XBAR = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+
+
+@query(
+    "ts_acf_lags",
+    oracle=f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum({_ACF_CENTS}) AS BIGINT) AS x
+  FROM orders GROUP BY o_orderdate
+),
+gstat AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS q
+  FROM daily
+),
+ks AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, {ACF_MAX_LAG} + 1)),
+per_k AS (
+  SELECT k.lag,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(CAST(a.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sp,
+         CAST(sum(a.x) AS BIGINT) AS s1,
+         CAST(sum(b.x) AS BIGINT) AS s2
+  FROM ks k
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.d = a.d + CAST(k.lag AS INTEGER)
+  GROUP BY k.lag
+)
+SELECT p.lag, p.n_terms,
+       {R4(
+           f"(CAST(p.sp AS DOUBLE)"
+           f" - {_ACF_XBAR} * (CAST(p.s1 AS DOUBLE) + CAST(p.s2 AS DOUBLE))"
+           f" + CAST(p.n_terms AS DOUBLE) * {_ACF_XBAR} * {_ACF_XBAR})"
+           f" / (CAST(q AS DOUBLE) - 2.0 * {_ACF_XBAR} * CAST(s AS DOUBLE)"
+           f" + CAST(n AS DOUBLE) * {_ACF_XBAR} * {_ACF_XBAR})"
+       )} AS acf
+FROM per_k p, gstat
+""",
+)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1..{ACF_MAX_LAG} — the seasonality/memory diagnostic read before
+    picking any forecasting model (companion to ts_seasonal_dow_profile's
+    day-of-week means and events_forecast_snaive_backtest's lag-7 model):
+    r_k = Σ(x_t−x̄)(x_{{t+k}}−x̄) / Σ(x_t−x̄)², global mean and global
+    denominator per the standard estimator.
+
+    Exactness discipline: daily revenue in integer cents; all sufficient
+    statistics exact — S=Σx int64, Q=Σx² and SP_k=Σx_t·x_{{t+k}} in
+    DECIMAL(38,0) at SCALE 0 (the single-rounding double-cast class: at
+    sf1 daily-cents products exceed int64 but stay well inside 38
+    digits). The centered numerator is recovered algebraically,
+    Σ(x_t−x̄)(x_{{t+k}}−x̄) = SP_k − x̄(S1+S2) + n_k·x̄², so no float
+    touches data until the final identical IEEE expression per engine.
+
+    Shape: one groupBy(day) rollup of the fact table (map-side partial
+    agg) to a calendar-bounded series, then a 7-way lag self-join ON
+    date arithmetic — no windows, no sort; the daily relation broadcasts
+    at any corpus scale (bounded by the calendar, not the data).
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(cents).cast("long").alias("x"))
+        .localCheckpoint()  # calendar-bounded; feeds glob + both join legs
+    )
+    xdec = F.col("x").cast("decimal(19,0)")
+    glob = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(xdec * xdec).cast("decimal(38,0)").alias("q"),
+    )
+    ks = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        ks.crossJoin(a)
+        .join(
+            F.broadcast(b),
+            F.col("db")
+            == F.date_add(F.col("da"), F.col("lag").cast("int")),
+        )
+    )
+    xad = F.col("xa").cast("decimal(19,0)")
+    xbd = F.col("xb").cast("decimal(19,0)")
+    per_k = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(xad * xbd).cast("decimal(38,0)").alias("sp"),
+        F.sum("xa").cast("long").alias("s1"),
+        F.sum("xb").cast("long").alias("s2"),
+    )
+    xbar = F.col("s").cast("double") / F.col("n").cast("double")
+    num = (
+        F.col("sp").cast("double")
+        - xbar * (F.col("s1").cast("double") + F.col("s2").cast("double"))
+        + F.col("n_terms").cast("double") * xbar * xbar
+    )
+    den = (
+        F.col("q").cast("double")
+        - 2.0 * xbar * F.col("s").cast("double")
+        + F.col("n").cast("double") * xbar * xbar
+    )
+    return per_k.crossJoin(F.broadcast(glob)).select(
+        "lag", "n_terms", r4(num / den).alias("acf")
+    )
