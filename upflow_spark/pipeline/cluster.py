@@ -1200,3 +1200,116 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return out
+
+
+_MOD_T2D = "CAST(t2 AS DOUBLE)"
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+WITH
+{_PAIRS_CTE},
+{_lpa_cte()},
+mod_lab AS MATERIALIZED (SELECT n, lbl FROM lp_l{LPA_ROUNDS}),
+mod_le AS MATERIALIZED (
+  SELECT lu.lbl AS cu, lv.lbl AS cv
+  FROM (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs) e
+  JOIN mod_lab lu ON e.u = lu.n
+  JOIN mod_lab lv ON e.v = lv.n
+),
+mod_per_c AS MATERIALIZED (
+  SELECT cu AS community,
+         CAST(count(*) AS BIGINT) AS degree_sum,
+         CAST(count(*) FILTER (cu = cv) AS BIGINT) AS intra2
+  FROM mod_le GROUP BY cu
+),
+mod_tot AS (
+  SELECT CAST(sum(degree_sum) AS BIGINT) AS t2,
+         CAST(sum(intra2) AS BIGINT) AS i2,
+         CAST(sum(CAST(degree_sum AS DECIMAL(19,0))
+                  * CAST(degree_sum AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sd2
+  FROM mod_per_c
+),
+mod_sizes AS (
+  SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM mod_lab GROUP BY lbl
+)
+SELECT p.community, s.n_nodes, p.degree_sum,
+       p.intra2 // 2 AS intra_edges,
+       floor((CAST(p.intra2 AS DOUBLE) / {_MOD_T2D}
+              - (CAST(p.degree_sum AS DOUBLE) / {_MOD_T2D})
+                * (CAST(p.degree_sum AS DOUBLE) / {_MOD_T2D})) * 10000 + 0.5)
+         / 10000 AS contribution,
+       floor((CAST(i2 AS DOUBLE) / {_MOD_T2D}
+              - CAST(sd2 AS DOUBLE) / ({_MOD_T2D} * {_MOD_T2D})) * 10000 + 0.5)
+         / 10000 AS modularity,
+       t2 // 2 AS m_edges
+FROM mod_per_c p JOIN mod_sizes s USING (community), mod_tot
+""",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA community partition over the
+    near-dup document graph — the QUALITY gate on graph_label_propagation's
+    output (did 4 rounds of LPA find real structure, or shred components?):
+    Q = Σ_c [ intra2_c/2m − (D_c/2m)² ], graded per community (size, degree
+    sum, intra-edge count, contribution) plus the global Q and m.
+
+    Exactness discipline: every sufficient statistic is an exact integer —
+    intra2_c (directed intra-community edge count), D_c (degree sum), and
+    their global sums; ΣD_c² rides DECIMAL(38,0) (single-rounding cast
+    class). Q itself needs NO order-pinned fold: Σ intra2_c/2m = I2/2m and
+    Σ(D_c/2m)² = SD2/(2m)², so the whole statistic collapses to divisions
+    of exact totals — the algebraic-recovery trick (cf. ts_acf_lags).
+
+    Plan: the memoized checkpointed edge relation (shared with the CC/BFS/
+    LPA family) joined twice against the node-sized label relation, one
+    groupBy(community), one re-aggregate of the community table. Cost ∝
+    edges, reusing the same shuffle key as LPA's rounds.
+    """
+    from upflow_spark.parity import r4
+
+    lp = graph_label_propagation(spark, sf_dir).select(
+        F.col("doc_id").alias("n"), F.col("community").alias("lbl")
+    )
+    edges = _cc_edges(spark, sf_dir)
+    lu = lp.select(F.col("n").alias("u"), F.col("lbl").alias("cu"))
+    lv = lp.select(F.col("n").alias("v"), F.col("lbl").alias("cv"))
+    le = edges.join(lu, "u").join(lv, "v")
+    per_c = le.groupBy(F.col("cu").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree_sum"),
+        F.count(F.when(F.col("cu") == F.col("cv"), 1))
+        .cast("long")
+        .alias("intra2"),
+    )
+    dd = F.col("degree_sum").cast("decimal(19,0)")
+    tot = per_c.agg(
+        F.sum("degree_sum").cast("long").alias("t2"),
+        F.sum("intra2").cast("long").alias("i2"),
+        F.sum(dd * dd).cast("decimal(38,0)").alias("sd2"),
+    )
+    sizes = lp.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    t2d = F.col("t2").cast("double")
+    return (
+        per_c.join(sizes, "community")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            F.expr("intra2 div 2").cast("long").alias("intra_edges"),
+            r4(
+                F.col("intra2").cast("double") / t2d
+                - (F.col("degree_sum").cast("double") / t2d)
+                * (F.col("degree_sum").cast("double") / t2d)
+            ).alias("contribution"),
+            r4(
+                F.col("i2").cast("double") / t2d
+                - F.col("sd2").cast("double") / (t2d * t2d)
+            ).alias("modularity"),
+            F.expr("t2 div 2").cast("long").alias("m_edges"),
+        )
+    )

@@ -97,6 +97,7 @@ def load_all_modules() -> None:
     import upflow_spark.pipeline.text  # noqa: F401
     import upflow_spark.pipeline.textstats  # noqa: F401
     import upflow_spark.pipeline.unigram  # noqa: F401
+    import upflow_spark.sources.bloomidx  # noqa: F401
     import upflow_spark.sources.bucketed  # noqa: F401
     import upflow_spark.sources.manifest  # noqa: F401
     import upflow_spark.sources.python_ds  # noqa: F401
