@@ -664,3 +664,105 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_k.crossJoin(F.broadcast(glob)).select(
         "lag", "n_terms", r4(num / den).alias("acf")
     )
+
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+_HOLT_OMA = 1.0 - HOLT_ALPHA
+_HOLT_OMB = 1.0 - HOLT_BETA
+HOLT_H = 7
+_HA, _HB = repr(HOLT_ALPHA), repr(HOLT_BETA)
+_HOA, _HOB = repr(_HOLT_OMA), repr(_HOLT_OMB)
+# l_{t} inlined into b_{t} (same double either way — the expression is
+# deterministic); spelled ONCE here and reused in the recursive member
+_HOLT_LNEW = f"({_HA} * sx.x + {_HOA} * (rec.l + rec.b))"
+
+
+@query(
+    "ts_holt_linear_forecast",
+    oracle=f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum({_ACF_CENTS}) AS DOUBLE) AS x
+  FROM orders GROUP BY 1
+),
+sx AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY d) - 1 AS i, x FROM daily
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sx),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS i, a.x AS l, b.x - a.x AS b,
+         CAST(0 AS DOUBLE) AS sse
+  FROM sx a, sx b WHERE a.i = 0 AND b.i = 1
+  UNION ALL
+  SELECT rec.i + 1,
+         {_HOLT_LNEW},
+         {_HB} * ({_HOLT_LNEW} - rec.l) + {_HOB} * rec.b,
+         rec.sse + (sx.x - (rec.l + rec.b)) * (sx.x - (rec.l + rec.b))
+  FROM rec JOIN sx ON sx.i = rec.i + 1
+),
+fin AS (
+  SELECT rec.l, rec.b, rec.sse, nn.n FROM rec, nn WHERE rec.i = nn.n - 1
+),
+hs AS (SELECT CAST(range AS BIGINT) AS horizon FROM range(1, {HOLT_H} + 1))
+SELECT hs.horizon, fin.n AS n_days,
+       {R4("fin.l + CAST(hs.horizon AS DOUBLE) * fin.b")} AS forecast_cents,
+       {R4("fin.l")} AS level_cents,
+       {R4("fin.b")} AS trend_cents,
+       {R4("sqrt(fin.sse / CAST(fin.n - 1 AS DOUBLE))")} AS rmse_cents
+FROM hs, fin
+""",
+)
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double) exponential smoothing over the daily
+    revenue series — the parametric forecaster beside the model-free
+    events_forecast_snaive_backtest and the diagnostics (ts_acf_lags says
+    whether trend smoothing is warranted): l_t = αx_t + (1−α)(l_{{t−1}} +
+    b_{{t−1}}), b_t = β(l_t − l_{{t−1}}) + (1−β)b_{{t−1}}, α={HOLT_ALPHA},
+    β={HOLT_BETA}; graded = 7 forecast horizons ŷ(h) = l_n + h·b_n plus
+    the final state and in-sample one-step RMSE.
+
+    Parity needs SAMENESS, not convergence (the emb_pca_power_iteration
+    rule): the fold is order-PINNED — the driver's sequential python loop
+    over the date-sorted series executes the exact IEEE expression the
+    oracle's recursive CTE steps through, literal-for-literal (the 1−α
+    literals are injected via repr() because `1.0 − 0.3` and `0.7` are
+    DIFFERENT doubles). Daily cents → double is a single exact int cast.
+
+    The corpus-sized work is the one groupBy(day) rollup (map-side
+    combinable); the series is CALENDAR-bounded at any scale, so the
+    recurrence is a driver-side model fit — the binseg/PQ-codebook
+    "model on driver, data on cluster" topology.
+    """
+    import math
+
+    o = load(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(cents).cast("long").alias("c"))
+        .orderBy("d")
+    )
+    xs = [float(r["c"]) for r in daily.collect()]  # calendar-bounded
+    n = len(xs)
+    l, b, sse = xs[0], xs[1] - xs[0], 0.0
+    for t in range(1, n):
+        e = xs[t] - (l + b)
+        l_new = HOLT_ALPHA * xs[t] + _HOLT_OMA * (l + b)
+        b_new = HOLT_BETA * (l_new - l) + _HOLT_OMB * b
+        sse = sse + e * e
+        l, b = l_new, b_new
+
+    def r4f(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    rmse = math.sqrt(sse / float(n - 1))
+    out = [
+        (h, n, r4f(l + float(h) * b), r4f(l), r4f(b), r4f(rmse))
+        for h in range(1, HOLT_H + 1)
+    ]
+    return spark.createDataFrame(
+        out,
+        "horizon long, n_days long, forecast_cents double,"
+        " level_cents double, trend_cents double, rmse_cents double",
+    )

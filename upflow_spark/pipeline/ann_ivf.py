@@ -1689,3 +1689,216 @@ def emb_ivf_cell_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e.unpersist()
     return res
+
+
+AUTO_NP_MAX = 4  # nprobe values tested: 1..4 (of K_CELLS=8 label cells)
+AUTO_N_PROBES = 10  # deterministic probe batch: the 10 smallest vec_ids
+AUTO_TARGET_BP = 9000  # recall@10 target the autotuner must clear
+
+
+def _probe_autotune_oracle() -> str:
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         {_LAT_SQL} AS e
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT label, pos, CAST(sum(e) // count(*) AS BIGINT) AS c
+  FROM ev GROUP BY label, pos
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS probe_id FROM embeddings ORDER BY vec_id
+  LIMIT {AUTO_N_PROBES}
+),
+pv AS MATERIALIZED (
+  SELECT p.probe_id, ev.pos, ev.e
+  FROM probes p JOIN ev ON ev.vec_id = p.probe_id
+),
+cd AS MATERIALIZED (
+  SELECT pv.probe_id, c.label,
+         CAST(sum((pv.e - c.c) * (pv.e - c.c)) AS BIGINT) AS d2
+  FROM pv JOIN cent c ON c.pos = pv.pos
+  GROUP BY pv.probe_id, c.label
+),
+cr AS MATERIALIZED (
+  SELECT probe_id, label,
+         CAST(row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY d2 ASC, label ASC) AS BIGINT) AS crk
+  FROM cd
+),
+vd AS MATERIALIZED (
+  SELECT pv.probe_id, e2.vec_id, CAST(max(e2.label) AS INT) AS label,
+         CAST(sum((pv.e - e2.e) * (pv.e - e2.e)) AS BIGINT) AS d2
+  FROM pv JOIN ev e2 ON e2.pos = pv.pos
+  WHERE e2.vec_id <> pv.probe_id
+  GROUP BY pv.probe_id, e2.vec_id
+),
+ext AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY d2 ASC, vec_id ASC) AS rk
+    FROM vd) WHERE rk <= {TOP_K}
+),
+nps AS (SELECT CAST(unnest(range(1, {AUTO_NP_MAX} + 1)) AS BIGINT) AS np),
+candnp AS MATERIALIZED (
+  SELECT n.np, v.probe_id, v.vec_id, v.d2
+  FROM nps n, vd v
+  JOIN cr ON cr.probe_id = v.probe_id AND cr.label = v.label
+  WHERE cr.crk <= n.np
+),
+annt AS MATERIALIZED (
+  SELECT np, probe_id, vec_id FROM (
+    SELECT np, probe_id, vec_id,
+           row_number() OVER (PARTITION BY np, probe_id
+                              ORDER BY d2 ASC, vec_id ASC) AS rk
+    FROM candnp) WHERE rk <= {TOP_K}
+),
+ov AS MATERIALIZED (
+  SELECT a.np, CAST(count(x.vec_id) AS BIGINT) AS sum_overlap
+  FROM annt a LEFT JOIN ext x
+    ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
+  GROUP BY a.np
+),
+tc AS (
+  SELECT np, CAST(count(*) AS BIGINT) AS total_candidates
+  FROM candnp GROUP BY np
+),
+rep AS MATERIALIZED (
+  SELECT ov.np, ov.sum_overlap,
+         ov.sum_overlap * 10000 // {AUTO_N_PROBES * TOP_K} AS recall_bp,
+         tc.total_candidates
+  FROM ov JOIN tc ON tc.np = ov.np
+),
+ch AS (
+  SELECT COALESCE(min(np), {AUTO_NP_MAX}) AS cnp
+  FROM rep WHERE recall_bp >= {AUTO_TARGET_BP}
+)
+SELECT rep.np AS nprobe,
+       CAST({AUTO_N_PROBES} AS BIGINT) AS n_probes,
+       rep.sum_overlap, rep.recall_bp, rep.total_candidates,
+       rep.np = ch.cnp AS chosen
+FROM rep, ch
+"""
+
+
+@query("emb_ivf_probe_autotune", oracle=_probe_autotune_oracle())
+def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe AUTOTUNING for the IVF index — the operational dial every
+    vector-search deployment sets by measurement, not guess (completing
+    the maintenance family: cell_stats diagnoses load, split/merge act on
+    cells, this key tunes the READ path): for nprobe ∈ 1..{AUTO_NP_MAX},
+    route a {AUTO_N_PROBES}-probe batch through the label-cell quantizer
+    and grade recall@10 against the GLOBAL exact rail (pq_recall_eval
+    grades compression error within routed candidates; this key grades
+    the ROUTING loss itself). chosen = the smallest nprobe clearing
+    {AUTO_TARGET_BP} bp, else the largest tested.
+
+    Everything is exact int64 on the 1e-8 lattice: truncating-mean
+    centroids, probe→cell and probe→vector squared distances, rank
+    tie-breaks (d2 ASC, id ASC), recall in integer basis points — no
+    float anywhere, hence hash-checked (the r12 lattice discipline).
+
+    Scale: the exact rail costs probes × corpus — the same bill as
+    sim_cosine_topk's graded rail, run deliberately as the ground-truth
+    leg of an offline tuning job; the ANN legs reuse ONE distance pass
+    (candnp filters it per nprobe, never recomputing).
+    """
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "label", _lat("embedding").alias("ei"))
+        .localCheckpoint()  # one lattice pass feeds centroids, probes, rail
+    )
+    cent = (
+        e.select("label", F.posexplode("ei").alias("pos", "ev"))
+        .groupBy("label", "pos")
+        .agg(F.expr("sum(ev) div count(*)").cast("long").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label", F.transform("pc", lambda s: s.getField("c")).alias("ci")
+        )
+    )
+    probes = (
+        e.orderBy("vec_id")
+        .limit(AUTO_N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("ei").alias("pi"))
+    )
+    d2i = F.aggregate(
+        F.zip_with("ei", "pi", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cd = (
+        cent.withColumnRenamed("ci", "ei")
+        .crossJoin(F.broadcast(probes))
+        .select("probe_id", "label", d2i.alias("d2"))
+    )
+    w_c = Window.partitionBy("probe_id").orderBy(
+        F.col("d2").asc(), F.col("label").asc()
+    )
+    cr = cd.withColumn("crk", F.row_number().over(w_c).cast("long")).select(
+        "probe_id", "label", "crk"
+    )
+    vd = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "label", d2i.alias("d2"))
+        .localCheckpoint()  # ONE distance pass feeds the rail + every nprobe leg
+    )
+    w_p = Window.partitionBy("probe_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    ext = (
+        vd.withColumn("rk", F.row_number().over(w_p))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    nps = spark.range(1, AUTO_NP_MAX + 1).select(F.col("id").alias("np"))
+    candnp = (
+        vd.join(F.broadcast(cr), ["probe_id", "label"])
+        .join(F.broadcast(nps), F.col("crk") <= F.col("np"))
+        .select("np", "probe_id", "vec_id", "d2")
+    )
+    w_a = Window.partitionBy("np", "probe_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    annt = (
+        candnp.withColumn("rk", F.row_number().over(w_a))
+        .filter(F.col("rk") <= TOP_K)
+        .select("np", "probe_id", "vec_id")
+    )
+    ov = (
+        annt.join(F.broadcast(ext), ["probe_id", "vec_id"], "left")
+        .groupBy("np")
+        .agg(F.count("hit").cast("long").alias("sum_overlap"))
+    )
+    tc = candnp.groupBy("np").agg(
+        F.count(F.lit(1)).cast("long").alias("total_candidates")
+    )
+    rep = (
+        ov.join(tc, "np")
+        .select(
+            "np",
+            "sum_overlap",
+            F.expr(f"(sum_overlap * 10000) div {AUTO_N_PROBES * TOP_K}")
+            .cast("long")
+            .alias("recall_bp"),
+            "total_candidates",
+        )
+        .localCheckpoint()  # 4 rows; feeds the chosen-min scan + the output
+    )
+    ch = rep.filter(F.col("recall_bp") >= AUTO_TARGET_BP).agg(
+        F.coalesce(F.min("np"), F.lit(AUTO_NP_MAX)).cast("long").alias("cnp")
+    )
+    return rep.crossJoin(F.broadcast(ch)).select(
+        F.col("np").alias("nprobe"),
+        F.lit(AUTO_N_PROBES).cast("long").alias("n_probes"),
+        "sum_overlap",
+        "recall_bp",
+        "total_candidates",
+        (F.col("np") == F.col("cnp")).alias("chosen"),
+    )

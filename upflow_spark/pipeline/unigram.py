@@ -615,3 +615,162 @@ def stream_tokenizer_oov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("(n_oov_pretokens * 10000) div n_pretokens").alias("oov_bp"),
     )
+
+
+def _wp_greedy_cte_parts() -> list:
+    """Greedy longest-match-first (WordPiece) encoder as unrolled CTEs over
+    the distinct-pretoken relation: 16 steps, each consuming the LONGEST
+    in-vocab prefix at the cursor; a position with no in-vocab prefix
+    (even length 1) marks the whole pretoken [UNK] — the HuggingFace
+    WordPiece contract. Vocab = the trained unigram model c{UNI_ROUNDS}."""
+    parts = [
+        f"""gw0 AS MATERIALIZED (
+  SELECT pt, CAST(n AS BIGINT) AS n, CAST(0 AS BIGINT) AS pos,
+         CAST(0 AS BIGINT) AS ntok, CAST(0 AS BIGINT) AS unk
+  FROM pts
+)"""
+    ]
+    for s in range(1, UNI_MAXP + 1):
+        parts.append(f"""gwc{s} AS MATERIALIZED (
+  SELECT g.pt, g.pos, t.t
+  FROM gw{s - 1} g
+  JOIN (SELECT unnest(range(1, {UNI_MAXT + 1})) AS t) t
+    ON g.pos + t.t <= g.n
+  JOIN c{UNI_ROUNDS} c
+    ON c.tok = substr(g.pt, CAST(g.pos + 1 AS INT), CAST(t.t AS INT))
+  WHERE g.pos < g.n
+)""")
+        parts.append(f"""gwb{s} AS MATERIALIZED (
+  SELECT pt, t FROM (
+    SELECT pt, t, row_number() OVER (PARTITION BY pt ORDER BY t DESC) AS rn
+    FROM gwc{s}
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""gw{s} AS MATERIALIZED (
+  SELECT g.pt, g.n,
+         CASE WHEN g.pos >= g.n OR g.unk = 1 THEN g.pos
+              WHEN b.t IS NOT NULL THEN g.pos + b.t
+              ELSE g.n END AS pos,
+         CASE WHEN g.pos >= g.n OR g.unk = 1 THEN g.ntok
+              ELSE g.ntok + 1 END AS ntok,
+         CASE WHEN g.unk = 1 OR (g.pos < g.n AND b.t IS NULL)
+              THEN 1 ELSE 0 END AS unk
+  FROM gw{s - 1} g LEFT JOIN gwb{s} b ON b.pt = g.pt
+)""")
+    parts.append(f"""wp AS MATERIALIZED (
+  SELECT pt, CASE WHEN unk = 1 THEN 1 ELSE ntok END AS ntok, unk
+  FROM gw{UNI_MAXP}
+)""")
+    return parts
+
+
+def _wp_oracle() -> str:
+    parts = _uni_cte_parts(UNI_ROUNDS) + _wp_greedy_cte_parts()
+    parts.append(f"""dptw AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{BPE_PRETOK_RE}', 0)) AS pt
+  FROM documents
+)""")
+    return (
+        "WITH\n" + ",\n".join(parts) + "\n"
+        f"""SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pretokens,
+       CAST(sum(length(d.pt)) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN length(d.pt) <= {UNI_MAXP} THEN w.ntok
+                     ELSE 1 END) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN length(d.pt) <= {UNI_MAXP} THEN w.unk
+                     ELSE 1 END) AS BIGINT) AS n_unk_pretokens,
+       CAST(sum(CASE WHEN length(d.pt) <= {UNI_MAXP} THEN w.unk
+                     ELSE 1 END) * 10000 // count(*) AS BIGINT) AS unk_rate_bp
+FROM dptw d LEFT JOIN wp w ON w.pt = d.pt
+GROUP BY d.doc_id"""
+    )
+
+
+@query("tokenize_wordpiece_apply", oracle=_wp_oracle())
+def tokenize_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with GREEDY longest-match-first (WordPiece/BERT)
+    segmentation against the trained unigram vocabulary — the third
+    production tokenizer family (BPE merge-rank, unigram Viterbi, now
+    WordPiece greedy), sharing one persisted model so the three encoder
+    bills are directly comparable: at each cursor take the longest
+    in-vocab prefix; any stuck position marks the WHOLE pretoken [UNK]
+    (1 token), the HuggingFace WordPiece contract. Pretokens beyond the
+    {UNI_MAXP}-char cap are [UNK] too (max_input_chars_per_word).
+
+    Graded per document: pretoken/char/token counts, [UNK]-pretoken
+    count, and the OOV rate in integer basis points. Greedy choice,
+    vocab membership, and every count are pure integers — engine-exact —
+    and the oracle unrolls the 16-step greedy cursor as CTEs over the
+    SAME trained-counts chain the Viterbi keys use.
+
+    The greedy pass runs per DISTINCT pretoken (Heaps-bounded, broadcast
+    vocab, map-only Arrow) and joins back to the per-document multiset —
+    the corpus pays one explode + one join, never the scan-per-step.
+    Rides the session-memoized trained counts (_uni_counts_cache).
+    """
+    import os
+
+    st_f = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (
+        spark.sparkContext.applicationId, sf_dir, st_f.st_mtime_ns, st_f.st_size
+    )
+    if key not in _uni_counts_cache:
+        tokenize_unigram_train(spark, sf_dir)
+    counts = _uni_counts_cache[key]
+    bc = spark.sparkContext.broadcast(counts)
+    pts = _uni_pts(spark, sf_dir)
+
+    def seg(batches):  # noqa: ANN001, ANN202
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            out_pt, out_nt, out_unk = [], [], []
+            for pt in pdf["pt"]:
+                n, pos, ntok, unk = len(pt), 0, 0, 0
+                while pos < n:
+                    t = 0
+                    for tt in range(min(UNI_MAXT, n - pos), 0, -1):
+                        if c.get(pt[pos : pos + tt], 0) > 0:
+                            t = tt
+                            break
+                    if t == 0:
+                        ntok, unk = 1, 1
+                        break
+                    pos += t
+                    ntok += 1
+                out_pt.append(pt)
+                out_nt.append(ntok)
+                out_unk.append(unk)
+            yield pd.DataFrame({"pt": out_pt, "ntok": out_nt, "unk": out_unk})
+
+    wp = pts.select("pt").mapInPandas(seg, "pt string, ntok long, unk long")
+    d = load(spark, sf_dir, "documents")
+    dpt = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BPE_PRETOK_RE), 0)
+        ).alias("pt"),
+    )
+    short = F.length("pt") <= UNI_MAXP
+    nt = F.when(short, F.col("ntok")).otherwise(F.lit(1)).cast("long")
+    un = F.when(short, F.col("unk")).otherwise(F.lit(1)).cast("long")
+    return (
+        dpt.join(F.broadcast(wp), "pt", "left")
+        .select(
+            "doc_id",
+            F.length("pt").cast("long").alias("nc"),
+            nt.alias("nt"),
+            un.alias("un"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("un").cast("long").alias("n_unk_pretokens"),
+            F.expr("(sum(un) * 10000) div count(*)")
+            .cast("long")
+            .alias("unk_rate_bp"),
+        )
+    )
