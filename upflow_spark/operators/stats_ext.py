@@ -2031,3 +2031,129 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+_FRD_ND = "CAST(n_blocks AS DOUBLE)"
+_FRD_KD = "CAST(k_treat AS DOUBLE)"
+
+
+@query(
+    "stat_friedman_test",
+    oracle=f"""
+WITH cells AS MATERIALIZED (
+  SELECT c.c_nationkey AS blk, c.c_mktsegment AS trt,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS vc
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, c.c_mktsegment
+),
+rk AS MATERIALIZED (
+  SELECT a.blk, a.trt,
+         CAST(2 * count(*) FILTER (b.vc < a.vc)
+              + count(*) FILTER (b.vc = a.vc) + 1 AS BIGINT) AS r2
+  FROM cells a JOIN cells b ON b.blk = a.blk
+  GROUP BY a.blk, a.trt, a.vc
+),
+per_t AS MATERIALIZED (
+  SELECT trt, CAST(count(*) AS BIGINT) AS n_blocks_t,
+         CAST(sum(r2) AS BIGINT) AS rank_sum2
+  FROM rk GROUP BY trt
+),
+dims AS (
+  SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+         CAST(count(DISTINCT trt) AS BIGINT) AS k_treat
+  FROM cells
+),
+stat AS (
+  SELECT n_blocks, k_treat,
+         {R4(
+             f"3.0 / ({_FRD_ND} * {_FRD_KD} * ({_FRD_KD} + 1.0))"
+             f" * CAST(sq AS DOUBLE)"
+             f" - 3.0 * {_FRD_ND} * ({_FRD_KD} + 1.0)"
+         )} AS chi2_f
+  FROM dims,
+       (SELECT CAST(sum(CAST(rank_sum2 AS DECIMAL(19,0))
+                        * CAST(rank_sum2 AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sq
+        FROM per_t)
+)
+SELECT p.trt AS segment, p.n_blocks_t, p.rank_sum2,
+       s.n_blocks, s.k_treat, CAST(s.k_treat - 1 AS BIGINT) AS deg_free,
+       s.chi2_f
+FROM per_t p, stat s
+""",
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the BLOCKED nonparametric k-group member completing
+    the battery (Kruskal–Wallis assumes independent groups; Friedman
+    ranks WITHIN each block, removing block-level variation): does
+    revenue differ by market segment once nation-level wealth is blocked
+    out? Blocks = 25 nations, treatments = 5 segments, cell value = exact
+    total cents.
+
+    Ranks are per-block midranks carried as the 2×average integer
+    (2·cnt_lt + cnt_eq + 1 — the KW/Wilcoxon trick), so every rank sum is
+    exact int64; ΣR_j² rides DECIMAL(38,0). χ²_F = 12/(nk(k+1))·ΣR_j² −
+    3n(k+1) finishes in one identical IEEE expression (spelled with the
+    3.0/... factor so both engines share the literal tree). The
+    125-cell block-ranking windows are TINY_WINDOW_OK — bounded by
+    nations × segments at any corpus scale; the corpus pays one fact-dim
+    join + one groupBy.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("blk"),
+            F.col("c_mktsegment").alias("trt"),
+        )
+        .agg(F.sum(cents).cast("long").alias("vc"))
+        .localCheckpoint()  # ≤125 cells; feeds ranks + dims
+    )
+    w_lt = (
+        Window.partitionBy("blk")
+        .orderBy("vc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("blk", "vc")
+    rk = cells.select(
+        "trt",
+        (
+            2 * F.coalesce(F.count(F.lit(1)).over(w_lt), F.lit(0))
+            + F.count(F.lit(1)).over(w_eq)
+            + 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    per_t = rk.groupBy("trt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks_t"),
+        F.sum("r2").cast("long").alias("rank_sum2"),
+    )
+    dims = cells.agg(
+        F.countDistinct("blk").cast("long").alias("n_blocks"),
+        F.countDistinct("trt").cast("long").alias("k_treat"),
+    )
+    rs = F.col("rank_sum2").cast("decimal(19,0)")
+    sq = per_t.agg(F.sum(rs * rs).cast("decimal(38,0)").alias("sq"))
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k_treat").cast("double")
+    stat = dims.crossJoin(F.broadcast(sq)).select(
+        "n_blocks",
+        "k_treat",
+        r4(
+            F.lit(3.0) / (nd * kd * (kd + 1.0)) * F.col("sq").cast("double")
+            - F.lit(3.0) * nd * (kd + 1.0)
+        ).alias("chi2_f"),
+    )
+    return per_t.crossJoin(F.broadcast(stat)).select(
+        F.col("trt").alias("segment"),
+        "n_blocks_t",
+        "rank_sum2",
+        "n_blocks",
+        "k_treat",
+        (F.col("k_treat") - 1).cast("long").alias("deg_free"),
+        "chi2_f",
+    )

@@ -1313,3 +1313,88 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("t2 div 2").cast("long").alias("m_edges"),
         )
     )
+
+
+_AST_MU = "(CAST(se AS DOUBLE) / CAST(md AS DOUBLE))"
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+WITH
+{_PAIRS_CTE},
+ast_e AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+ast_deg AS MATERIALIZED (
+  SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM ast_e GROUP BY u
+),
+ast_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS md,
+         CAST(sum(CAST(du.d AS DECIMAL(19,0)) * CAST(dv.d AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s1,
+         CAST(sum(du.d) AS BIGINT) AS se,
+         CAST(sum(CAST(du.d AS DECIMAL(19,0)) * CAST(du.d AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sq
+  FROM ast_e e JOIN ast_deg du ON du.n = e.u JOIN ast_deg dv ON dv.n = e.v
+),
+ast_n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM ast_deg)
+SELECT ast_n.n_nodes, md // 2 AS m_edges, se AS sum_deg,
+       floor(((CAST(s1 AS DOUBLE) / CAST(md AS DOUBLE)
+               - {_AST_MU} * {_AST_MU})
+              / (CAST(sq AS DOUBLE) / CAST(md AS DOUBLE)
+                 - {_AST_MU} * {_AST_MU})) * 10000 + 0.5) / 10000
+         AS assortativity
+FROM ast_s, ast_n
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity r of the near-dup graph — do high-degree
+    docs (template hubs) link to other hubs (r>0) or to leaves (r<0)? The
+    structural companion to graph_degree_stats/graph_modularity: a strongly
+    disassortative dup graph means hub-and-spoke template families, which
+    is exactly when canonical-representative dedup collapses whole star
+    clusters.
+
+    Pearson correlation over edge-endpoint degrees, computed ENTIRELY from
+    exact integer sufficient statistics on the directed edge relation
+    (Σd_u·d_v, Σd_u, Σd_u² — symmetric over the two directions, so the
+    directed sums equal the undirected formula's terms with M = 2m):
+    products ride DECIMAL(38,0), the final r is one identical IEEE
+    expression. One degree groupBy + two node-sized joins against the
+    memoized checkpointed edge relation — same cost envelope as one LPA
+    round at any scale.
+    """
+    from upflow_spark.parity import r4
+
+    edges = _cc_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("d_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("d_v"))
+    dec_u = F.col("d_u").cast("decimal(19,0)")
+    dec_v = F.col("d_v").cast("decimal(19,0)")
+    s = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("md"),
+            F.sum(dec_u * dec_v).cast("decimal(38,0)").alias("s1"),
+            F.sum("d_u").cast("long").alias("se"),
+            F.sum(dec_u * dec_u).cast("decimal(38,0)").alias("sq"),
+        )
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    mdd = F.col("md").cast("double")
+    mu = F.col("se").cast("double") / mdd
+    return s.crossJoin(F.broadcast(n)).select(
+        "n_nodes",
+        F.expr("md div 2").cast("long").alias("m_edges"),
+        F.col("se").alias("sum_deg"),
+        r4(
+            (F.col("s1").cast("double") / mdd - mu * mu)
+            / (F.col("sq").cast("double") / mdd - mu * mu)
+        ).alias("assortativity"),
+    )
