@@ -1796,17 +1796,18 @@ r AS (
   FROM g
 ),
 s AS (
-  SELECT CAST(sum(t) AS BIGINT) AS n_pairs,
-         CAST(sum(npos) AS BIGINT) AS n_pos,
-         CAST(sum(t - npos) AS BIGINT) AS n_neg,
-         CAST(sum(npos * (2 * lt + t + 1)) AS BIGINT) AS w2_plus,
-         CAST(sum((t - npos) * (2 * lt + t + 1)) AS BIGINT) AS w2_minus,
-         CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+  SELECT CAST(COALESCE(sum(t), 0) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(sum(npos), 0) AS BIGINT) AS n_pos,
+         CAST(COALESCE(sum(t - npos), 0) AS BIGINT) AS n_neg,
+         CAST(COALESCE(sum(npos * (2 * lt + t + 1)), 0) AS BIGINT) AS w2_plus,
+         CAST(COALESCE(sum((t - npos) * (2 * lt + t + 1)), 0) AS BIGINT)
+           AS w2_minus,
+         CAST(COALESCE(sum(t * t * t - t), 0) AS BIGINT) AS tsum
   FROM r
 ),
 zc AS (
   SELECT n_pairs, n_pos, n_neg, nz.n_zero, w2_plus, w2_minus,
-         {_WSR_Z} AS z
+         CASE WHEN n_pairs >= 2 THEN {_WSR_Z} ELSE NULL END AS z
   FROM s, nz
 )
 SELECT n_pairs, n_pos, n_neg, n_zero, w2_plus, w2_minus,
@@ -1873,19 +1874,33 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = F.col("cum") - F.col("t")
     r2 = 2 * lt + F.col("t") + 1
     s = r.agg(
-        F.sum("t").cast("long").alias("n_pairs"),
-        F.sum("npos").cast("long").alias("n_pos"),
-        F.sum(F.col("t") - F.col("npos")).cast("long").alias("n_neg"),
-        F.sum(F.col("npos") * r2).cast("long").alias("w2_plus"),
-        F.sum((F.col("t") - F.col("npos")) * r2).cast("long").alias("w2_minus"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("npos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum(F.col("t") - F.col("npos")), F.lit(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.coalesce(F.sum(F.col("npos") * r2), F.lit(0))
+        .cast("long")
+        .alias("w2_plus"),
+        F.coalesce(F.sum((F.col("t") - F.col("npos")) * r2), F.lit(0))
+        .cast("long")
+        .alias("w2_minus"),
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+        )
         .cast("long")
         .alias("tsum"),
     )
     nd = F.col("n_pairs").cast("double")
-    z = (F.col("w2_plus").cast("double") - nd * (nd + 1.0) / 2.0) / F.sqrt(
-        nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0
-        - F.col("tsum").cast("double") / 12.0
+    # degenerate-relation guard (the tau_b NULL discipline, ADVICE r11):
+    # fewer than 2 nonzero pairs => z and p are NULL on BOTH engines
+    z = F.when(
+        F.col("n_pairs") >= 2,
+        (F.col("w2_plus").cast("double") - nd * (nd + 1.0) / 2.0)
+        / F.sqrt(
+            nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0
+            - F.col("tsum").cast("double") / 12.0
+        ),
     )
     az = F.abs(z)
     t_ = 1.0 / (1.0 + 0.2316419 * az)
@@ -2047,11 +2062,17 @@ WITH cells AS MATERIALIZED (
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY c.c_nationkey, c.c_mktsegment
 ),
+kg AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM cells),
+fcells AS MATERIALIZED (
+  SELECT c.* FROM cells c
+  JOIN (SELECT blk FROM cells GROUP BY blk
+        HAVING count(*) = (SELECT k FROM kg)) cb ON cb.blk = c.blk
+),
 rk AS MATERIALIZED (
   SELECT a.blk, a.trt,
          CAST(2 * count(*) FILTER (b.vc < a.vc)
               + count(*) FILTER (b.vc = a.vc) + 1 AS BIGINT) AS r2
-  FROM cells a JOIN cells b ON b.blk = a.blk
+  FROM fcells a JOIN fcells b ON b.blk = a.blk
   GROUP BY a.blk, a.trt, a.vc
 ),
 per_t AS MATERIALIZED (
@@ -2062,7 +2083,7 @@ per_t AS MATERIALIZED (
 dims AS (
   SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
          CAST(count(DISTINCT trt) AS BIGINT) AS k_treat
-  FROM cells
+  FROM fcells
 ),
 stat AS (
   SELECT n_blocks, k_treat,
@@ -2112,6 +2133,17 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).cast("long").alias("vc"))
         .localCheckpoint()  # ≤125 cells; feeds ranks + dims
     )
+    # classic Friedman needs COMPLETE blocks: drop any nation missing a
+    # segment (sparse fixtures at tiny sf), mirrored in the oracle
+    kg = cells.agg(F.countDistinct("trt").cast("long").alias("k"))
+    full = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+        .crossJoin(F.broadcast(kg))
+        .filter(F.col("nb") == F.col("k"))
+        .select("blk")
+    )
+    cells = cells.join(F.broadcast(full), "blk").localCheckpoint()
     w_lt = (
         Window.partitionBy("blk")
         .orderBy("vc")
