@@ -126,3 +126,31 @@ def test_assortativity_bounded_and_consistent(spark):
     # dominates the plain degree sum Σd = 2m on any graph with a hub
     assert r["sum_deg"] >= 2 * r["m_edges"]
     assert r["n_nodes"] <= 2 * r["m_edges"]
+
+
+def test_feature_hashing_norm_identity(spark):
+    """‖x‖² must dominate nnz (each nonzero feature contributes ≥1) and
+    never exceed n_tokens² (all mass in one feature, all same sign)."""
+    rows = QUERIES["text_feature_hashing"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["nnz"] <= min(64, r["n_tokens"]), r
+        assert r["l2sq"] >= r["nnz"], r
+        assert r["l2sq"] <= r["n_tokens"] ** 2, r
+        if r["nnz"] > 0:
+            assert r["top_abs"] is not None and r["top_abs"] >= 1, r
+
+
+def test_power_analysis_shrinks_with_effect(spark):
+    """Bigger |effect| must never demand MORE samples (same base rates
+    direction): check monotonicity on the sorted-by-|effect| battery."""
+    rows = [
+        r
+        for r in QUERIES["stat_power_twoprop"](spark, SF).collect()
+        if r["n_required_per_arm"] is not None
+    ]
+    assert rows, "battery degenerate: every nation at the global rate"
+    big = max(rows, key=lambda r: abs(r["effect"]))
+    small = min(rows, key=lambda r: abs(r["effect"]))
+    if abs(big["effect"]) > abs(small["effect"]):
+        assert big["n_required_per_arm"] <= small["n_required_per_arm"]

@@ -2189,3 +2189,92 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k_treat") - 1).cast("long").alias("deg_free"),
         "chi2_f",
     )
+
+
+# two-sided alpha = 0.05 and power = 0.80 normal quantiles: shared literals
+PWR_ZA = 1.959963984540054
+PWR_ZB = 0.8416212335729143
+PWR_SEG = "BUILDING"
+_PWR_P1 = "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+_PWR_P2 = "(CAST(x_all - x1 AS DOUBLE) / CAST(n_all - n1 AS DOUBLE))"
+_PWR_PBAR = f"(({_PWR_P1} + {_PWR_P2}) / 2.0)"
+_PWR_NUM = (
+    f"({PWR_ZA!r} * sqrt(2.0 * {_PWR_PBAR} * (1.0 - {_PWR_PBAR}))"
+    f" + {PWR_ZB!r} * sqrt({_PWR_P1} * (1.0 - {_PWR_P1})"
+    f" + {_PWR_P2} * (1.0 - {_PWR_P2})))"
+)
+_PWR_N = (
+    f"CAST(ceil({_PWR_NUM} * {_PWR_NUM}"
+    f" / (({_PWR_P1} - {_PWR_P2}) * ({_PWR_P1} - {_PWR_P2}))) AS BIGINT)"
+)
+
+
+@query(
+    "stat_power_twoprop",
+    oracle=f"""
+WITH per_nation AS MATERIALIZED (
+  SELECT c_nationkey AS nationkey,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (c_mktsegment = '{PWR_SEG}') AS BIGINT) AS x1
+  FROM customer GROUP BY c_nationkey
+),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS n_all, CAST(sum(x1) AS BIGINT) AS x_all
+  FROM per_nation
+)
+SELECT nationkey, n1, x1,
+       {R4(_PWR_P1)} AS p_nation,
+       {R4(_PWR_P2)} AS p_rest,
+       {R4(f"{_PWR_P1} - {_PWR_P2}")} AS effect,
+       CASE WHEN {_PWR_P1} = {_PWR_P2} THEN NULL ELSE {_PWR_N} END
+         AS n_required_per_arm
+FROM per_nation, tot
+""",
+)
+def stat_power_twoprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prospective POWER ANALYSIS for the two-proportion z-test battery —
+    the planning column beside stat_fdr_bh's retrospective p-values: for
+    each nation's '{PWR_SEG}'-share deviation from the rest of the
+    corpus, the per-arm sample size an A/B readout needs to detect THAT
+    effect at two-sided α=0.05 with 80% power,
+    n = (z_α√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))² / (p₁−p₂)².
+
+    The z quantiles are shared literals (repr-injected — the A-S
+    polynomial discipline), proportions come from exact integer counts,
+    and the whole formula is ONE identical IEEE expression, so ceil()
+    lands on the same integer in both engines; a zero effect is guarded
+    to NULL (the tau_b rule). One customer scan + a broadcast total at
+    any scale.
+    """
+    c = load(spark, sf_dir, "customer")
+    per_nation = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("c_mktsegment") == PWR_SEG, 1))
+        .cast("long")
+        .alias("x1"),
+    )
+    tot = per_nation.agg(
+        F.sum("n1").cast("long").alias("n_all"),
+        F.sum("x1").cast("long").alias("x_all"),
+    )
+    j = per_nation.crossJoin(F.broadcast(tot))
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    p2 = (F.col("x_all") - F.col("x1")).cast("double") / (
+        F.col("n_all") - F.col("n1")
+    ).cast("double")
+    pbar = (p1 + p2) / 2.0
+    num = F.lit(PWR_ZA) * F.sqrt(2.0 * pbar * (1.0 - pbar)) + F.lit(
+        PWR_ZB
+    ) * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    n_req = F.ceil(num * num / ((p1 - p2) * (p1 - p2))).cast("long")
+    return j.select(
+        "nationkey",
+        "n1",
+        "x1",
+        r4(p1).alias("p_nation"),
+        r4(p2).alias("p_rest"),
+        r4(p1 - p2).alias("effect"),
+        F.when(p1 == p2, F.lit(None).cast("long"))
+        .otherwise(n_req)
+        .alias("n_required_per_arm"),
+    )

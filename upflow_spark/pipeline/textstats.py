@@ -7,7 +7,7 @@ every key is oracle-checked despite being "pipeline" functionality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from upflow_spark.io import load
@@ -561,4 +561,125 @@ def tokenize_bpe_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("pt").rlike(_ALPHA_RE)).cast("double")
             / F.count(F.lit(1))
         ).alias("alpha_share"),
+    )
+
+
+FH_P = 2147483647  # 2^31 - 1: every fold step (a*31 + c) stays < 2^36
+FH_NF = 64  # hashed feature dimensionality
+FH_SEED = 7
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+WITH fh_dt AS MATERIALIZED (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+),
+fh_tk AS MATERIALIZED (
+  SELECT tok,
+         list_reduce(
+           list_prepend(CAST({FH_SEED} AS BIGINT),
+             list_transform(string_split(tok, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % {FH_P}) AS h
+  FROM (SELECT DISTINCT tok FROM fh_dt)
+),
+fh_th AS MATERIALIZED (
+  SELECT tok, CAST(h % {FH_NF} AS BIGINT) AS fid,
+         CAST(1 - 2 * ((h // {FH_NF}) % 2) AS BIGINT) AS sgn
+  FROM fh_tk
+),
+fh_pf AS MATERIALIZED (
+  SELECT d.doc_id, t.fid, CAST(sum(t.sgn) AS BIGINT) AS c
+  FROM fh_dt d JOIN fh_th t USING (tok) GROUP BY d.doc_id, t.fid
+),
+fh_agg AS (
+  SELECT doc_id, CAST(count(*) FILTER (c <> 0) AS BIGINT) AS nnz,
+         CAST(sum(c * c) AS BIGINT) AS l2sq
+  FROM fh_pf GROUP BY doc_id
+),
+fh_top AS (
+  SELECT doc_id, fid AS top_feature, abs(c) AS top_abs FROM (
+    SELECT doc_id, fid, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY abs(c) DESC, fid ASC) AS rn
+    FROM fh_pf WHERE c <> 0) WHERE rn = 1
+),
+fh_ntk AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM fh_dt GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tokens, a.nnz, a.l2sq, t.top_feature, t.top_abs
+FROM fh_ntk n
+JOIN fh_agg a USING (doc_id)
+LEFT JOIN fh_top t USING (doc_id)
+""",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the HashingTF / Weinberger-et-al hashing
+    trick) — fixed-width ML featurization with NO vocabulary state:
+    every token hashes to one of {FH_NF} features, a second hash bit
+    supplies the ±1 sign that keeps collision noise zero-mean. Graded
+    per document: token count, nonzero features (sign CANCELLATION
+    inside a collision bucket is real and graded), exact ‖x‖² and the
+    dominant feature.
+
+    Portability discipline: the token hash is a seeded 31-ary codepoint
+    polynomial mod 2³¹−1 folded left-to-right (Spark F.aggregate ≡
+    DuckDB list_reduce — both exact int64 at every step), NOT an
+    engine-local hash — the same rule as scan_bloom_index_prune. Hashing
+    happens once per DISTINCT token (Heaps-bounded) and joins back to
+    the corpus multiset; everything downstream is integer groupBys.
+    The per-doc argmax window is bounded by {FH_NF} rows per document.
+    """
+    d = load(spark, sf_dir, "documents")
+    dt = d.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    codes = F.transform(
+        F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long")
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(FH_SEED).cast("long"),
+        lambda a, c: (a * 31 + c) % FH_P,
+    )
+    th = (
+        dt.select("tok")
+        .distinct()
+        .select("tok", h.alias("h"))
+        .select(
+            "tok",
+            (F.col("h") % FH_NF).cast("long").alias("fid"),
+            (1 - 2 * (F.expr(f"h div {FH_NF}") % 2)).cast("long").alias("sgn"),
+        )
+    )
+    pf = (
+        dt.join(F.broadcast(th), "tok")
+        .groupBy("doc_id", "fid")
+        .agg(F.sum("sgn").cast("long").alias("c"))
+        .localCheckpoint()  # ≤ docs×64 rows; feeds the norm agg + the argmax
+    )
+    agg1 = pf.groupBy("doc_id").agg(
+        F.count(F.when(F.col("c") != 0, 1)).cast("long").alias("nnz"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("l2sq"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.abs(F.col("c")).desc(), F.col("fid").asc()
+    )
+    top = (
+        pf.filter(F.col("c") != 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("fid").alias("top_feature"),
+            F.abs(F.col("c")).alias("top_abs"),
+        )
+    )
+    ntk = dt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        ntk.join(agg1, "doc_id")
+        .join(top, "doc_id", "left")
+        .select("doc_id", "n_tokens", "nnz", "l2sq", "top_feature", "top_abs")
     )
