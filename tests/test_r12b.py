@@ -154,3 +154,23 @@ def test_power_analysis_shrinks_with_effect(spark):
     small = min(rows, key=lambda r: abs(r["effect"]))
     if abs(big["effect"]) > abs(small["effect"]):
         assert big["n_required_per_arm"] <= small["n_required_per_arm"]
+
+
+def test_branch_merge_semantics(spark):
+    """Merge must contain A's effect AND B's non-conflicting effect: the
+    merged sum differs from main@2 exactly by B-minus-conflict discounts,
+    and all four refs conserve the row count (updates only, no inserts)."""
+    rows = {
+        (r["ref_name"], r["version"]): r
+        for r in QUERIES["scan_snapshot_branch_merge"](spark, SF).collect()
+    }
+    assert set(rows) == {("main", 1), ("main", 2), ("dev", 2), ("main", 3)}
+    n = rows[("main", 1)]["n_rows"]
+    assert all(r["n_rows"] == n for r in rows.values())
+    # A raises prices (x1.1), B lowers (x0.9): orderings must hold
+    assert rows[("main", 2)]["sum_price"] > rows[("main", 1)]["sum_price"]
+    assert rows[("dev", 2)]["sum_price"] < rows[("main", 1)]["sum_price"]
+    assert rows[("main", 3)]["sum_price"] < rows[("main", 2)]["sum_price"]
+    r3 = rows[("main", 3)]
+    assert r3["n_conflicts"] > 0, "conflict path never exercised"
+    assert r3["n_merge_rewritten"] > 0

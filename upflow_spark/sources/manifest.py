@@ -1789,3 +1789,258 @@ def scan_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_latest",
         "sum_price_latest",
     )
+
+
+# branch-merge chain: main applies A (%5 updates, x1.1), dev forks at v1
+# with B (%7 updates, x0.9); conflicts (%35) resolve MAIN-WINS at merge
+_BM_A_MOD = 5
+_BM_B_MOD = 7
+_BM_V1 = (
+    "SELECT o_orderkey,"
+    " CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS price,"
+    " CAST(floor(o_orderkey / step) AS INT) AS bucket"
+    " FROM orders, m"
+)
+
+
+@query(
+    "scan_snapshot_branch_merge",
+    oracle=f"""
+WITH m AS (
+  SELECT max(o_orderkey) AS mx,
+         CAST(floor((max(o_orderkey) + {N_BUCKETS}.0) / {N_BUCKETS}) AS BIGINT)
+           AS step,
+         CAST(floor(max(o_orderkey) / {SNAP_CHANGE_FRACTION}.0) AS BIGINT) AS hi
+  FROM orders
+),
+v1 AS MATERIALIZED ({_BM_V1}),
+ca AS MATERIALIZED (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1))
+              AS DECIMAL(20,3)) AS new_price
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND o_orderkey % {_BM_A_MOD} = 0
+),
+cb AS MATERIALIZED (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1))
+              AS DECIMAL(20,3)) AS new_price
+  FROM orders, m
+  WHERE o_orderkey <= m.hi AND o_orderkey % {_BM_B_MOD} = 0
+),
+confl AS MATERIALIZED (
+  SELECT a.o_orderkey FROM ca a JOIN cb b USING (o_orderkey)
+),
+cbw AS MATERIALIZED (
+  SELECT * FROM cb WHERE o_orderkey NOT IN (SELECT o_orderkey FROM confl)
+),
+main2 AS MATERIALIZED (
+  SELECT v1.o_orderkey, COALESCE(ca.new_price, v1.price) AS price, v1.bucket
+  FROM v1 LEFT JOIN ca USING (o_orderkey)
+),
+dev2 AS MATERIALIZED (
+  SELECT v1.o_orderkey, COALESCE(cb.new_price, v1.price) AS price, v1.bucket
+  FROM v1 LEFT JOIN cb USING (o_orderkey)
+),
+merged AS MATERIALIZED (
+  SELECT m2.o_orderkey, COALESCE(w.new_price, m2.price) AS price, m2.bucket
+  FROM main2 m2 LEFT JOIN cbw w USING (o_orderkey)
+),
+nconf AS (SELECT CAST(count(*) AS BIGINT) AS n_conflicts FROM confl),
+nrw AS (
+  SELECT CAST(count(DISTINCT v1.bucket) AS BIGINT) AS n_merge_rewritten
+  FROM v1 JOIN cbw USING (o_orderkey)
+),
+refs AS (
+  SELECT * FROM (VALUES ('main', 1), ('main', 2), ('dev', 2), ('main', 3))
+    AS t(ref_name, version)
+)
+SELECT r.ref_name, CAST(r.version AS BIGINT) AS version,
+       CASE WHEN r.ref_name = 'main' AND r.version = 1
+              THEN (SELECT CAST(count(*) AS BIGINT) FROM v1)
+            WHEN r.ref_name = 'main' AND r.version = 2
+              THEN (SELECT CAST(count(*) AS BIGINT) FROM main2)
+            WHEN r.ref_name = 'dev'
+              THEN (SELECT CAST(count(*) AS BIGINT) FROM dev2)
+            ELSE (SELECT CAST(count(*) AS BIGINT) FROM merged) END AS n_rows,
+       CASE WHEN r.ref_name = 'main' AND r.version = 1
+              THEN (SELECT {R4("CAST(sum(price) AS DOUBLE)")} FROM v1)
+            WHEN r.ref_name = 'main' AND r.version = 2
+              THEN (SELECT {R4("CAST(sum(price) AS DOUBLE)")} FROM main2)
+            WHEN r.ref_name = 'dev'
+              THEN (SELECT {R4("CAST(sum(price) AS DOUBLE)")} FROM dev2)
+            ELSE (SELECT {R4("CAST(sum(price) AS DOUBLE)")} FROM merged) END
+         AS sum_price,
+       nconf.n_conflicts, nrw.n_merge_rewritten
+FROM refs r, nconf, nrw
+""",
+)
+def scan_snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCH + three-way MERGE over the snapshot chain — the git-like
+    workflow completing the table-format family (asof/incremental/refs/
+    rollback/expire/multi-table are all LINEAR histories; real lakehouse
+    work forks): main commits change set A (v1→v2), dev forks AT v1 with
+    change set B, then dev merges into main as v3 with MAIN-WINS conflict
+    resolution (keys updated on both sides take main's value; the
+    conflict bill is graded). Read-back at every ref proves the merge
+    commit rewrote ONLY the buckets B touches beyond the conflicts.
+
+    Physical contract (the family's rules): copy-on-write generations
+    partitioned by bucket, manifests from READ-BACK never intent, every
+    ref read resolving (gen, bucket) through a broadcast manifest
+    semi-join. The merge generation is built from main-v2 content (not
+    v1 — a fork-point mistake would double-apply A, which the exact
+    sums would catch).
+
+    Graded per ref (main@1, main@2, dev@2, main@3): rows, exact DECIMAL
+    price sum, plus the shared conflict count and merge rewrite bill.
+    """
+    import os
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mx = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    step = (mx + N_BUCKETS) // N_BUCKETS
+    hi = mx // SNAP_CHANGE_FRACTION
+    bucket_of = lambda c: F.floor(c / F.lit(step)).cast("int")  # noqa: E731
+    dec = F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(20,3)")
+
+    base = _work_dir(spark, sf_dir, "branchmerge")
+    data_dir = base + "/data"
+    v1 = o.select(
+        "o_orderkey", dec.alias("price"), bucket_of(F.col("o_orderkey")).alias("bucket")
+    )
+    v1.write.mode("overwrite").partitionBy("bucket").parquet(data_dir + "/gen=1")
+
+    in_scope = F.col("o_orderkey") <= hi
+    ca = o.filter(in_scope & (F.col("o_orderkey") % _BM_A_MOD == 0)).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.expr("CAST(1.1 AS DECIMAL(3,1))")
+        )
+        .cast("decimal(20,3)")
+        .alias("new_price"),
+    )
+    cb = o.filter(in_scope & (F.col("o_orderkey") % _BM_B_MOD == 0)).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.expr("CAST(0.9 AS DECIMAL(2,1))")
+        )
+        .cast("decimal(20,3)")
+        .alias("new_price"),
+    )
+    confl = ca.select("o_orderkey").join(cb.select("o_orderkey"), "o_orderkey")
+    cbw = cb.join(confl, "o_orderkey", "left_anti")
+
+    v1r = spark.read.parquet(data_dir + "/gen=1")
+
+    def cow(src, chg, gen: int):
+        """COW the buckets `chg` touches on top of `src`; returns the
+        touched-bucket relation (from read-back of the written gen)."""
+        tb = (
+            src.join(chg.select("o_orderkey"), "o_orderkey", "semi")
+            .select("bucket")
+            .distinct()
+        )
+        rows = (
+            src.join(F.broadcast(tb), "bucket", "semi")
+            .join(chg, "o_orderkey", "left")
+            .select(
+                "o_orderkey",
+                F.coalesce("new_price", "price").alias("price"),
+                "bucket",
+            )
+        )
+        rows.write.mode("overwrite").partitionBy("bucket").parquet(
+            data_dir + f"/gen={gen}"
+        )
+        return (
+            spark.read.parquet(data_dir + f"/gen={gen}")
+            .select("bucket")
+            .distinct()
+        )
+
+    a_buckets = cow(v1r, ca, 2)  # main v2
+    b_buckets = cow(v1r, cb, 3)  # dev v2 (forked at v1)
+    main2r = spark.read.parquet(data_dir + "/gen=2").unionByName(
+        v1r.join(F.broadcast(a_buckets), "bucket", "left_anti")
+    )
+    w_buckets = cow(main2r, cbw, 4)  # merge commit on TOP OF main v2
+
+    g1b = v1r.select("bucket").distinct()
+    manifest = (
+        g1b.select(
+            F.lit("main").alias("ref_name"),
+            F.lit(1).alias("version"),
+            F.lit(1).alias("gen"),
+            "bucket",
+        )
+        .unionByName(
+            g1b.join(F.broadcast(a_buckets), "bucket", "left_anti")
+            .select(F.lit("main").alias("ref_name"), F.lit(2).alias("version"),
+                    F.lit(1).alias("gen"), "bucket")
+            .unionByName(
+                a_buckets.select(
+                    F.lit("main").alias("ref_name"), F.lit(2).alias("version"),
+                    F.lit(2).alias("gen"), "bucket")
+            )
+        )
+        .unionByName(
+            g1b.join(F.broadcast(b_buckets), "bucket", "left_anti")
+            .select(F.lit("dev").alias("ref_name"), F.lit(2).alias("version"),
+                    F.lit(1).alias("gen"), "bucket")
+            .unionByName(
+                b_buckets.select(
+                    F.lit("dev").alias("ref_name"), F.lit(2).alias("version"),
+                    F.lit(3).alias("gen"), "bucket")
+            )
+        )
+        .unionByName(
+            # merged main@3: w-buckets from gen4, else A-buckets from gen2,
+            # else gen1 — resolved relationally via anti-join cascade
+            w_buckets.select(
+                F.lit("main").alias("ref_name"), F.lit(3).alias("version"),
+                F.lit(4).alias("gen"), "bucket")
+            .unionByName(
+                a_buckets.join(F.broadcast(w_buckets), "bucket", "left_anti")
+                .select(F.lit("main").alias("ref_name"), F.lit(3).alias("version"),
+                        F.lit(2).alias("gen"), "bucket")
+            )
+            .unionByName(
+                g1b.join(F.broadcast(a_buckets), "bucket", "left_anti")
+                .join(F.broadcast(w_buckets), "bucket", "left_anti")
+                .select(F.lit("main").alias("ref_name"), F.lit(3).alias("version"),
+                        F.lit(1).alias("gen"), "bucket")
+            )
+        )
+    )
+    man_path = base + "/manifest"
+    manifest.write.mode("overwrite").parquet(man_path)
+
+    man = spark.read.parquet(man_path)
+    data = spark.read.option("basePath", data_dir).parquet(data_dir)
+    rows = data.join(
+        F.broadcast(man.select("ref_name", "version", "gen", "bucket")),
+        ["gen", "bucket"],
+    )
+    agg = rows.groupBy("ref_name", "version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        r4(F.sum("price").cast("double")).alias("sum_price"),
+    )
+    nconf = confl.agg(F.count(F.lit(1)).cast("long").alias("n_conflicts"))
+    nrw = w_buckets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_merge_rewritten")
+    )
+    return (
+        agg.crossJoin(F.broadcast(nconf))
+        .crossJoin(F.broadcast(nrw))
+        .select(
+            "ref_name",
+            F.col("version").cast("long").alias("version"),
+            "n_rows",
+            "sum_price",
+            "n_conflicts",
+            "n_merge_rewritten",
+        )
+    )
