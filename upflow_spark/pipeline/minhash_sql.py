@@ -617,3 +617,192 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("n_hits").cast("double") / F.col("n_candidates")).alias("prec"),
         r4(F.col("n_hits").cast("double") / F.col("n_true")).alias("recall"),
     )
+
+
+WCAP = 4  # integer weight cap: term weight = min(count, WCAP)
+WJ_TAU_BP = 5000  # verified pair: exact weighted Jaccard >= 0.5
+
+_WSIG_CTE = f"""
+wtok AS MATERIALIZED (
+  SELECT doc_id, term, CAST(least(count(*), {WCAP}) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+wtot AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM wtok GROUP BY doc_id
+),
+wrep AS MATERIALIZED (
+  SELECT doc_id, term || '#' || CAST(rr.r AS VARCHAR) AS rterm
+  FROM wtok, (SELECT unnest(range(0, {WCAP})) AS r) rr
+  WHERE rr.r < wtok.c
+),
+wtokh AS (
+  SELECT doc_id, md5('0:' || rterm) AS h0, md5('1:' || rterm) AS h1,
+         md5('2:' || rterm) AS h2, md5('3:' || rterm) AS h3 FROM wrep
+),
+wsig AS MATERIALIZED (
+  SELECT doc_id,
+       {_sql_minhash_cols()}
+  FROM wtokh GROUP BY doc_id
+)"""
+
+
+@query(
+    "dedup_minhash_weighted",
+    oracle=f"""
+WITH
+{_WSIG_CTE},
+wpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b, a0, a1, a2, a3 FROM (
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           {", ".join(f"({_SQL_BAND_AGREES[bi]}) AS a{bi}" for bi in range(N_BANDS))}
+    FROM wsig a JOIN wsig b2 ON a.doc_id < b2.doc_id
+  ) WHERE a0 OR a1 OR a2 OR a3
+),
+winter AS MATERIALIZED (
+  -- INNER intersection join: DuckDB least() SKIPS nulls, so a left-join
+  -- formulation silently sums a.c for non-common terms (caught at r12)
+  SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b2.c)) AS BIGINT) AS smin
+  FROM wpairs p
+  JOIN wtok a ON a.doc_id = p.doc_a
+  JOIN wtok b2 ON b2.doc_id = p.doc_b AND b2.term = a.term
+  GROUP BY p.doc_a, p.doc_b
+),
+wv AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b, p.a0, p.a1, p.a2, p.a3,
+         COALESCE(i.smin, 0) * 10000
+           // (ta.tot + tb.tot - COALESCE(i.smin, 0)) AS wj_bp
+  FROM wpairs p
+  LEFT JOIN winter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN wtot ta ON ta.doc_id = p.doc_a
+  JOIN wtot tb ON tb.doc_id = p.doc_b
+),
+s AS (
+  SELECT
+    {", ".join(
+        f"count(*) FILTER (a{bi}) AS n{bi}, "
+        f"CAST(sum({_CHECKSUM_SQL}) FILTER (a{bi}) AS BIGINT) AS c{bi}"
+        for bi in range(N_BANDS)
+    )},
+    count(*) FILTER (wj_bp >= {WJ_TAU_BP}) AS nv,
+    CAST(sum({_CHECKSUM_SQL}) FILTER (wj_bp >= {WJ_TAU_BP}) AS BIGINT) AS cv
+  FROM wv
+)
+{" UNION ALL ".join(
+    f"SELECT {bi} AS band_idx, n{bi} AS n_pairs, c{bi} AS pair_checksum FROM s"
+    for bi in range(N_BANDS)
+)}
+UNION ALL
+SELECT -1 AS band_idx, nv AS n_pairs, cv AS pair_checksum FROM s
+""",
+)
+def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED near-dup detection — weighted Jaccard via the classic
+    integer-weight REPLICATION reduction (term with capped count c
+    contributes replicas term#0..term#c−1; MinHash over the replica set
+    estimates J_w exactly as set-Jaccard): the unweighted family treats a
+    doc repeating one boilerplate line 50× and a doc mentioning it once
+    as identical token SETS — weighting is what separates template spam
+    from genuine overlap in a training corpus.
+
+    Candidates come from the SAME 4-band LSH machinery (banding over the
+    weighted signatures — _candidates_of_sig is signature-agnostic);
+    verification is the EXACT capped weighted Jaccard in integer basis
+    points, Σmin(c_a,c_b) / (tot_a + tot_b − Σmin) — intersection-join
+    plus per-doc totals, never a union materialization. Graded like
+    dedup_minhash_banded_pairs: per-band candidate counts + arithmetic
+    pair checksums, and a band_idx=−1 verified summary at τ={WJ_TAU_BP}bp.
+
+    Scale: replication multiplies the shingle stream by ≤{WCAP}× before
+    the map-side-combinable min() aggregates; everything downstream is
+    bounded by candidates, not the corpus.
+    """
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wtok = (
+        d.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.least(F.count(F.lit(1)), F.lit(WCAP)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds replicas, intersection and totals once
+    )
+    wtot = wtok.groupBy("doc_id").agg(F.sum("c").cast("long").alias("tot"))
+    reps = (
+        wtok.crossJoin(
+            F.broadcast(
+                d.sparkSession.range(WCAP).select(F.col("id").alias("r"))
+            )
+        )
+        .filter(F.col("r") < F.col("c"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("term"), F.lit("#"), F.col("r").cast("string")
+            ).alias("rterm"),
+        )
+    )
+    tokh = reps.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{a}:"), F.col("rterm"))).alias(f"h{a}")
+            for a in range(4)
+        ],
+    )
+    sig = (
+        tokh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.conv(
+                        F.substring(F.col(f"h{i // 4}"), (i % 4) * 8 + 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias(f"mh{i}")
+                for i in range(K_HASHES)
+            ]
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()  # both self-join sides read it (the staged rule)
+    )
+    cand = _candidates_of_sig(sig).localCheckpoint()
+    wa = wtok.select(F.col("doc_id").alias("doc_a"), "term", F.col("c").alias("ca"))
+    wb = wtok.select(F.col("doc_id").alias("doc_b"), "term", F.col("c").alias("cb"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("smin"))
+    )
+    ta = wtot.select(F.col("doc_id").alias("doc_a"), F.col("tot").alias("tot_a"))
+    tb = wtot.select(F.col("doc_id").alias("doc_b"), F.col("tot").alias("tot_b"))
+    wv = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna(0, ["smin"])
+        .join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .withColumn(
+            "wj_bp",
+            F.expr("(smin * 10000) div (tot_a + tot_b - smin)").cast("long"),
+        )
+    )
+    agg = wv.agg(
+        *[
+            agg_col
+            for bi in range(N_BANDS)
+            for agg_col in (
+                F.count(F.when(F.col(f"a{bi}"), 1)).alias(f"n{bi}"),
+                F.sum(F.when(F.col(f"a{bi}"), F.col("ph"))).alias(f"c{bi}"),
+            )
+        ],
+        F.count(F.when(F.col("wj_bp") >= WJ_TAU_BP, 1)).alias("nv"),
+        F.sum(F.when(F.col("wj_bp") >= WJ_TAU_BP, F.col("ph"))).alias("cv"),
+    )
+    row = agg.collect()[0]
+    out = [(bi, row[f"n{bi}"], row[f"c{bi}"]) for bi in range(N_BANDS)] + [
+        (-1, row["nv"], row["cv"])
+    ]
+    return spark.createDataFrame(
+        out, "band_idx int, n_pairs bigint, pair_checksum bigint"
+    )

@@ -2044,3 +2044,165 @@ def scan_snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_merge_rewritten",
         )
     )
+
+
+_APS_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "scan_agg_pushdown_stats",
+    oracle=f"""
+WITH m AS (
+  SELECT max(o_orderkey) AS mx,
+         CAST(floor((max(o_orderkey) + {N_BUCKETS}.0) / {N_BUCKETS}) AS BIGINT)
+           AS step
+  FROM orders
+),
+b AS MATERIALIZED (
+  SELECT o_orderkey, {_APS_CENTS} AS cents,
+         CAST(floor(o_orderkey / step) AS INT) AS bucket
+  FROM orders, m
+),
+man AS MATERIALIZED (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+         CAST(min(o_orderkey) AS BIGINT) AS mn, CAST(max(o_orderkey) AS BIGINT) AS mxk
+  FROM b GROUP BY bucket
+),
+qs AS (
+  SELECT 'full' AS query_id, CAST(0 AS BIGINT) AS lo,
+         (SELECT mx FROM m) AS hi
+  UNION ALL
+  SELECT 'aligned', (SELECT step FROM m), (SELECT 3 * step - 1 FROM m)
+  UNION ALL
+  SELECT 'misaligned', (SELECT step + step // 2 FROM m),
+         (SELECT 4 * step + step // 3 FROM m)
+),
+cls AS MATERIALIZED (
+  SELECT q.query_id, q.lo, q.hi, man.bucket, man.n, man.s,
+         CASE WHEN man.mn >= q.lo AND man.mxk <= q.hi THEN 'full'
+              WHEN man.mxk >= q.lo AND man.mn <= q.hi THEN 'partial'
+              ELSE 'skip' END AS leg
+  FROM qs q, man
+),
+mano AS (
+  SELECT query_id,
+         CAST(COALESCE(sum(n) FILTER (leg = 'full'), 0) AS BIGINT) AS n_m,
+         CAST(COALESCE(sum(s) FILTER (leg = 'full'), 0) AS BIGINT) AS s_m,
+         CAST(count(*) FILTER (leg = 'full') AS BIGINT) AS files_manifest_only,
+         CAST(count(*) FILTER (leg = 'partial') AS BIGINT) AS files_data_read,
+         CAST(count(*) FILTER (leg = 'skip') AS BIGINT) AS files_skipped
+  FROM cls GROUP BY query_id
+),
+part AS (
+  SELECT c.query_id,
+         CAST(COALESCE(sum(CASE WHEN b.o_orderkey BETWEEN c.lo AND c.hi
+                                THEN 1 END), 0) AS BIGINT) AS n_p,
+         CAST(COALESCE(sum(CASE WHEN b.o_orderkey BETWEEN c.lo AND c.hi
+                                THEN b.cents END), 0) AS BIGINT) AS s_p
+  FROM (SELECT DISTINCT query_id, lo, hi, bucket FROM cls WHERE leg = 'partial') c
+  JOIN b ON b.bucket = c.bucket
+  GROUP BY c.query_id
+)
+SELECT m2.query_id,
+       m2.n_m + COALESCE(p.n_p, 0) AS n_rows,
+       m2.s_m + COALESCE(p.s_p, 0) AS sum_cents,
+       m2.files_manifest_only, m2.files_data_read, m2.files_skipped
+FROM mano m2 LEFT JOIN part p ON p.query_id = m2.query_id
+""",
+)
+def scan_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE PUSHDOWN INTO MANIFEST STATISTICS — answer count/sum
+    range queries from per-file stats with ZERO data reads for fully
+    covered files, a residual scan ONLY for the ≤2 boundary files, and
+    skip the rest (the Iceberg/Delta metadata-only aggregation every
+    lakehouse engine ships): three graded queries — full table (pure
+    metadata), a bucket-ALIGNED range (pure metadata), and a MISALIGNED
+    range (metadata + 2-file residual). The file-leg classification
+    itself (manifest-only / data-read / skipped) is graded output.
+
+    Stats are exact int64 (rows, cents, key min/max), so manifest
+    aggregation ≡ data aggregation bit-for-bit; classification uses the
+    manifest's OWN min/max, never bucket arithmetic (stats decide, the
+    way a real planner works). At 100 TB the full and aligned queries
+    cost O(files) regardless of row count — the entire point.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mx = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    step = (mx + N_BUCKETS) // N_BUCKETS
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    b = o.select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.floor(F.col("o_orderkey") / F.lit(step)).cast("int").alias("bucket"),
+    )
+    base = _work_dir(spark, sf_dir, "aggpush")
+    b.write.mode("overwrite").partitionBy("bucket").parquet(base + "/data")
+    written = spark.read.parquet(base + "/data")
+    written.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.min("o_orderkey").cast("long").alias("mn"),
+        F.max("o_orderkey").cast("long").alias("mxk"),
+    ).write.mode("overwrite").parquet(base + "/manifest")
+    man = spark.read.parquet(base + "/manifest")
+
+    qs = spark.createDataFrame(
+        [
+            ("full", 0, mx),
+            ("aligned", step, 3 * step - 1),
+            ("misaligned", step + step // 2, 4 * step + step // 3),
+        ],
+        "query_id string, lo long, hi long",
+    )
+    leg = (
+        F.when((F.col("mn") >= F.col("lo")) & (F.col("mxk") <= F.col("hi")), "full")
+        .when((F.col("mxk") >= F.col("lo")) & (F.col("mn") <= F.col("hi")), "partial")
+        .otherwise("skip")
+    )
+    cls = (
+        man.crossJoin(F.broadcast(qs))
+        .select("query_id", "lo", "hi", "bucket", "n", "s", leg.alias("leg"))
+        .localCheckpoint()  # files x 3 rows; feeds the metadata agg + residual
+    )
+    mano = cls.groupBy("query_id").agg(
+        F.coalesce(F.sum(F.when(F.col("leg") == "full", F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_m"),
+        F.coalesce(F.sum(F.when(F.col("leg") == "full", F.col("s"))), F.lit(0))
+        .cast("long")
+        .alias("s_m"),
+        F.count(F.when(F.col("leg") == "full", 1))
+        .cast("long")
+        .alias("files_manifest_only"),
+        F.count(F.when(F.col("leg") == "partial", 1))
+        .cast("long")
+        .alias("files_data_read"),
+        F.count(F.when(F.col("leg") == "skip", 1))
+        .cast("long")
+        .alias("files_skipped"),
+    )
+    # residual scan: ONLY partial buckets reach the data (DPP semi-join)
+    pb = cls.filter(F.col("leg") == "partial").select(
+        "query_id", "lo", "hi", "bucket"
+    )
+    part = (
+        written.join(F.broadcast(pb), "bucket")
+        .filter(F.col("o_orderkey").between(F.col("lo"), F.col("hi")))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_p"),
+            F.sum("cents").cast("long").alias("s_p"),
+        )
+    )
+    return mano.join(part, "query_id", "left").select(
+        "query_id",
+        (F.col("n_m") + F.coalesce(F.col("n_p"), F.lit(0)))
+        .cast("long")
+        .alias("n_rows"),
+        (F.col("s_m") + F.coalesce(F.col("s_p"), F.lit(0)))
+        .cast("long")
+        .alias("sum_cents"),
+        "files_manifest_only",
+        "files_data_read",
+        "files_skipped",
+    )
