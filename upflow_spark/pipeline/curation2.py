@@ -730,3 +730,163 @@ def curation_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_fail_unique",
         r4(F.col("n_fail").cast("double") / F.col("n_docs")).alias("fail_frac"),
     )
+
+
+# ensemble vote: majority of (gopher rules, repetition gate, classifier)
+def _qe_sql_z() -> str:
+    from upflow_spark.pipeline.textstats import _QW
+
+    return (
+        f"{_QW['bias']}"
+        f" + {_QW['len']} * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)"
+        f" + {_QW['short']} * (CAST(len(list_filter(toks, t -> len(t) <= 2))"
+        f" AS DOUBLE) / len(toks))"
+        f" + {_QW['div']} * (CAST(len(list_distinct(toks)) AS DOUBLE)"
+        f" / len(toks))"
+        f" + {_QW['marker']} * (CAST(len(list_filter(toks,"
+        f" t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)"
+        f" / len(toks))"
+    )
+
+
+def _qe_oracle() -> str:
+    return f"""
+WITH qe_base AS MATERIALIZED (
+  SELECT doc_id, lang, n_chars, {SQL_TOKENS} AS toks FROM documents
+  WHERE len({SQL_TOKENS}) > 0
+),
+qe_sig AS MATERIALIZED (
+  SELECT doc_id, lang,
+         (len(toks) BETWEEN 20 AND 1000
+          AND list_avg(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+              BETWEEN 2 AND 12
+          AND len(list_filter(toks, t -> t IN {SQL_STOPWORDS}))
+              / CAST(len(toks) AS DOUBLE) >= 0.01
+          AND len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))
+              / CAST(len(toks) AS DOUBLE) >= 0.8) AS s_gopher,
+         ({_qe_sql_z()}) >= 0.0 AS s_clf
+  FROM qe_base
+),
+qe_rep AS MATERIALIZED (
+  SELECT doc_id, max(c) * 10 <= sum(c) AS s_rep FROM (
+    SELECT doc_id, w, count(*) AS c FROM (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS w FROM documents
+    ) GROUP BY doc_id, w
+  ) GROUP BY doc_id
+),
+qe_v AS MATERIALIZED (
+  SELECT s.lang,
+         CASE WHEN (CASE WHEN s.s_gopher THEN 1 ELSE 0 END
+                    + CASE WHEN r.s_rep THEN 1 ELSE 0 END
+                    + CASE WHEN s.s_clf THEN 1 ELSE 0 END) >= 2 THEN 'kept'
+              WHEN NOT s.s_gopher THEN 'gopher'
+              WHEN NOT r.s_rep THEN 'repetition'
+              ELSE 'classifier' END AS verdict
+  FROM qe_sig s JOIN qe_rep r USING (doc_id)
+),
+qe_tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS tot FROM qe_v GROUP BY lang
+)
+SELECT v.lang, v.verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 10000 // t.tot AS BIGINT) AS share_bp
+FROM qe_v v JOIN qe_tot t USING (lang)
+GROUP BY v.lang, v.verdict, t.tot
+"""
+
+
+@query("curation_quality_ensemble", oracle=_qe_oracle())
+def curation_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE quality gate — majority vote of the three filter families
+    the repo grades separately (Gopher rule battery, repetition gate,
+    learned classifier), which is how production curation actually ships
+    (no single filter survives contact with a 100 TB crawl; FineWeb/
+    Dolma-style pipelines vote): keep = ≥2 of 3 pass; rejected docs are
+    billed to the FIRST failing family in fixed order, per language.
+
+    Determinism: the repetition gate compares integers (max_count·10 ≤
+    total), the classifier vote is z ≥ 0 (sigmoid is monotone — the
+    probability never needs computing), and the Gopher thresholds reuse
+    the proven identical-IEEE feature expressions. Graded per (lang,
+    verdict): doc count + share in integer basis points.
+
+    Plan: two corpus passes (one map-only signal scan, one (doc, term)
+    groupBy for the repetition gate) joined on doc_id, then a 5×4-row
+    rollup. Each signal family is independently testable; the ensemble
+    adds one join, no new scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    from upflow_spark.pipeline.textstats import _QW
+
+    n = F.size(toks).cast("double")
+    len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    s_gopher = (
+        F.size(toks).between(20, 1000)
+        & (len_sum / n).between(2, 12)
+        & (
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+            / n
+            >= 0.01
+        )
+        & (
+            F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
+            / n
+            >= 0.8
+        )
+    )
+    z = (
+        F.lit(_QW["bias"])
+        + F.lit(_QW["len"])
+        * F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+        + F.lit(_QW["short"])
+        * (F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / n)
+        + F.lit(_QW["div"]) * (F.size(F.array_distinct(toks)).cast("double") / n)
+        + F.lit(_QW["marker"])
+        * (
+            F.size(
+                F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))
+            ).cast("double")
+            / n
+        )
+    )
+    sig = d.filter(F.size(toks) > 0).select(
+        "doc_id",
+        "lang",
+        s_gopher.alias("s_gopher"),
+        (z >= 0.0).alias("s_clf"),
+    )
+    rep = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") * 10 <= F.sum("c")).alias("s_rep"))
+    )
+    votes = (
+        F.when(F.col("s_gopher"), 1).otherwise(0)
+        + F.when(F.col("s_rep"), 1).otherwise(0)
+        + F.when(F.col("s_clf"), 1).otherwise(0)
+    )
+    verdict = (
+        F.when(votes >= 2, "kept")
+        .when(~F.col("s_gopher"), "gopher")
+        .when(~F.col("s_rep"), "repetition")
+        .otherwise("classifier")
+    )
+    v = sig.join(rep, "doc_id").select("lang", verdict.alias("verdict"))
+    tot = v.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    return (
+        v.groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "verdict",
+            "n_docs",
+            F.expr("(n_docs * 10000) div tot").cast("long").alias("share_bp"),
+        )
+    )
