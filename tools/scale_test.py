@@ -165,6 +165,24 @@ PROBE_KEYS = [
     ("stat_kruskal_wallis", "orders 10x (rank2 two-phase pass + 2 groupBys)"),
     ("ts_changepoint_binseg", "orders 10x (decimal rollup; calendar-bounded driver fit)"),
     ("scd2_merge_apply", "customer 10x (broadcast change batch, 3 joins)"),
+    # r12 second-session (§2-W) additions: paired rank stats, ACF lag
+    # self-join, the bloom/stats file indexes (metadata-bound by design),
+    # weighted-replica banding, greedy tokenizer encode, ensemble gate,
+    # branch merge, modularity over the pair graph, nprobe autotune rail
+    ("stat_wilcoxon_signed_rank", "orders 10x (custkey groupBy + |d| groupBy + cumsum)"),
+    ("ts_acf_lags", "orders 10x (day rollup; calendar-bounded 7-lag self-join)"),
+    ("stat_cramers_v", "orders+customer 10x (fact-dim join, 25-cell pinned fold)"),
+    ("graph_modularity", "documents 10x (LPA labels + 2 edge joins, exact-int Q)"),
+    ("scan_bloom_index_prune", "orders 10x (files x 4096-bit index; 8 probes)"),
+    ("ts_holt_linear_forecast", "orders 10x (day rollup; calendar-bounded driver fold)"),
+    ("tokenize_wordpiece_apply", "documents 10x (per-distinct-pt greedy + doc join)"),
+    ("emb_ivf_probe_autotune", "embeddings 10x (10-probe exact rail + 4 nprobe legs)"),
+    ("stat_friedman_test", "orders+customer 10x (125-cell block ranks)"),
+    ("text_feature_hashing", "documents 10x (distinct-token fold hash + join back)"),
+    ("scan_snapshot_branch_merge", "orders 10x (4-gen COW chain, 4 ref reads)"),
+    ("scan_agg_pushdown_stats", "orders 10x (manifest-only aggs + 2-file residual)"),
+    ("dedup_minhash_weighted", "documents 10x (<=4x replica shingles, banded + wj verify)"),
+    ("curation_quality_ensemble", "documents 10x (2 passes + doc join, 20-row rollup)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
