@@ -113,6 +113,12 @@ SHOWCASE = [
     ("emb_pca_power_iteration", "hash-checked PCA (r12): one Arrow pass of order-free int64 Gram partials; the 96-step iteration is a driver-side model fit, so the output plan is a bounded LocalTableScan — the corpus is scanned exactly once"),
     ("tokenize_unigram_train", "unigram trainer (r12): each hard-EM round is ONE map-only Arrow segmentation pass against the broadcast vocab counts + ONE vocabulary-sized groupBy — the corpus pays a single scan into weighted pretoken counts"),
     ("emb_ivf_cell_split", "IVF cell split (r12): integer-lattice assignment via an int64 HOF fold against broadcast centroids; the 2-means split legs are semi-join-scoped to hot-cell members; both recall probes end in TakeOrderedAndProject top-10s"),
+    ("scan_bloom_index_prune", "bloom file index (§2-W): the pruned read reaches the bucket-partitioned scan through a BroadcastHashJoin on the probe-hit file set — only bloom-hit directories are scanned; the index build is one distinct groupBy bounded by files x M bits"),
+    ("scan_agg_pushdown_stats", "manifest-stats aggregation (§2-W): the full/aligned query legs aggregate ONLY the files-sized manifest relation (no data scan in the plan); the misaligned residual leg reaches the data through a broadcast join on the <=2 partial buckets"),
+    ("dedup_minhash_weighted", "weighted banding (§2-W): the <=4x replica explode is map-side (no shuffle before the signature partial-min agg); band candidates come from the same broadcast band equi-join as the unweighted key; the wj verify joins candidates to term counts, never a union materialization"),
+    ("emb_ivf_probe_autotune", "nprobe autotune (§2-W): ONE exact-distance pass (localCheckpoint) feeds the global rail AND all four nprobe candidate legs — the plan shows the reuse, not four recomputed distance scans"),
+    ("stat_wilcoxon_signed_rank", "paired rank stat (§2-W): ranks never materialize — per-|d| tie blocks via one groupBy + rank2's two-phase cumulative count; no unpartitioned window, no global sort"),
+    ("text_feature_hashing", "feature hashing (§2-W): the codepoint-polynomial fold runs once per DISTINCT token (exchange on token), then a broadcast join back onto the corpus multiset; everything downstream is integer partial aggregation"),
 ]
 
 
