@@ -207,3 +207,14 @@ def test_weighted_minhash_differs_from_set_jaccard(spark):
     assert sum(rows[b]["n_pairs"] for b in range(4)) > 0
     assert rows[-1]["n_pairs"] >= 0
     assert rows[-1]["n_pairs"] <= sum(rows[b]["n_pairs"] for b in range(4))
+
+
+def test_binary_hamming_bounds(spark):
+    """Hamming distances live in [0, 64]; recall is a 0..10000 bp value;
+    the 10-probe report is complete."""
+    rows = QUERIES["emb_binary_hamming_topk"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["best_hamming"] <= 64, r
+        assert 0 <= r["recall10_bp"] <= 10000, r
+        assert r["n_overlap10"] * 1000 == r["recall10_bp"], r

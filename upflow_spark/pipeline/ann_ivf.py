@@ -1902,3 +1902,196 @@ def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_candidates",
         (F.col("np") == F.col("cnp")).alias("chosen"),
     )
+
+
+BQ_WORDS = 2  # 64 dims packed as two 32-bit words (sign-safe in int64)
+
+
+def _bq_oracle() -> str:
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         {_LAT_SQL} AS e
+  FROM embeddings
+),
+bw AS MATERIALIZED (
+  SELECT vec_id, pos // 32 AS w,
+         CAST(sum(CASE WHEN v > 0.0
+                       THEN CAST(1 AS BIGINT) << (pos % 32)
+                       ELSE 0 END) AS BIGINT) AS bits
+  FROM ev GROUP BY vec_id, pos // 32
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS probe_id FROM embeddings ORDER BY vec_id
+  LIMIT {AUTO_N_PROBES}
+),
+pw AS MATERIALIZED (
+  SELECT p.probe_id, b.w, b.bits FROM probes p
+  JOIN bw b ON b.vec_id = p.probe_id
+),
+ham AS MATERIALIZED (
+  SELECT pw.probe_id, b.vec_id,
+         CAST(sum(bit_count(xor(pw.bits, b.bits))) AS BIGINT) AS hd
+  FROM pw JOIN bw b ON b.w = pw.w
+  WHERE b.vec_id <> pw.probe_id
+  GROUP BY pw.probe_id, b.vec_id
+),
+bqt AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY hd ASC, vec_id ASC) AS rk
+    FROM ham) WHERE rk <= {TOP_K}
+),
+pv2 AS MATERIALIZED (
+  SELECT p.probe_id, ev.pos, ev.e
+  FROM probes p JOIN ev ON ev.vec_id = p.probe_id
+),
+vd2 AS MATERIALIZED (
+  SELECT pv2.probe_id, e2.vec_id,
+         CAST(sum((pv2.e - e2.e) * (pv2.e - e2.e)) AS BIGINT) AS d2
+  FROM pv2 JOIN ev e2 ON e2.pos = pv2.pos
+  WHERE e2.vec_id <> pv2.probe_id
+  GROUP BY pv2.probe_id, e2.vec_id
+),
+ext2 AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY d2 ASC, vec_id ASC) AS rk
+    FROM vd2) WHERE rk <= {TOP_K}
+),
+mn AS (
+  SELECT probe_id, CAST(min(hd) AS BIGINT) AS best_hamming
+  FROM ham GROUP BY probe_id
+)
+SELECT t.probe_id,
+       CAST(count(x.vec_id) AS BIGINT) AS n_overlap10,
+       CAST(count(x.vec_id) * 10000 // {TOP_K} AS BIGINT) AS recall10_bp,
+       mn.best_hamming
+FROM bqt t
+LEFT JOIN ext2 x ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
+JOIN mn ON mn.probe_id = t.probe_id
+GROUP BY t.probe_id, mn.best_hamming
+"""
+
+
+@query("emb_binary_hamming_topk", oracle=_bq_oracle())
+def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY QUANTIZATION read path — the 32×-compression ANN tier below
+    int8/PQ (one sign bit per dimension, XOR+popcount distance; the
+    memory-bound regime every production vector store ships as its
+    cheapest filter): per probe, the Hamming top-10 over sign-packed
+    words graded for overlap against the EXACT integer-lattice rail,
+    plus the probe's best Hamming distance.
+
+    Everything is exact integer: bits pack as two 32-bit words inside
+    int64 (sign-safe — the bloom-key discipline), Hamming is
+    Σ bit_count(xor), ranks tie-break (hd, vec_id), recall in integer
+    bp. Packing is ONE groupBy(vec, word) of shifted bits, engine-exact.
+
+    Scale: the packed relation is 2 longs per vector (the point of the
+    tier); Hamming scan cost ∝ probes × corpus with 2-word arithmetic —
+    the cheapest rail in the family, meant to pre-filter before the
+    lattice/PQ verifies.
+    """
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    )
+    bw = (
+        e.groupBy(
+            "vec_id", (F.col("pos") / 32).cast("int").alias("w")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0.0,
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+                    ),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("bits")
+        )
+        .localCheckpoint()  # 2 rows/vector; feeds probes + the Hamming scan
+    )
+    probes = (
+        bw.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(AUTO_N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"))
+    )
+    pw = probes.join(
+        bw.select(F.col("vec_id").alias("probe_id"), "w", F.col("bits").alias("pbits")),
+        "probe_id",
+    )
+    ham = (
+        bw.join(F.broadcast(pw), "w")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("bits").bitwiseXOR(F.col("pbits")))
+            )
+            .cast("long")
+            .alias("hd")
+        )
+        .localCheckpoint()  # feeds the rank and the best-hamming agg
+    )
+    w_h = Window.partitionBy("probe_id").orderBy(
+        F.col("hd").asc(), F.col("vec_id").asc()
+    )
+    bqt = (
+        ham.withColumn("rk", F.row_number().over(w_h))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "vec_id")
+    )
+    # exact integer-lattice rail (shared discipline with the autotune key)
+    el = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", _lat("embedding").alias("ei"))
+    )
+    pl = probes.join(
+        el.select(F.col("vec_id").alias("probe_id"), F.col("ei").alias("pi")),
+        "probe_id",
+    )
+    d2i = F.aggregate(
+        F.zip_with("ei", "pi", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    vd = (
+        el.crossJoin(F.broadcast(pl))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", d2i.alias("d2"))
+    )
+    w_p = Window.partitionBy("probe_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    ext = (
+        vd.withColumn("rk", F.row_number().over(w_p))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    mn = ham.groupBy("probe_id").agg(
+        F.min("hd").cast("long").alias("best_hamming")
+    )
+    return (
+        bqt.join(F.broadcast(ext), ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_overlap10"),
+            F.expr(f"(count(hit) * 10000) div {TOP_K}")
+            .cast("long")
+            .alias("recall10_bp"),
+        )
+        .join(F.broadcast(mn), "probe_id")
+        .select("probe_id", "n_overlap10", "recall10_bp", "best_hamming")
+    )
