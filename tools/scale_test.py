@@ -183,6 +183,7 @@ PROBE_KEYS = [
     ("scan_agg_pushdown_stats", "orders 10x (manifest-only aggs + 2-file residual)"),
     ("dedup_minhash_weighted", "documents 10x (<=4x replica shingles, banded + wj verify)"),
     ("curation_quality_ensemble", "documents 10x (2 passes + doc join, 20-row rollup)"),
+    ("emb_binary_hamming_topk", "embeddings 10x (2-word sign pack; popcount scan + exact rail)"),
 ]
 
 # documents/embeddings have no cross-table joins in the probe keys — replicate
