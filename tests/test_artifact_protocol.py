@@ -67,7 +67,8 @@ def test_bench_detail_covers_registry_exactly():
     keys = set()
     with open(path) as fh:
         for line in fh:
-            m = re.match(r"\| (\w+) \| [\d.]+ \| \d+ \|", line)
+            # rows cell may carry the transfer-bound marker (" †", r12)
+            m = re.match(r"\| (\w+) \| [\d.]+ \| \d+( †)? \|", line)
             if m:
                 keys.add(m.group(1))
     if not keys:
