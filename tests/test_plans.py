@@ -733,3 +733,50 @@ def test_snapshot_incremental_read_prunes_to_changed_buckets(spark):
 
     smj = _re.findall(r"^\(\d+\) SortMergeJoin (\w+)", plan, _re.M)
     assert all(k == "FullOuter" for k in smj), smj
+
+
+def test_broadcast_hints_match_reviewed_allowlist():
+    """Forced-broadcast discipline (r12 VERDICT item 1): every F.broadcast
+    hint in upflow_spark/ must be on the reviewed allowlist snapshot
+    (tools/broadcast_allowlist.json). A hint is a claim the relation is
+    BOUNDED — 1-row/constant aggregates, candidate- or semi-join-scoped
+    sets, fixed vocab/cell/probe tables — never a relation sized by an
+    unbounded base table (the r12 weak item force-broadcast per-document
+    totals onto a verify join). Adding/moving/removing a hint fails here
+    until `python tools/broadcast_audit.py --write` is re-run, which is
+    the review gate: justify boundedness in the owning docstring first."""
+    from tools.broadcast_audit import ALLOWLIST, broadcast_sites
+
+    import json
+
+    sites = broadcast_sites()
+    want = json.load(open(ALLOWLIST))
+    assert sites == want, {
+        "new_or_changed": {k: v for k, v in sites.items() if want.get(k) != v},
+        "removed": {k: v for k, v in want.items() if k not in sites},
+    }
+
+
+def test_no_corpus_sized_broadcast_hints():
+    """Hard denies for the r12 findings: the weighted-MinHash verify must
+    not hint its per-document totals (corpus-sized), and the CC apply /
+    curation-funnel joins must not hint loser/label/size sets (duplicate-
+    bounded only in the COMMON case — a 50%-duplicate crawl makes them
+    corpus-scale; AQE broadcasts them at runtime when they do fit)."""
+    from tools.broadcast_audit import broadcast_sites
+
+    sites = broadcast_sites()
+    denied = [
+        "upflow_spark/pipeline/minhash_sql.py::dedup_minhash_weighted::ta",
+        "upflow_spark/pipeline/minhash_sql.py::dedup_minhash_weighted::tb",
+        "upflow_spark/pipeline/minhash_sql.py::dedup_minhash_weighted::wtot",
+        "upflow_spark/pipeline/cluster.py::dedup_semantic_cc::lab",
+        "upflow_spark/pipeline/cluster.py::dedup_semantic_cc::sizes",
+        "upflow_spark/pipeline/cluster.py::dedup_apply_canonical::losers",
+        "upflow_spark/pipeline/cluster.py::graph_label_propagation::sizes",
+        "upflow_spark/pipeline/cluster.py::curation_dedup_impact_report::labels",
+        "upflow_spark/pipeline/curation.py::pipeline_curation_funnel::losers",
+        "upflow_spark/pipeline/cluster.py::_semantic_funnel::losers",
+    ]
+    hits = [k for k in denied if k in sites]
+    assert not hits, hits

@@ -203,10 +203,14 @@ def test_weighted_minhash_differs_from_set_jaccard(spark):
     unweighted one: both keys run on the same fixture; at minimum the
     band machinery emits candidates and the verified row is populated."""
     rows = {r["band_idx"]: r for r in QUERIES["dedup_minhash_weighted"](spark, SF).collect()}
-    assert set(rows) == {-1, 0, 1, 2, 3}
+    assert set(rows) == {-2, -1, 0, 1, 2, 3}
     assert sum(rows[b]["n_pairs"] for b in range(4)) > 0
     assert rows[-1]["n_pairs"] >= 0
     assert rows[-1]["n_pairs"] <= sum(rows[b]["n_pairs"] for b in range(4))
+    # staging bill: survivors + exact dups == corpus; collapse removed > 0
+    # docs on the duplicated fixture, and the banded stage saw survivors only
+    n_surv, n_exact = rows[-2]["n_pairs"], rows[-2]["pair_checksum"]
+    assert n_surv > 0 and n_exact >= 0
 
 
 def test_binary_hamming_bounds(spark):

@@ -455,9 +455,11 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: SemDeDup at 100 TB routes pair generation through k-means cells
     (sim_ann_ivf_kmeans) so only same-cell pairs are scored; the CC and
-    apply stages here are already cell-independent. The losers table is
-    ≤ the duplicate count, so the final join broadcasts; the embedding
-    corpus itself is never shuffled.
+    apply stages here are already cell-independent. The label/size
+    relations are duplicate-bounded in the common case but carry NO
+    broadcast hint (r12 verdict watch item): AQE broadcasts them at
+    runtime when they fit, and a 50%-duplicate crawl degrades to a safe
+    shuffle join instead of an executor OOM.
     """
     from upflow_spark.io import load
 
@@ -470,7 +472,7 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load(spark, sf_dir, "embeddings").select("vec_id")
     return (
-        e.join(F.broadcast(lab), e.vec_id == lab.m_vec, "left_outer")
+        e.join(lab, e.vec_id == lab.m_vec, "left_outer")
         .select(
             "vec_id",
             F.coalesce(F.col("m_cluster"), F.col("vec_id")).alias("cluster_id"),
@@ -478,7 +480,7 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "keep"
             ),
         )
-        .join(F.broadcast(sizes), "cluster_id", "left_outer")
+        .join(sizes, "cluster_id", "left_outer")
         .select(
             "vec_id",
             "cluster_id",
@@ -511,9 +513,12 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     through; each cluster keeps its min-doc_id representative).
 
     Composition: pair generation (banded SimHash) → connected components →
-    anti-join of losers against the corpus. The loser set is tiny relative
-    to the corpus, so it broadcasts; the corpus itself is never shuffled —
-    which is the property that matters when `documents` is the 100 TB side.
+    anti-join of losers against the corpus. The loser set is duplicate-
+    bounded, so in the common case AQE broadcasts it at runtime and the
+    corpus is never shuffled — but the hint is deliberately NOT forced
+    (r12 verdict watch item): on a heavily-duplicated crawl the loser set
+    is corpus-scale and a forced broadcast would OOM where a shuffle
+    anti-join still finishes.
     """
     from upflow_spark.io import load
 
@@ -521,7 +526,7 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = cc.filter(~F.col("is_canonical")).select("doc_id")
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        docs.join(losers, "doc_id", "left_anti")
         .select("doc_id", "lang", F.length("text").cast("long").alias("content_len"))
     )
 
@@ -604,7 +609,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("cs"))
     return (
-        labels.join(F.broadcast(sizes), "lbl")
+        labels.join(sizes, "lbl")
         .select(
             F.col("n").alias("doc_id"),
             F.col("lbl").alias("community"),
@@ -836,7 +841,7 @@ def _semantic_funnel(
             total_out="__n",
         )
         .withColumn("s2", F.col("__rk") > F.floor(F.col("__n") * OUTLIER_FRAC))
-        .join(F.broadcast(losers), "vec_id", "left")
+        .join(losers, "vec_id", "left")
         .withColumn("not_loser", F.col("is_loser").isNull())
         .withColumn(
             "in_split",
@@ -1042,7 +1047,7 @@ def curation_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     removed = F.col("lbl").isNotNull() & (F.col("lbl") != F.col("doc_id"))
     return (
-        d.join(F.broadcast(labels), "doc_id", "left")
+        d.join(labels, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -65,11 +65,12 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     union branches, so the earlier five-branch `.agg` union re-ran the
     text-window dedup and quality expressions per branch (6.49 s at sf0.1).
     Now every stage is a per-doc boolean SURVIVAL FLAG computed in one pass
-    — window rank for exact-dedup, broadcast-joined CC loser set for
-    near-dedup, quality and split-bucket expressions on top — and a single
-    aggregate takes five `count_if`s; the 5-row output shape is rebuilt by
-    exploding the 1-row aggregate. The corpus is scanned ONCE; only the
-    tiny CC loser set is broadcast. The expensive input — the SimHash pair
+    — window rank for exact-dedup, a left join against the CC loser set for
+    near-dedup (duplicate-bounded, no forced hint — AQE broadcasts it at
+    runtime when small; r12 verdict watch item), quality and split-bucket
+    expressions on top — and a single aggregate takes five `count_if`s;
+    the 5-row output shape is rebuilt by exploding the 1-row aggregate.
+    The corpus is scanned ONCE. The expensive input — the SimHash pair
     stage and its CC label fixpoint — is materialized once per
     (application, sf_dir) and shared with dedup_cluster_cc /
     dedup_apply_canonical (see cluster.py), so this key's marginal cost is
@@ -100,7 +101,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = (
         d0.withColumn("s2", F.row_number().over(w) == 1)
-        .join(F.broadcast(losers), "doc_id", "left")
+        .join(losers, "doc_id", "left")
         .withColumn("s3", F.col("s2") & F.col("is_loser").isNull())
         .withColumn("s4", F.col("s3") & (r4(quality) >= 0.55))
         .withColumn("s5", F.col("s4") & (bucket < 8))

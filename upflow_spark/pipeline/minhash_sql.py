@@ -304,6 +304,27 @@ def dedup_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_survivors(d: DataFrame) -> DataFrame:
+    """Stage-1 exact collapse shared by the staged keys: the min doc_id of
+    each md5(text) group survives. One window on the digest — texts shuffle
+    ONCE, same cost as the equivalent groupBy — and the result is
+    localCheckpoint'd because every staged consumer reads it at least twice
+    (count + signature pass)."""
+    from pyspark.sql import Window
+
+    par = d.sparkSession.sparkContext.defaultParallelism
+    return (
+        d.withColumn(
+            "keep_doc_id",
+            F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+        )
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .select("doc_id", "text")
+        .repartition(par)
+        .localCheckpoint()
+    )
+
+
 @query(
     "dedup_staged",
     oracle=f"""
@@ -350,22 +371,10 @@ def dedup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + order-insensitive arithmetic pair checksum (any changed or
     missing pair moves it).
     """
-    from pyspark.sql import Window
-
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par)
     # stage 1: exact collapse — min doc_id survives its md5(text) group
-    # (window on the digest: texts shuffle ONCE, same cost as the groupBy)
-    surv = (
-        d.withColumn(
-            "keep_doc_id",
-            F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
-        )
-        .filter(F.col("doc_id") == F.col("keep_doc_id"))
-        .select("doc_id", "text")
-        .repartition(par)
-        .localCheckpoint()  # read by the count AND the signature pass
-    )
+    surv = _exact_survivors(d)
     # stage 2: band the survivors with the oracle-checked md5-minhash
     sig = _signatures_of(surv).repartition(par).localCheckpoint()
     cand = _candidates_of_sig(sig)
@@ -623,9 +632,12 @@ WCAP = 4  # integer weight cap: term weight = min(count, WCAP)
 WJ_TAU_BP = 5000  # verified pair: exact weighted Jaccard >= 0.5
 
 _WSIG_CTE = f"""
+wsurv AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
 wtok AS MATERIALIZED (
   SELECT doc_id, term, CAST(least(count(*), {WCAP}) AS BIGINT) AS c
-  FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+  FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM wsurv)
   GROUP BY doc_id, term
 ),
 wtot AS MATERIALIZED (
@@ -694,6 +706,11 @@ s AS (
 )}
 UNION ALL
 SELECT -1 AS band_idx, nv AS n_pairs, cv AS pair_checksum FROM s
+UNION ALL
+SELECT -2 AS band_idx,
+       CAST((SELECT count(*) FROM wsurv) AS BIGINT) AS n_pairs,
+       CAST((SELECT count(*) FROM documents)
+            - (SELECT count(*) FROM wsurv) AS BIGINT) AS pair_checksum
 """,
 )
 def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,17 +728,32 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     points, Σmin(c_a,c_b) / (tot_a + tot_b − Σmin) — intersection-join
     plus per-doc totals, never a union materialization. Graded like
     dedup_minhash_banded_pairs: per-band candidate counts + arithmetic
-    pair checksums, and a band_idx=−1 verified summary at τ={WJ_TAU_BP}bp.
+    pair checksums, a band_idx=−1 verified summary at τ={WJ_TAU_BP}bp,
+    plus a band_idx=−2 staging bill (n_pairs = survivors after exact
+    collapse, pair_checksum = exact dups removed).
+
+    STAGED (r12 verdict item 2): exact-content collapse runs FIRST
+    (shared _exact_survivors — one digest-window shuffle), and the whole
+    weighted pipeline sees only survivors. Byte-identical replicas are the
+    degenerate worst case for weighted banding exactly as for unweighted
+    (10× replication ⇒ ~100× band pairs), so the graded shape is now the
+    production composition, not the un-staged worst case.
 
     Scale: replication multiplies the shingle stream by ≤{WCAP}× before
     the map-side-combinable min() aggregates; everything downstream is
-    bounded by candidates, not the corpus.
+    bounded by candidates, not the corpus. The per-doc totals relation is
+    semi-join-scoped to the candidate pairs' doc ids BEFORE the verify
+    join and carries NO broadcast hint (r12 verdict item 1: wtot is
+    corpus-sized — one row per document — so force-broadcasting it OOMs at
+    real scale; scoped to candidates it is genuinely small and AQE still
+    picks a broadcast join at runtime when it fits).
     """
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    surv = _exact_survivors(d)
     wtok = (
-        d.select("doc_id", F.explode(tokens_col()).alias("term"))
+        surv.select("doc_id", F.explode(tokens_col()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.least(F.count(F.lit(1)), F.lit(WCAP)).cast("long").alias("c"))
         .localCheckpoint()  # feeds replicas, intersection and totals once
@@ -775,13 +807,21 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.least("ca", "cb")).cast("long").alias("smin"))
     )
-    ta = wtot.select(F.col("doc_id").alias("doc_a"), F.col("tot").alias("tot_a"))
-    tb = wtot.select(F.col("doc_id").alias("doc_b"), F.col("tot").alias("tot_b"))
+    # totals scoped to candidate doc ids: candidate-bounded, NOT corpus-
+    # sized — and no broadcast hint (AQE broadcasts at runtime if small)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    wtot_c = wtot.join(cand_ids, "doc_id", "left_semi")
+    ta = wtot_c.select(F.col("doc_id").alias("doc_a"), F.col("tot").alias("tot_a"))
+    tb = wtot_c.select(F.col("doc_id").alias("doc_b"), F.col("tot").alias("tot_b"))
     wv = (
         cand.join(inter, ["doc_a", "doc_b"], "left")
         .fillna(0, ["smin"])
-        .join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
         .withColumn(
             "wj_bp",
             F.expr("(smin * 10000) div (tot_a + tot_b - smin)").cast("long"),
@@ -800,8 +840,14 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("wj_bp") >= WJ_TAU_BP, F.col("ph"))).alias("cv"),
     )
     row = agg.collect()[0]
+    counts = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        surv.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+    ).collect()[0]
     out = [(bi, row[f"n{bi}"], row[f"c{bi}"]) for bi in range(N_BANDS)] + [
-        (-1, row["nv"], row["cv"])
+        (-1, row["nv"], row["cv"]),
+        (-2, counts["n_survivors"], counts["n_docs"] - counts["n_survivors"]),
     ]
     return spark.createDataFrame(
         out, "band_idx int, n_pairs bigint, pair_checksum bigint"
