@@ -37,7 +37,13 @@ def main() -> None:
     )
     with open(path) as fh:
         doc = fh.read()
-    have = set(re.findall(r"^\| ([a-z0-9_]+) \|", doc, re.M))
+    # scope BOTH the have-scan and the insertion to the main probe table —
+    # everything at/after the ANALYSIS marker is preserved addendum content
+    # (r12 ADVICE: scanning the whole doc treated addendum-table keys as
+    # measured and appended new rows into an unrelated analysis table)
+    marker = "<!-- ANALYSIS — preserved across table regenerations -->"
+    head = doc.split(marker)[0]
+    have = set(re.findall(r"^\| ([a-z0-9_]+) \|", head, re.M))
     wanted = sys.argv[1:]
     todo = [
         (k, reads)
@@ -70,9 +76,10 @@ def main() -> None:
         print(row, flush=True)
     spark.stop()
 
-    # insert after the LAST existing table row
+    # insert after the LAST main-table row (strictly before the marker)
     lines = doc.split("\n")
-    last = max(i for i, ln in enumerate(lines) if ln.startswith("| "))
+    mk = next(i for i, ln in enumerate(lines) if marker in ln)
+    last = max(i for i in range(mk) if lines[i].startswith("| "))
     lines[last + 1 : last + 1] = rows
     with open(path, "w") as fh:
         fh.write("\n".join(lines))

@@ -169,7 +169,7 @@ PROBE_KEYS = [
     # self-join, the bloom/stats file indexes (metadata-bound by design),
     # weighted-replica banding, greedy tokenizer encode, ensemble gate,
     # branch merge, modularity over the pair graph, nprobe autotune rail
-    ("stat_wilcoxon_signed_rank", "orders 10x (custkey groupBy + |d| groupBy + cumsum)"),
+    ("stat_wilcoxon_signed_rank", "orders 10x (custkey groupBy + abs(d) groupBy + cumsum)"),
     ("ts_acf_lags", "orders 10x (day rollup; calendar-bounded 7-lag self-join)"),
     ("stat_cramers_v", "orders+customer 10x (fact-dim join, 25-cell pinned fold)"),
     ("graph_modularity", "documents 10x (LPA labels + 2 edge joins, exact-int Q)"),
@@ -181,7 +181,7 @@ PROBE_KEYS = [
     ("text_feature_hashing", "documents 10x (distinct-token fold hash + join back)"),
     ("scan_snapshot_branch_merge", "orders 10x (4-gen COW chain, 4 ref reads)"),
     ("scan_agg_pushdown_stats", "orders 10x (manifest-only aggs + 2-file residual)"),
-    ("dedup_minhash_weighted", "documents 10x (<=4x replica shingles, banded + wj verify)"),
+    ("dedup_minhash_weighted", "documents 10x (exact collapse first; <=4x shingles banded + wj verify on survivors)"),
     ("curation_quality_ensemble", "documents 10x (2 passes + doc join, 20-row rollup)"),
     ("emb_binary_hamming_topk", "embeddings 10x (2-word sign pack; popcount scan + exact rail)"),
 ]

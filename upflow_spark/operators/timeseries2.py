@@ -745,6 +745,15 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xs = [float(r["c"]) for r in daily.collect()]  # calendar-bounded
     n = len(xs)
+    schema = (
+        "horizon long, n_days long, forecast_cents double,"
+        " level_cents double, trend_cents double, rmse_cents double"
+    )
+    if n < 2:
+        # degenerate relation rule (r12 ADVICE): Holt needs two points to
+        # seed (l0, b0) — the oracle's recursive base case (rows i=0 AND
+        # i=1) is empty then too, so both engines return the empty result
+        return spark.createDataFrame([], schema)
     l, b, sse = xs[0], xs[1] - xs[0], 0.0
     for t in range(1, n):
         e = xs[t] - (l + b)
@@ -761,8 +770,4 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h, n, r4f(l + float(h) * b), r4f(l), r4f(b), r4f(rmse))
         for h in range(1, HOLT_H + 1)
     ]
-    return spark.createDataFrame(
-        out,
-        "horizon long, n_days long, forecast_cents double,"
-        " level_cents double, trend_cents double, rmse_cents double",
-    )
+    return spark.createDataFrame(out, schema)
