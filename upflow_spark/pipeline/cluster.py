@@ -406,6 +406,40 @@ def _semantic_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+# CC labels over the ANN (LSH-fed) near-dup edge set — the production
+# twin of _SEM_LABEL_CACHE (r12 VERDICT item 4: the ANN funnel re-derived
+# ann_scored_pairs AND re-ran its own CC fixpoint per invocation while the
+# exact funnel rode the memoized exact rail). Same one-entry eviction.
+_ANN_LABEL_CACHE: dict = {}
+
+
+def _ann_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    cached = _ANN_LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from upflow_spark.pipeline.dedup import ann_scored_pairs
+
+    pairs = (
+        ann_scored_pairs(spark, sf_dir)
+        .filter(F.col("cos_raw") >= 0.40)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        labels = _cc_star_fixpoint(pairs).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for stale in [k for k in _ANN_LABEL_CACHE if k != key]:
+        _ANN_LABEL_CACHE.pop(stale)
+    _ANN_LABEL_CACHE[key] = labels
+    return labels
+
+
 _EMB_PAIRS_CTE = """pairs AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -794,7 +828,6 @@ def _semantic_funnel(
 ) -> DataFrame:
     from upflow_spark.io import load
     from upflow_spark.operators.rank2 import global_row_number
-    from upflow_spark.pipeline.dedup import ann_scored_pairs
 
     if pair_source == "exact":
         # the session-memoized exact-rail CC — the same relation
@@ -802,17 +835,8 @@ def _semantic_funnel(
         # one fixpoint per session, every consumer rides it)
         labels = _semantic_cc_labels(spark, sf_dir)
     else:
-        pairs = (
-            ann_scored_pairs(spark, sf_dir)
-            .filter(F.col("cos_raw") >= 0.40)
-            .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-        )
-        before = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            labels = _cc_star_fixpoint(pairs).localCheckpoint()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", before)
+        # the session-memoized ANN-rail CC (r13 — VERDICT r12 item 4)
+        labels = _ann_cc_labels(spark, sf_dir)
     losers = labels.filter(~F.col("is_canonical")).select(
         F.col("doc_id").alias("vec_id"), F.lit(True).alias("is_loser")
     )
