@@ -115,20 +115,41 @@ def main() -> None:
         except Exception:
             pass
 
+    # drift-proofing (r12 VERDICT item 3): the four BASELINE.md headline
+    # keys are timed back-to-back with their hand-written vanilla-PySpark
+    # twins in THIS session, so the recorded per-key ratio is immune to
+    # whole-box day-to-day drift (r11->r12 totals moved +30% with zero
+    # code cause; same-day ratios were 0.68-1.28x)
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.vanilla_twins import VANILLA_BUILDERS
+    except Exception:  # bench must still run if tools/ is absent
+        VANILLA_BUILDERS = {}
+
+    def _best_of_2(build) -> float:
+        build().collect()  # warm-up: plan + IO caches
+        best = float("inf")
+        for _ in range(2):  # best-of-2 warm, per BASELINE.md methodology
+            t0 = time.perf_counter()
+            build().collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
     timings: dict[str, float] = {}
+    vanilla: dict[str, float] = {}
     for name, key in bench_keys.items():
         fn = QUERIES[key]
         try:
-            fn(spark, sf_dir).collect()  # warm-up: plan + IO caches
-            best = float("inf")
-            for _ in range(2):  # best-of-2 warm, per BASELINE.md methodology
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+            timings[name] = _best_of_2(lambda: fn(spark, sf_dir))
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        tw = VANILLA_BUILDERS.get(name)
+        if tw is not None and timings[name] >= 0:
+            try:
+                vanilla[name] = _best_of_2(lambda: tw(spark, sf_dir))
+            except Exception as exc:
+                print(f"bench: vanilla {name} failed: {exc}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -140,6 +161,14 @@ def main() -> None:
         # serial-run sentinel: False means another Spark JVM was live at
         # bench start and these timings are not comparison-grade
         "clean": not concurrent,
+        # same-session vanilla twins + engine/vanilla ratio per headline
+        # key — the drift-immune round-over-round comparison surface
+        "vanilla": vanilla,
+        "vanilla_ratio": {
+            k: round(timings[k] / v, 3)
+            for k, v in vanilla.items()
+            if v > 0 and timings.get(k, -1) >= 0
+        },
     }
     print(json.dumps(result))
     spark.stop()
