@@ -13,55 +13,34 @@ from upflow_spark.registry import QUERIES
 
 def _batch_reference(spark, sf_dir):
     """One-pass restatement: vector of wave w is near_dup iff some vector
-    of a strictly earlier wave (static corpus = wave -1) shares bucket b0,
-    or shares b1, and verifies at exact unit cosine >= 0.40."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    of a strictly earlier wave (static corpus = wave -1) shares a bucket
+    in >=1 of the sign-LSH hash tables and verifies at exact unit cosine
+    >= 0.40. Uses the SAME _emb_sign_sigs family the streaming key
+    persists (r13: portable integer-lattice signatures)."""
     from upflow_spark.io import load
     from upflow_spark.pipeline.similarity import _unit
+    from upflow_spark.streaming.streams import EMB_LSH_TABLES, _emb_sign_sigs
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
+        "embedding",
         _unit("embedding").alias("emb"),
         F.when(F.col("vec_id") % 10 != 0, F.lit(-1))
         .otherwise(((F.col("vec_id") % 40) / 10).cast("int"))
         .alias("wave"),
     )
-    static = e.filter(F.col("wave") == -1)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        numHashTables=2,
-        bucketLength=0.25,
-        seed=42,
-    )
-    model = lsh.fit(static.select(array_to_vector("emb").alias("features")))
-    sigs = model.transform(
-        e.select("vec_id", "wave", "emb", array_to_vector("emb").alias("features"))
-    ).select(
-        "vec_id",
-        "wave",
-        "emb",
-        *[
-            F.element_at(vector_to_array(F.col("hashes")[t]), 1)
-            .cast("long")
-            .alias(f"b{t}")
-            for t in range(2)
-        ],
-    )
+    sigs = _emb_sign_sigs(e).drop("embedding")
     inc = sigs.filter(F.col("wave") >= 0).select(
         F.col("vec_id").alias("w_id"),
         F.col("wave").alias("w_wave"),
         F.col("emb").alias("w_emb"),
-        F.col("b0").alias("wb0"),
-        F.col("b1").alias("wb1"),
+        *[F.col(f"b{t}").alias(f"wb{t}") for t in range(EMB_LSH_TABLES)],
     )
-    cand = inc.join(
-        sigs,
-        ((F.col("wb0") == F.col("b0")) | (F.col("wb1") == F.col("b1")))
-        & (F.col("wave") < F.col("w_wave")),
-    )
+    any_table = None
+    for t in range(EMB_LSH_TABLES):
+        hit = F.col(f"wb{t}") == F.col(f"b{t}")
+        any_table = hit if any_table is None else (any_table | hit)
+    cand = inc.join(sigs, any_table & (F.col("wave") < F.col("w_wave")))
     cos = F.aggregate(
         F.zip_with("w_emb", "emb", lambda x, y: x * y),
         F.lit(0.0),

@@ -141,10 +141,13 @@ def _sql_lloyd(prev: str, assign: str, out: str) -> str:
 
 
 # the trained-codebook CTE chain (samp → sub → c0 → a1/c1 → a2/c2),
-# shared by emb_pq_encode's oracle and sim_ann_ivf_pq's (ann_ivf.py)
-PQ_TRAIN_CTES = f"""samp AS MATERIALIZED (
+# shared by emb_pq_encode's oracle, sim_ann_ivf_pq's (ann_ivf.py), and —
+# parameterized on the training relation — stream_pq_index_append's
+# (streams.py trains on the static vec_id%10<>0 split)
+def pq_train_ctes(source: str = "embeddings") -> str:
+    return f"""samp AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, embedding
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)
+  FROM (SELECT vec_id, embedding FROM {source} ORDER BY vec_id LIMIT 256)
 ),
 sub AS MATERIALIZED (
   SELECT rn, ss.s AS s,
@@ -155,6 +158,9 @@ sub AS MATERIALIZED (
 c0 AS MATERIALIZED (
   SELECT s, rn AS c, xs AS cent FROM sub WHERE rn < 16
 ),{_sql_lloyd("c0", "a1", "c1")},{_sql_lloyd("c1", "a2", "c2")}"""
+
+
+PQ_TRAIN_CTES = pq_train_ctes()
 
 
 _PQ_ORACLE = f"""

@@ -760,36 +760,174 @@ def _ensure_emb_wave_replica(spark: SparkSession, sf_dir: str) -> str:
     return dst
 
 
-@query("stream_emb_index_ingest")  # rows-only: LSH buckets are engine-specific
+# --- portable sign-LSH for the embedding-index stream (r13: promotes
+# stream_emb_index_ingest off rows-only — VERDICT r12 item 5) ---
+EMB_LSH_TABLES = 8  # hash tables
+EMB_LSH_BITS = 4  # sign bits per table
+EMB_DIM = 64
+EMB_Q_SCALE = 1000  # int64 lattice quantization of the raw floats
+
+
+def _emb_lsh_coeffs() -> list[list[int]]:
+    """md5-derived hyperplane coefficients (24-bit, centered) — computed
+    in python ONCE and inlined as literals on BOTH engine sides, so the
+    hash family is engine-agnostic by construction (the Carter-Wegman
+    discipline of scan_bloom_index_prune / the r12 lattice promotions)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:6], 16) - 8388608
+            for i in range(1, EMB_DIM + 1)
+        ]
+        for h in range(EMB_LSH_TABLES * EMB_LSH_BITS)
+    ]
+
+
+EMB_LSH_C = _emb_lsh_coeffs()
+
+
+def _emb_sign_sigs(df: DataFrame) -> DataFrame:
+    """df + b0..b{T-1} sign-LSH buckets from the integer lattice: q_i =
+    floor(x_i·1000 + 0.5) as int64 over the RAW float embedding (exact in
+    both engines), score(h) = Σ_i q_i·c(h,i) — an exact int64 fold, so
+    bucket ids are order-free AND engine-free; bucket_t packs the sign
+    bits of its {EMB_LSH_BITS} hyperplanes. |q|≤~5e3, |c|<2²³, 64 terms
+    ⇒ |score| < 2⁴⁶, no overflow."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * EMB_Q_SCALE + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+    def score(h: int):  # noqa: ANN202
+        return F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(c).cast("long") for c in EMB_LSH_C[h]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    buckets = [
+        sum(
+            F.when(
+                score(t * EMB_LSH_BITS + j) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            for j in range(EMB_LSH_BITS)
+        )
+        .cast("int")
+        .alias(f"b{t}")
+        for t in range(EMB_LSH_TABLES)
+    ]
+    return df.select("*", *buckets)
+
+
+def _sql_emb_sig_cols() -> str:
+    """The DuckDB twin of _emb_sign_sigs' bucket columns (literal
+    coefficient lists — same python-precomputed ints)."""
+    cols = []
+    for t in range(EMB_LSH_TABLES):
+        bits = []
+        for j in range(EMB_LSH_BITS):
+            h = t * EMB_LSH_BITS + j
+            lit = "[" + ",".join(str(c) for c in EMB_LSH_C[h]) + "]"
+            bits.append(
+                f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM} + 1),"
+                f" i -> qv[i] * ({lit})[i])) >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        cols.append("CAST(" + " + ".join(bits) + f" AS INT) AS b{t}")
+    return ",\n         ".join(cols)
+
+
+def _emb_ingest_oracle() -> str:
+    from upflow_spark.pipeline.similarity import _sql_cos
+
+    bucket_case = " ".join(
+        f"WHEN {t} THEN b{t}" for t in range(EMB_LSH_TABLES)
+    )
+    return f"""
+WITH
+ebase AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 10 <> 0 THEN -1
+              ELSE CAST((vec_id % 40) // 10 AS INT) END AS wave
+  FROM embeddings
+),
+eq AS MATERIALIZED (
+  SELECT vec_id, wave, embedding,
+         list_transform(range(1, {EMB_DIM} + 1),
+           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {EMB_Q_SCALE} + 0.5)
+                AS BIGINT)) AS qv
+  FROM ebase
+),
+esig AS MATERIALIZED (
+  SELECT vec_id, wave, embedding,
+         {_sql_emb_sig_cols()}
+  FROM eq
+),
+esigt AS MATERIALIZED (
+  SELECT vec_id, wave, embedding, tt.t AS t,
+         CASE tt.t {bucket_case} END AS bucket
+  FROM esig, (SELECT unnest(range(0, {EMB_LSH_TABLES})) AS t) tt
+),
+edup AS MATERIALIZED (
+  SELECT DISTINCT w.vec_id
+  FROM esigt w JOIN esigt v
+    ON w.t = v.t AND w.bucket = v.bucket AND v.wave < w.wave
+  WHERE w.wave >= 0
+    AND {_sql_cos("w.embedding", "v.embedding")} >= 0.40
+),
+ewaves AS (SELECT vec_id, wave FROM ebase WHERE wave >= 0)
+SELECT w.wave,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dup,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN w.vec_id END) AS BIGINT)
+         AS dup_id_checksum
+FROM ewaves w LEFT JOIN edup d ON w.vec_id = d.vec_id
+GROUP BY w.wave ORDER BY w.wave
+"""
+
+
+@query("stream_emb_index_ingest", oracle=_emb_ingest_oracle())
 def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming embedding-index ingest — the embedding twin of
     stream_dedup_incremental (VERDICT r9 item 7): new vectors arrive in
     micro-batch waves and a foreachBatch sink classifies each against a
-    PERSISTED LSH signature index (random-hyperplane buckets, the
-    sim_ann_lsh surface) that grows as waves commit. A wave vector is
-    near_dup when some strictly-earlier indexed vector shares a bucket AND
-    verifies at exact unit-cosine ≥ 0.40 (the emb_dedup_ann_verified
-    gate), else new.
+    PERSISTED LSH signature index that grows as waves commit. A wave
+    vector is near_dup when some strictly-earlier indexed vector shares a
+    bucket in ≥1 of the {EMB_LSH_TABLES} hash tables AND verifies at
+    exact unit-cosine ≥ 0.40 (the emb_dedup_ann_verified gate), else new.
 
-    The quantizer (BucketedRandomProjectionLSH, seed 42) is fit ONCE on
-    the static corpus and reused for every wave — production never refits
-    the index's hash family mid-stream, or bucket ids would stop being
-    comparable. The verify joins candidate pairs against the index
-    RELATION to gather both vectors (the r10 join-gather contract:
-    nothing corpus-sized converges on the driver or in a broadcast), and
-    the exact cosine is the JVM-side HOF dot — no Python in the loop.
+    HASH-CHECKED as of r13 (VERDICT r12 item 5): the hash family is the
+    portable sign-LSH over the integer lattice (_emb_sign_sigs —
+    md5-derived hyperplane coefficients inlined as literals on both
+    sides; int64 scores, so buckets are engine-free), replacing the
+    engine-specific BucketedRandomProjectionLSH. The family is still
+    frozen for the whole stream — production never refits the index's
+    hash family mid-stream, or stored bucket ids would stop being
+    comparable. Because wave membership is id-arithmetic, the DuckDB
+    oracle replays the ENTIRE incremental build as one precedence join
+    (indexed-before = static ∪ strictly-earlier waves), and the graded
+    per-wave report (counts + dup id checksum) hash-matches it.
+
+    The verify joins candidate pairs against the index RELATION to gather
+    both vectors (the r10 join-gather contract: nothing corpus-sized
+    converges on the driver or in a broadcast), and the exact cosine is
+    the JVM-side HOF dot — no Python in the loop.
 
     Scale shape: per-wave cost = wave × bucket-collision candidates, the
     same bound the batch ANN keys carry; the parquet-append signature
     index is the materialization a real ingest pipeline keeps between
     restarts (state OUTSIDE the streaming checkpoint, as the text twin).
-    Rows-only; tests/test_streams_emb.py pins the invariant that the
-    incrementally-built classification equals the batch-built one.
+    tests/test_streams_emb.py additionally pins that the incrementally-
+    built classification equals a one-pass batch restatement.
     """
     import os
-
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     from upflow_spark.pipeline.similarity import _unit
 
@@ -801,43 +939,34 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(work, "classified")
     ckpt = os.path.join(work, "ckpt")
 
-    # fit the hash family once on the static corpus; seed the index with
-    # the corpus's signatures + unit vectors
-    static = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 10 != 0)
-        .select("vec_id", _unit("embedding").alias("emb"))
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        numHashTables=2,
-        bucketLength=0.25,
-        seed=42,
-    )
-    model = lsh.fit(static.select(array_to_vector("emb").alias("features")))
-
-    def _sigs(df: DataFrame) -> DataFrame:
-        """(vec_id, b0, b1, emb) via the shared fitted quantizer."""
-        feats = df.select("vec_id", "emb", array_to_vector("emb").alias("features"))
-        return model.transform(feats).select(
-            "vec_id",
+    idx_cols = ["vec_id", *[f"b{t}" for t in range(EMB_LSH_TABLES)], "emb"]
+    # one (t, bucket) row per hash table — the candidate join key
+    tab = F.explode(
+        F.array(
             *[
-                F.element_at(vector_to_array(F.col("hashes")[t]), 1)
-                .cast("long")
-                .alias(f"b{t}")
-                for t in range(2)
-            ],
-            "emb",
+                F.struct(
+                    F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket")
+                )
+                for t in range(EMB_LSH_TABLES)
+            ]
         )
+    ).alias("tb")
 
+    # seed the index with the static corpus's signatures + unit vectors.
     # the index and the classification output are laid out as one
     # wave-keyed partition directory each, and every wave is written with
     # mode("overwrite") into ITS OWN partition — so a foreachBatch RETRY
     # after a transient failure rewrites the same partitions instead of
     # double-appending (the exactly-once caveat the text twin documents);
     # the static corpus seeds partition wave=-1
-    _sigs(static).write.mode("overwrite").parquet(os.path.join(idx_dir, "wave=-1"))
+    static = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 != 0)
+        .select("vec_id", "embedding", _unit("embedding").alias("emb"))
+    )
+    _emb_sign_sigs(static).select(*idx_cols).write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "wave=-1")
+    )
 
     schema = StructType(
         [
@@ -849,7 +978,7 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select(
-            "vec_id", "wave", _unit("embedding").alias("emb")
+            "vec_id", "wave", "embedding", _unit("embedding").alias("emb")
         )
         waves = [
             r["wave"] for r in b.select("wave").distinct().orderBy("wave").collect()
@@ -858,24 +987,26 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ONE materialization per wave: the signature relation carries
             # everything downstream needs (ids for the report, sigs+emb for
             # candidates and the index append) — wave_rows itself is read
-            # only once, by _sigs, so it needs no checkpoint
+            # only once, by _emb_sign_sigs, so it needs no checkpoint
             wave_rows = b.filter(F.col("wave") == w)
-            wave_sigs = _sigs(wave_rows.select("vec_id", "emb")).localCheckpoint()
-            idx = spark.read.parquet(idx_dir).select("vec_id", "b0", "b1", "emb")
-            # bucket-collision candidates: wave × index on b0, plus b1
-            # where b0 did NOT agree (first-agreeing-table dedup as a
-            # filter — the lsh_candidates trick), vectors gathered by the
-            # join itself (nothing broadcast-matrix-sized anywhere)
-            wv = wave_sigs.select(
-                F.col("vec_id").alias("w_id"),
-                F.col("b0").alias("wb0"),
-                F.col("b1").alias("wb1"),
-                F.col("emb").alias("w_emb"),
+            wave_sigs = (
+                _emb_sign_sigs(wave_rows.select("vec_id", "embedding", "emb"))
+                .select(*idx_cols)
+                .localCheckpoint()
             )
-            cand0 = wv.join(idx, F.col("wb0") == F.col("b0"))
-            cand1 = wv.join(
-                idx,
-                (F.col("wb1") == F.col("b1")) & (F.col("wb0") != F.col("b0")),
+            idx = spark.read.parquet(idx_dir).select(*idx_cols)
+            # bucket-collision candidates: wave × index equi-join on the
+            # exploded (table, bucket) keys — bucket-local, never
+            # all-pairs; vectors gathered by the join itself (nothing
+            # broadcast-matrix-sized anywhere). A pair colliding in k>1
+            # tables is scored k times and collapsed by the distinct —
+            # at wave sizes the duplicate cos evals are cheaper than a
+            # pre-verify pair dedup shuffle.
+            wv = wave_sigs.select(
+                F.col("vec_id").alias("w_id"), F.col("emb").alias("w_emb"), tab
+            ).select("w_id", "w_emb", "tb.t", "tb.bucket")
+            iv = idx.select("vec_id", "emb", tab).select(
+                "vec_id", "emb", "tb.t", "tb.bucket"
             )
             cos = F.aggregate(
                 F.zip_with("w_emb", "emb", lambda x, y: x * y),
@@ -883,7 +1014,7 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s, v: s + v,
             )
             dup_ids = (
-                cand0.unionAll(cand1)
+                wv.join(iv, ["t", "bucket"])
                 .filter(cos >= 0.40)
                 .select(F.col("w_id").alias("vec_id"))
                 .distinct()
@@ -943,9 +1074,120 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIFT_SIGMA_MAX = 2.0  # wave-centroid monitor gate, in sampling std errors
 _last_pq_index_dir: str | None = None  # set by stream_pq_index_append (tests)
+ADC_BP_SCALE = 100_000_000  # LUT distances as integer 1e-8 units: the ADC
+# sum is then an EXACT int64 fold (order-free across partitions AND
+# engines) — the "integer basis points for per-row scores that later
+# aggregate" rule; |d2| < 10 ⇒ |bp| < 1e9, 8-term sums < 1e10, no overflow
 
 
-@query("stream_pq_index_append")  # rows-only: driver-numpy codebooks (see below)
+def _pq_append_oracle() -> str:
+    from upflow_spark.pipeline.pca import _sql_d2, pq_train_ctes
+
+    static_src = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)"
+    return f"""
+WITH {pq_train_ctes(static_src)},
+wvs AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST((vec_id % 40) // 10 AS INT) AS wave
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+probe AS MATERIALIZED (
+  SELECT embedding AS p FROM embeddings
+  WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 1
+),
+wsub AS (
+  SELECT vec_id, wave, ss.s AS s,
+         list_transform(range(1, 9),
+           i -> CAST(embedding[ss.s * 8 + i] AS DOUBLE)) AS xs
+  FROM wvs, (SELECT unnest(range(0, 8)) AS s) ss
+),
+wenc AS MATERIALIZED (
+  SELECT vec_id, wave, s, c FROM (
+    SELECT wsub.vec_id, wsub.wave, wsub.s, c2.c,
+           row_number() OVER (PARTITION BY wsub.vec_id, wsub.s
+             ORDER BY {_sql_d2("wsub.xs", "c2.cent")} ASC, c2.c ASC) AS rk
+    FROM wsub JOIN c2 ON wsub.s = c2.s
+  ) WHERE rk = 1
+),
+psub AS (
+  SELECT ss.s AS s,
+         list_transform(range(1, 9),
+           i -> CAST(p[ss.s * 8 + i] AS DOUBLE)) AS xs
+  FROM probe, (SELECT unnest(range(0, 8)) AS s) ss
+),
+plut AS MATERIALIZED (
+  SELECT c2.s, c2.c,
+         CAST(floor({_sql_d2("psub.xs", "c2.cent")} * {ADC_BP_SCALE} + 0.5)
+              AS BIGINT) AS d2_bp
+  FROM c2 JOIN psub ON c2.s = psub.s
+),
+adc AS (
+  SELECT e.vec_id, e.wave, CAST(sum(l.d2_bp) AS BIGINT) AS a
+  FROM wenc e JOIN plut l ON e.s = l.s AND e.c = l.c
+  GROUP BY e.vec_id, e.wave
+),
+top_adc AS (
+  SELECT vec_id, wave FROM (
+    SELECT vec_id, wave, row_number() OVER (PARTITION BY wave
+      ORDER BY a ASC, vec_id ASC) AS rk FROM adc) WHERE rk <= 5
+),
+dex AS (
+  SELECT w.vec_id, w.wave,
+         list_sum(list_transform(range(1, 65),
+           i -> (CAST(w.embedding[i] AS DOUBLE) - CAST(probe.p[i] AS DOUBLE))
+              * (CAST(w.embedding[i] AS DOUBLE) - CAST(probe.p[i] AS DOUBLE))))
+           AS d2
+  FROM wvs w, probe
+),
+top_exact AS (
+  SELECT vec_id, wave FROM (
+    SELECT vec_id, wave, row_number() OVER (PARTITION BY wave
+      ORDER BY d2 ASC, vec_id ASC) AS rk FROM dex) WHERE rk <= 5
+),
+ov AS (
+  SELECT t1.wave, CAST(count(*) AS BIGINT) AS overlap
+  FROM top_adc t1 JOIN top_exact t2
+    ON t1.vec_id = t2.vec_id AND t1.wave = t2.wave
+  GROUP BY t1.wave
+),
+sstat AS MATERIALIZED (
+  SELECT pos, avg(v) AS mu, avg(v * v) AS m2 FROM (
+    SELECT generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings WHERE vec_id % 10 <> 0
+  ) GROUP BY pos
+),
+vsum AS (
+  SELECT list_sum(list(m2 - mu * mu ORDER BY pos)) AS var_sum FROM sstat
+),
+wstat AS (
+  SELECT wave, pos, avg(v) AS wc FROM (
+    SELECT wave, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM wvs
+  ) GROUP BY wave, pos
+),
+wshift AS (
+  SELECT w.wave,
+         sqrt(list_sum(list((w.wc - s.mu) * (w.wc - s.mu) ORDER BY w.pos)))
+           AS sh
+  FROM wstat w JOIN sstat s ON w.pos = s.pos GROUP BY w.wave
+),
+wcnt AS (SELECT wave, CAST(count(*) AS BIGINT) AS n FROM wvs GROUP BY wave)
+SELECT c.wave,
+       c.n AS n_vectors,
+       c.n AS n_codes,
+       CAST(coalesce(ov.overlap, 0) AS BIGINT) AS adc_exact_overlap5,
+       floor((s.sh / sqrt(v.var_sum / c.n)) * 10000 + 0.5) / 10000
+         AS centroid_shift_sigmas,
+       (s.sh / sqrt(v.var_sum / c.n)) > {DRIFT_SIGMA_MAX} AS drift_flag
+FROM wcnt c
+JOIN wshift s ON c.wave = s.wave
+LEFT JOIN ov ON c.wave = ov.wave, vsum v
+ORDER BY c.wave
+"""
+
+
+@query("stream_pq_index_append", oracle=_pq_append_oracle())
 def stream_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted PQ index + streaming code append (VERDICT r10 item 3) —
     the PQ twin of stream_emb_index_ingest, completing the vector-index
@@ -979,20 +1221,22 @@ def stream_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     retry rewrites instead of double-appending (the r11 exactly-once fix
     shared with the LSH twin).
 
-    Rows-only BY DESIGN: the codebooks come from the driver-numpy Lloyd
-    trainer on the STATIC corpus sample; the emb_pq_encode SQL-parity
-    proof covers the full-fixture sample, but here the training relation
-    is the 90% static split — an unrolled-CTE twin would duplicate the
-    whole PQ chain for a second sample for no additional verification
-    (the code path is byte-shared with the hash-checked keys).
-    tests/test_streams_emb.py pins incremental ≡ batch code identity and
-    recomputes every report column.
+    HASH-CHECKED as of r13 (VERDICT r12 item 5): the oracle replays the
+    PQ train chain (pq_train_ctes, the proven numpy↔SQL Lloyd parity of
+    emb_pq_encode) on the static vec_id%10<>0 split, re-encodes each wave
+    as an unrolled argmin, and rebuilds every report column — ADC sums
+    ride integer 1e-8-unit LUT distances (exact int64 folds, order-free
+    on both engines), the drift statistic's variance comes from the two
+    plain avgs (m2 − mu²) with the 64-term folds pinned to pos order.
+    tests/test_streams_emb.py additionally pins incremental ≡ batch code
+    identity and recomputes every report column independently.
 
     Scale shape: per-wave cost = one Arrow encode pass over the wave +
     one 128-row broadcast LUT join over the wave's read-back codes +
     bounded (64-row) centroid collects; the index grows by appended
     parquet partitions exactly as a production code store does.
     """
+    import math
     import os
 
     import numpy as np
@@ -1020,25 +1264,44 @@ def stream_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # static-corpus centroid + per-dim variance (64 bounded rows each) —
     # the variance sum prices a no-drift wave centroid's expected
-    # deviation: E[||wc - sc||^2] = sum_pos var_pos / n_wave
+    # deviation: E[||wc - sc||^2] = sum_pos var_pos / n_wave. Variance is
+    # derived from the two plain avgs (m2 - mu², the mahalanobis-key
+    # pattern) so the oracle's expression is literal-identical, and the
+    # 64-term var sum is folded in pos order on both sides.
     stat_rows = (
         static.select(F.posexplode(_dbl("embedding")).alias("pos", "v"))
         .groupBy("pos")
-        .agg(F.avg("v").alias("c"), F.var_pop("v").alias("var"))
+        .agg(F.avg("v").alias("c"), F.avg(F.col("v") * F.col("v")).alias("m2"))
         .orderBy("pos")
         .collect()
     )
     static_cent = np.array([r["c"] for r in stat_rows], dtype=np.float64)
-    var_sum = float(sum(r["var"] for r in stat_rows))
+    var_sum = 0.0
+    for r in stat_rows:  # in-order fold, = the oracle's list_sum(ORDER BY pos)
+        var_sum += r["m2"] - r["c"] * r["c"]
     probe_row = static.orderBy("vec_id").limit(1).collect()[0]
     p_vec = np.array(probe_row["embedding"], dtype=np.float64)
+    # LUT distances in integer 1e-8 units: ADC sums become exact int64
+    # folds, order-free across partitions AND engines (r13 promotion)
     lut = spark.createDataFrame(
         [
-            (s, c, float(((p_vec[s * sub_d : (s + 1) * sub_d] - books[s, c]) ** 2).sum()))
+            (
+                s,
+                c,
+                int(
+                    math.floor(
+                        float(
+                            ((p_vec[s * sub_d : (s + 1) * sub_d] - books[s, c]) ** 2).sum()
+                        )
+                        * ADC_BP_SCALE
+                        + 0.5
+                    )
+                ),
+            )
             for s in range(n_sub)
             for c in range(k)
         ],
-        "s int, c long, d2 double",
+        "s int, c long, d2_bp long",
     )
 
     # seed the persisted index with the static corpus's codes (wave=-1)
@@ -1079,8 +1342,8 @@ def stream_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             top_adc = (
                 per.join(F.broadcast(lut), ["s", "c"])
                 .groupBy("vec_id")
-                .agg(F.sum("d2").alias("a"))
-                .orderBy(r4(F.col("a")).asc(), F.col("vec_id").asc())
+                .agg(F.sum("d2_bp").cast("long").alias("a"))
+                .orderBy(F.col("a").asc(), F.col("vec_id").asc())
                 .limit(5)
                 .select("vec_id")
             )
@@ -1114,15 +1377,16 @@ def stream_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
                 dtype=np.float64,
             )
-            shift = float(np.linalg.norm(wave_cent - static_cent))
-            sigmas = shift / (var_sum / max(n_vectors, 1)) ** 0.5
+            # in-order 64-term fold (numpy sequential) = oracle list_sum
+            shift = float(np.sqrt(((wave_cent - static_cent) ** 2).sum()))
+            sigmas = shift / math.sqrt(var_sum / max(n_vectors, 1))
             spark.createDataFrame(
                 [
                     (
                         int(n_vectors),
                         int(n_codes),
                         int(overlap),
-                        round(sigmas, 4),
+                        math.floor(sigmas * 10000 + 0.5) / 10000,
                         bool(sigmas > DRIFT_SIGMA_MAX),
                     )
                 ],
