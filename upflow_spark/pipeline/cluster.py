@@ -80,7 +80,9 @@ pairs AS (
 )"""
 
 
-def _cc_contraction_cte(rounds: int = 14, jumps: int = 17) -> str:
+def _cc_contraction_cte(
+    rounds: int = 14, jumps: int = 17, prefix: str = ""
+) -> str:
     """Generate a POLYNOMIAL pointer-doubling connected-components CTE.
 
     The r5/r6 oracle proved transitive closure with a recursive CTE
@@ -121,31 +123,35 @@ def _cc_contraction_cte(rounds: int = 14, jumps: int = 17) -> str:
     # non-materialized CTEs, which would expand the chained rounds into a
     # 3^rounds-node plan tree (observed: the planner itself hangs) —
     # AS MATERIALIZED keeps the unrolled pipeline linear in `rounds`
+    # prefix parameterizes every generated CTE name AND the pairs source,
+    # so two independent CC passes can coexist in one oracle (the composed
+    # dedup billing key runs a MinHash CC and a semantic CC back-to-back)
+    P = prefix
     parts = [
-        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs\n"
-        "       UNION SELECT doc_b, doc_a FROM pairs)",
-        "m0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lbl FROM e0)",
+        f"{P}e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM {P}pairs\n"
+        f"       UNION SELECT doc_b, doc_a FROM {P}pairs)",
+        f"{P}m0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lbl FROM {P}e0)",
     ]
     for k in range(rounds):
         parts.append(
-            f"h{k} AS MATERIALIZED "
-            f"(SELECT a AS n, least(a, min(b)) AS p FROM e{k} GROUP BY a)"
+            f"{P}h{k} AS MATERIALIZED "
+            f"(SELECT a AS n, least(a, min(b)) AS p FROM {P}e{k} GROUP BY a)"
         )
-        prev = f"h{k}"
+        prev = f"{P}h{k}"
         for t in range(1, max(4, jumps - k) + 1):
             parts.append(
-                f"j{k}_{t} AS MATERIALIZED (SELECT x.n, coalesce(y.p, x.p) AS p "
+                f"{P}j{k}_{t} AS MATERIALIZED (SELECT x.n, coalesce(y.p, x.p) AS p "
                 f"FROM {prev} x LEFT JOIN {prev} y ON x.p = y.n)"
             )
-            prev = f"j{k}_{t}"
+            prev = f"{P}j{k}_{t}"
         parts.append(
-            f"e{k + 1} AS MATERIALIZED (SELECT DISTINCT qa.p AS a, qb.p AS b "
-            f"FROM e{k} e JOIN {prev} qa ON e.a = qa.n "
+            f"{P}e{k + 1} AS MATERIALIZED (SELECT DISTINCT qa.p AS a, qb.p AS b "
+            f"FROM {P}e{k} e JOIN {prev} qa ON e.a = qa.n "
             f"JOIN {prev} qb ON e.b = qb.n WHERE qa.p <> qb.p)"
         )
         parts.append(
-            f"m{k + 1} AS MATERIALIZED (SELECT m.n, coalesce(q.p, m.lbl) AS lbl "
-            f"FROM m{k} m LEFT JOIN {prev} q ON m.lbl = q.n)"
+            f"{P}m{k + 1} AS MATERIALIZED (SELECT m.n, coalesce(q.p, m.lbl) AS lbl "
+            f"FROM {P}m{k} m LEFT JOIN {prev} q ON m.lbl = q.n)"
         )
     # NON-CONVERGENCE GUARD: the round/jump budget is fixed, so a component
     # that survives contraction past round `rounds` (possible only far
@@ -158,10 +164,10 @@ def _cc_contraction_cte(rounds: int = 14, jumps: int = 17) -> str:
     # reference cc_unconverged directly — either way the row-count / hash
     # compare fails loudly instead of silently.
     return ",\n".join(parts) + (
-        f",\ncc_unconverged AS MATERIALIZED"
-        f" (SELECT 1 AS one FROM e{rounds} LIMIT 1)"
-        f",\ncc_final AS (SELECT n, lbl FROM m{rounds}"
-        f" UNION ALL SELECT -1 AS n, -1 AS lbl FROM cc_unconverged)"
+        f",\n{P}cc_unconverged AS MATERIALIZED"
+        f" (SELECT 1 AS one FROM {P}e{rounds} LIMIT 1)"
+        f",\n{P}cc_final AS (SELECT n, lbl FROM {P}m{rounds}"
+        f" UNION ALL SELECT -1 AS n, -1 AS lbl FROM {P}cc_unconverged)"
     )
 
 

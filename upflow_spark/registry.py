@@ -78,6 +78,7 @@ def load_all_modules() -> None:
     import upflow_spark.operators.upsert  # noqa: F401
     import upflow_spark.operators.windows  # noqa: F401
     import upflow_spark.pipeline.ann_ivf  # noqa: F401
+    import upflow_spark.pipeline.billing  # noqa: F401
     import upflow_spark.pipeline.bpe  # noqa: F401
     import upflow_spark.pipeline.chunking  # noqa: F401
     import upflow_spark.pipeline.cluster  # noqa: F401
