@@ -166,6 +166,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the new API on environments with protobuf installed.
 # Re-probed r5, r6 AND r7 (2026-08-14): `import google.protobuf` still
 # ModuleNotFoundError — remains environment-blocked, not a build gap.
+# Re-probed r13 (2026-08-16, VERDICT r12 item 7 — the vendored-wheel
+# angle): `import google.protobuf` still ModuleNotFoundError; `pip
+# download protobuf --no-deps` produces NOTHING (network blackholed per
+# SURVEY §0); the local pip HTTP cache (~1.3 MB) contains no protobuf
+# wheel; a filesystem-wide search finds no protobuf site-packages or
+# .whl. Vendoring a from-scratch google.protobuf reimplementation is out
+# of scope (and install is disallowed) — remains environment-blocked.
 #
 # ACID table formats probed r8 (2026-08-14, VERDICT r7 item 8): neither
 # delta-spark nor pyiceberg is importable; `pip download delta-spark
