@@ -637,6 +637,7 @@ TINY_WINDOW_OK = {
     "events_survival_km": "KM ordered product over the per-lifetime-day rollup (≤ observation-window days at any scale)",
     "stat_fdr_bh": "BH step-up over the 25-row per-nation test battery (bounded by the number of TESTS, not data)",
     "sample_neyman_allocation": "largest-remainder rank over the 5-row stratum table (bounded by STRATA, not data)",
+    "curation_token_budget": "largest-remainder rank over the ≤20-row source table (bounded by SOURCES, not data)",
     # §2-E window-primitive key: tests Spark's own unpartitioned frame per
     # the SURVEY contract
     "win_percent_cume": "§2-E primitive key — the unpartitioned frame IS the surface",

@@ -54,3 +54,116 @@ def test_weighted_minhash_staged_on_exact_survivors(spark):
     s = QUERIES["dedup_staged"](spark, SF).collect()[0]
     assert w[-2]["n_pairs"] == s["n_survivors"]
     assert w[-2]["pair_checksum"] == s["n_exact_dups"]
+
+
+def test_cliffs_delta_bounds_and_antisymmetry(spark):
+    """delta in [-1,1]; gt+lt <= n_pairs (ties excluded); and the summed
+    gt over all segments equals the summed lt (every cross-segment pair
+    is counted once as gt from one side and once as lt from the other)."""
+    rows = QUERIES["stat_cliffs_delta"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert -1.0 <= r["cliffs_delta"] <= 1.0
+        assert r["gt_pairs"] + r["lt_pairs"] <= r["n_pairs"]
+    assert sum(r["gt_pairs"] for r in rows) == sum(r["lt_pairs"] for r in rows)
+
+
+def test_coreness_consistent_with_k_core(spark):
+    """Every node the fixed-k k-core key keeps must have coreness >= k,
+    and every edge-bearing node has 1 <= coreness <= degree."""
+    from upflow_spark.pipeline.cluster import KCORE_K
+
+    cor = {
+        r["doc_id"]: r["coreness"]
+        for r in QUERIES["graph_coreness"](spark, SF).collect()
+    }
+    assert -1 not in cor, "coreness fixpoint did not converge"
+    kc = QUERIES["graph_k_core"](spark, SF).collect()
+    for r in kc:
+        assert r["doc_id"] in cor and cor[r["doc_id"]] >= KCORE_K, r
+    assert all(c >= 1 for c in cor.values())
+
+
+def test_token_budget_conserved(spark):
+    """Sum of quotas equals the global budget exactly (largest-remainder
+    guarantee); allocations never exceed availability."""
+    rows = QUERIES["curation_token_budget"](spark, SF).collect()
+    from upflow_spark.pipeline.llmprep import TOKEN_BUDGET_FRAC_BP
+
+    tok_all = sum(r["tokens_available"] for r in rows)
+    budget = tok_all * TOKEN_BUDGET_FRAC_BP // 10000
+    assert sum(r["quota"] for r in rows) == budget
+    for r in rows:
+        assert r["allocated"] <= min(r["quota"], r["tokens_available"])
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """MMR's rank-1 is the relevance argmax; every later pick scores >= any
+    unpicked candidate under the same (already-selected) penalty at its
+    step is hard to recheck cheaply, so pin the cheap invariants: 10
+    distinct picks, monotone rank, maxsim populated from rank 2 on."""
+    rows = sorted(
+        QUERIES["sim_mmr_diversify"](spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert len({r["vec_id"] for r in rows}) == 10
+    assert rows[0]["maxsim_dot"] == 0
+    assert all(r["maxsim_dot"] > 0 for r in rows[1:])
+    assert all(
+        r["mmr_score"] == 6 * r["rel_dot"] - 4 * r["maxsim_dot"] for r in rows
+    )
+
+
+def test_bigram_lm_prefers_frequent_bigrams(spark):
+    """Scores are negative logprobs of a proper smoothed distribution:
+    every avg_logprob < 0; docs with <2 tokens carry NULL."""
+    rows = QUERIES["text_bigram_lm_logprob"](spark, SF).collect()
+    scored = [r for r in rows if r["avg_logprob"] is not None]
+    assert scored and all(r["avg_logprob"] < 0 for r in scored)
+    for r in rows:
+        assert (r["n_bigrams"] == 0) == (r["avg_logprob"] is None)
+
+
+def test_dhash_brightness_invariance_property(spark, tmp_path):
+    """The dHash design claim: a global brightness shift (every byte +1,
+    here simulated by shifting the text alphabet) preserves dHash bits
+    wherever no byte saturates — adjacent-luma DIFFERENCES are unchanged.
+    Build two docs whose texts differ by a constant codepoint shift and
+    assert identical dhash."""
+    base = "abcdxyz mnopq rstuv wxyzab cdefg " * 40
+    shifted = "".join(chr(ord(c) + 1) for c in base)
+    docs = spark.createDataFrame(
+        [(1, base, len(base)), (2, shifted, len(shifted))],
+        "doc_id long, text string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r["dhash"]
+        for r in QUERIES["multimodal_image_dhash"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1] == rows[2]
+
+
+def test_pipeline_bill_stages_consistent(spark):
+    """Conservation: n_out(k) == n_in(k+1); removals non-negative; the
+    exact stage agrees with dedup_staged's survivor count."""
+    rows = sorted(
+        QUERIES["dedup_pipeline_bill"](spark, SF).collect(),
+        key=lambda r: r["stage_no"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "exact_content",
+        "url_canonical",
+        "substring",
+        "minhash_neardup",
+        "semantic",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_out"] == b["n_in"]
+    for r in rows:
+        assert r["n_removed"] >= 0 and r["n_in"] - r["n_removed"] == r["n_out"]
+    staged = QUERIES["dedup_staged"](spark, SF).collect()[0]
+    assert rows[0]["n_out"] == staged["n_survivors"]

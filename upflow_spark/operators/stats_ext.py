@@ -2278,3 +2278,120 @@ def stat_power_twoprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(n_req)
         .alias("n_required_per_arm"),
     )
+
+
+@query(
+    "stat_cliffs_delta",
+    oracle="""
+WITH cj AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+csv AS (
+  SELECT seg, v, CAST(count(*) AS BIGINT) AS sc FROM cj GROUP BY seg, v
+),
+cdv AS (
+  SELECT v, CAST(sum(sc) AS BIGINT) AS tc,
+         CAST(sum(sum(sc)) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_t_le
+  FROM csv GROUP BY v
+),
+cn AS (SELECT CAST(sum(tc) AS BIGINT) AS n_total FROM cdv),
+ccum AS (
+  SELECT s.seg, s.v, s.sc, d.tc, d.cum_t_le,
+         CAST(sum(s.sc) OVER (PARTITION BY s.seg ORDER BY s.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_s_le
+  FROM csv s JOIN cdv d ON s.v = d.v
+),
+cper AS (
+  SELECT seg, CAST(sum(sc) AS BIGINT) AS n_seg,
+         CAST(sum(sc * ((cum_t_le - tc) - (cum_s_le - sc))) AS BIGINT)
+           AS gt_pairs,
+         CAST(sum(sc * (cum_t_le - cum_s_le)) AS BIGINT) AS le_other_wsum
+  FROM ccum GROUP BY seg
+)
+SELECT seg AS segment, n_seg,
+       CAST(n_seg * (cn.n_total - n_seg) AS BIGINT) AS n_pairs,
+       gt_pairs,
+       CAST(n_seg * (cn.n_total - n_seg) - le_other_wsum AS BIGINT)
+         AS lt_pairs,
+       floor((CAST(gt_pairs - (n_seg * (cn.n_total - n_seg) - le_other_wsum)
+                   AS DOUBLE)
+              / (CAST(n_seg AS DOUBLE) * CAST(cn.n_total - n_seg AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS cliffs_delta
+FROM cper, cn
+""",
+)
+def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta per market segment — the ORDINAL effect size beside
+    the battery's p-values (stat_mannwhitney_u says the distributions
+    differ; delta says by HOW MUCH, robustly): for each segment, delta =
+    (#{x>y} − #{x<y}) / (n_x·n_y) comparing the segment's order values x
+    against every other segment's y.
+
+    Never a pair join: with per-(segment, value) counts sc and
+    distinct-value totals tc, #{x>y} = Σ_v sc(s,v)·(others strictly below
+    v), where "others below" = (global cumulative < v) − (segment
+    cumulative < v) — two cumulative counts. The GLOBAL cumulative over
+    distinct cents values is rank2's two-phase global_cumsum (no
+    single-partition window over a data-sized relation); the per-segment
+    cumulative is a PARTITIONED window. All counting is exact int64 on
+    both engines; only the final delta divides in IEEE, r4-rounded.
+
+    At 100 TB: two groupBys (value, segment×value) + the two-phase
+    cumsum — the same shuffle bill as a distinct-count, nothing
+    quadratic; ties handled exactly by construction (neither gt nor lt
+    counts them).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), cents.alias("v")
+    )
+    sv = j.groupBy("seg", "v").agg(F.count(F.lit(1)).cast("long").alias("sc"))
+    dv = sv.groupBy("v").agg(F.sum("sc").cast("long").alias("tc"))
+    dv = global_cumsum(
+        dv,
+        [("v", "asc")],
+        {"cum_t_le": F.col("tc")},
+        totals={"cum_t_le": "n_total"},
+    )
+    w_seg = (
+        Window.partitionBy("seg")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ccum = (
+        sv.withColumn("cum_s_le", F.sum("sc").over(w_seg).cast("long"))
+        .join(dv, "v")
+    )
+    per = ccum.groupBy("seg").agg(
+        F.sum("sc").cast("long").alias("n_seg"),
+        F.sum(
+            F.col("sc")
+            * ((F.col("cum_t_le") - F.col("tc")) - (F.col("cum_s_le") - F.col("sc")))
+        )
+        .cast("long")
+        .alias("gt_pairs"),
+        F.sum(F.col("sc") * (F.col("cum_t_le") - F.col("cum_s_le")))
+        .cast("long")
+        .alias("le_other_wsum"),
+        F.max("n_total").cast("long").alias("n_total"),
+    )
+    n_pairs = (F.col("n_seg") * (F.col("n_total") - F.col("n_seg"))).cast("long")
+    lt_pairs = (n_pairs - F.col("le_other_wsum")).cast("long")
+    return per.select(
+        F.col("seg").alias("segment"),
+        "n_seg",
+        n_pairs.alias("n_pairs"),
+        "gt_pairs",
+        lt_pairs.alias("lt_pairs"),
+        r4(
+            (F.col("gt_pairs") - lt_pairs).cast("double")
+            / (F.col("n_seg").cast("double") * (F.col("n_total") - F.col("n_seg")).cast("double"))
+        ).alias("cliffs_delta"),
+    )

@@ -136,3 +136,129 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+LM_UNAT = 10**6  # per-bigram logprobs quantized to integer micro-nats
+
+
+@query(
+    "text_bigram_lm_logprob",
+    oracle=f"""
+WITH bl_tok AS MATERIALIZED (
+  SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+),
+bl_uni AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cu
+  FROM (SELECT unnest(t) AS w FROM bl_tok) GROUP BY w
+),
+bl_v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM bl_uni),
+bl_big AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM bl_tok)
+),
+bl_bc AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bl_big GROUP BY w1, w2
+),
+bl_lp AS (
+  SELECT b.doc_id,
+         CAST(floor(ln(CAST(c.cb + 1 AS DOUBLE)
+                       / CAST(u.cu + bl_v.v AS DOUBLE)) * {LM_UNAT} + 0.5)
+              AS BIGINT) AS lp
+  FROM bl_big b
+  JOIN bl_bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+  JOIN bl_uni u ON b.w1 = u.w, bl_v
+),
+bl_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lp) AS BIGINT) AS lp_unats
+  FROM bl_lp GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(d.lp_unats, 0) AS BIGINT) AS lp_unats,
+       CASE WHEN d.n_bigrams > 0 THEN
+         floor((CAST(d.lp_unats AS DOUBLE) / {LM_UNAT} / d.n_bigrams)
+               * 10000 + 0.5) / 10000
+       END AS avg_logprob
+FROM bl_tok t LEFT JOIN bl_doc d ON t.doc_id = d.doc_id
+""",
+)
+def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing — the LM-quality
+    signal one tier above text_unigram_logprob (perplexity-bucket inputs,
+    fluency/quality proxy): P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) trained on
+    the corpus itself, each document scored by its mean bigram logprob.
+
+    Float parity: each bigram's logprob is one identical IEEE expression
+    (integer counts → one division → ln), then quantized to integer
+    MICRO-NATS before the per-doc sum — the basis-point rule, so the sum
+    is exact int64 and order-free on both engines; only the final mean is
+    an r4 double. Docs with <2 tokens carry 0 bigrams and a NULL score
+    (degenerate-relation rule).
+
+    Scale: two count groupBys (unigram, bigram — both Heaps-bounded vocab
+    tables, NOT corpus-sized), then the doc bigram stream equi-joins its
+    count tables on token keys (co-partitioned shuffle joins; nothing is
+    forced broadcast — AQE broadcasts the vocab sides when they fit).
+    One corpus scan feeds everything.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    t = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    uni = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    big = t.filter(F.col("n") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.col("n") - 1).alias("w1"),
+                F.expr("slice(t, 2, n - 1)").alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    lp = (
+        big.join(bc, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), "cu"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("cb") + 1).cast("double")
+                    / (F.col("cu") + F.col("v")).cast("double")
+                )
+                * LM_UNAT
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    per_doc = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp").cast("long").alias("lp_unats"),
+    )
+    return (
+        t.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lp_unats", F.lit(0)).cast("long").alias("lp_unats"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                r4(
+                    F.col("lp_unats").cast("double")
+                    / LM_UNAT
+                    / F.col("n_bigrams")
+                ),
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1433,3 +1433,122 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sq").cast("double") / mdd - mu * mu)
         ).alias("assortativity"),
     )
+
+
+# Budget for the full core-decomposition fixpoint: like KCORE_ROUNDS this
+# is the ORACLE's unroll depth + a loud-fail rail, not a convergence
+# guess — the h-index iteration (Lü et al. 2016, "The H-index of a
+# network node") converges in at most the graph's core number of effective
+# sweeps on near-dup graphs (dense, small-diameter neighborhoods); the
+# Spark loop is convergence-driven and stops the first unchanged round.
+CORENESS_ROUNDS = 24
+
+
+def _coreness_cte(rounds: int = CORENESS_ROUNDS) -> str:
+    """Unrolled h-index iteration: c0 = degree; c_{t+1}(u) = H-index of
+    u's neighbors' c_t values, computed relationally as max(least(rn, c))
+    over neighbors ranked by c desc (ties reorder equal values only, so
+    the max is order-free). AS MATERIALIZED per the DuckDB inlining rule."""
+    parts = [
+        "cr_e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+        "        UNION SELECT doc_b, doc_a FROM pairs)",
+        "cr_c0 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS c"
+        " FROM cr_e GROUP BY u)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"cr_c{r + 1} AS MATERIALIZED (\n"
+            f"  SELECT u, CAST(max(least(rn, cv)) AS BIGINT) AS c FROM (\n"
+            f"    SELECT e.u, c.c AS cv,\n"
+            f"           row_number() OVER (PARTITION BY e.u ORDER BY c.c DESC)"
+            f" AS rn\n"
+            f"    FROM cr_e e JOIN cr_c{r} c ON e.v = c.u\n"
+            f"  ) GROUP BY u\n)"
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "graph_coreness",
+    oracle=f"""
+WITH
+{_PAIRS_CTE},
+{_coreness_cte()}
+SELECT u AS doc_id, c AS coreness FROM cr_c{CORENESS_ROUNDS}
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS coreness
+  FROM cr_c{CORENESS_ROUNDS} a JOIN cr_c{CORENESS_ROUNDS - 1} b
+    ON a.u = b.u AND a.c <> b.c LIMIT 1
+)
+""",
+)
+def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL core decomposition of the near-dup graph — every edge-bearing
+    node's coreness (the largest k whose k-core contains it), the
+    density spectrum graph_k_core samples at one k: coreness stratifies
+    template/boilerplate families by how aggressively canonical dedup
+    should collapse them (a coreness-9 near-clique is one template; a
+    coreness-1 tree is incidental overlap).
+
+    Algorithm: h-index iteration (Lü et al. 2016) — c0 = degree,
+    c_{{t+1}}(u) = H-index of u's neighbors' current values, monotonically
+    non-increasing and convergent to coreness on every graph. Each round
+    is ONE join + one partitioned rank window + one groupBy over the edge
+    relation (the memoized _cc_edges checkpoint all graph keys share) —
+    the same iterative-relaxation class as BFS/LPA/CC, linear in edges per
+    round at any scale; no single-partition windows (rank partitions by
+    node). The Spark loop is CONVERGENCE-DRIVEN (stops the first round
+    with zero changed values, checked by an order-free count); the
+    {CORENESS_ROUNDS}-round budget is only the oracle's unroll depth plus
+    the loud-fail rail — past it BOTH engines emit the (-1,-1) poison row
+    (the graph_k_core contract).
+    """
+    edges = _cc_edges(spark, sf_dir)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    from pyspark.sql import Window
+
+    try:
+        c = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint()
+        )
+        converged = False
+        for _ in range(CORENESS_ROUNDS):
+            w = Window.partitionBy("u").orderBy(F.col("cv").desc())
+            nxt = (
+                edges.join(
+                    c.select(F.col("u").alias("v"), F.col("c").alias("cv")), "v"
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .groupBy("u")
+                .agg(
+                    F.max(F.least(F.col("rn").cast("long"), F.col("cv")))
+                    .cast("long")
+                    .alias("c")
+                )
+                .localCheckpoint()
+            )
+            n_changed = (
+                nxt.alias("a")
+                .join(c.alias("b"), F.col("a.u") == F.col("b.u"))
+                .filter(F.col("a.c") != F.col("b.c"))
+                .count()
+            )
+            c = nxt
+            if n_changed == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    out = c.select(F.col("u").alias("doc_id"), F.col("c").alias("coreness"))
+    if not converged:
+        out = out.unionByName(
+            c.limit(1).select(
+                F.lit(-1).cast("long").alias("doc_id"),
+                F.lit(-1).cast("long").alias("coreness"),
+            )
+        )
+    return out

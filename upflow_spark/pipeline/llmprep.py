@@ -504,3 +504,117 @@ def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum(fill).cast("long").alias("n_tokens"),
     )
+
+
+TOKEN_BUDGET_FRAC_BP = 5000  # global budget = 50% of available tokens
+
+
+@query(
+    "curation_token_budget",
+    oracle=f"""
+WITH tbsrc AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({SQL_TOKENS})) AS BIGINT) AS tokens_available,
+         CAST(sum(len({SQL_TOKENS})
+              * (1 + CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+                   + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END))
+              AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tbtot AS (
+  SELECT CAST(sum(tokens_available) AS BIGINT) AS tok_all,
+         CAST(sum(w) AS BIGINT) AS w_all,
+         CAST(sum(tokens_available) * {TOKEN_BUDGET_FRAC_BP} // 10000
+              AS BIGINT) AS budget
+  FROM tbsrc
+),
+tbsh AS MATERIALIZED (
+  SELECT s.source, s.n_docs, s.tokens_available, s.w,
+         CAST(t.budget * s.w // t.w_all AS BIGINT) AS base,
+         CAST(t.budget * s.w % t.w_all AS BIGINT) AS rem_units
+  FROM tbsrc s, tbtot t
+),
+tbleft AS (
+  SELECT CAST(t.budget - sum(s.base) AS BIGINT) AS l
+  FROM tbsh s, tbtot t GROUP BY t.budget
+),
+tbrk AS (
+  SELECT *, row_number() OVER (ORDER BY rem_units DESC, source ASC) AS rk
+  FROM tbsh
+)
+SELECT r.source, r.n_docs, r.tokens_available, r.w AS weight,
+       r.base + CASE WHEN r.rk <= lf.l THEN 1 ELSE 0 END AS quota,
+       least(r.base + CASE WHEN r.rk <= lf.l THEN 1 ELSE 0 END,
+             r.tokens_available) AS allocated
+FROM tbrk r, tbleft lf
+""",
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources — the data-mixing step
+    after quality scoring and before sampling: a global training budget
+    (here {TOKEN_BUDGET_FRAC_BP} bp = 50% of all available tokens) is
+    split across sources proportionally to QUALITY-WEIGHTED token mass
+    (weight = Σ doc_tokens · tier, tier ∈ {{1,2,3}} by length band —
+    deterministic integers, the repo's basis-point discipline), then
+    integerized by the LARGEST-REMAINDER method (floors + remainder rank,
+    source tie-break — Σ quota = budget exactly) and CAPPED at each
+    source's available tokens. A capped source leaves budget deliberately
+    unallocated in this single pass (redistribution is a second identical
+    pass a pipeline runs explicitly; silent iterative redistribution
+    would hide the shortfall the report exists to show).
+
+    EVERYTHING is exact int64 (shares are B·w // W integer divisions, so
+    even the remainders are exact — stronger than the Neyman float-share
+    variant); at 1e13-token corpora rescale w by a constant before the
+    B·w product (documented bound: B·w < 2^63). The remainder rank runs
+    over the ≤20-row source table (bounded by SOURCES, not data —
+    TINY_WINDOW_OK). One corpus scan, one groupBy(source): the same
+    shuffle bill as any per-source rollup at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    tier = (
+        F.lit(1)
+        + (F.col("n_chars") >= 200).cast("int")
+        + (F.col("n_chars") >= 400).cast("int")
+    )
+    n_tok = F.size(tokens_col()).cast("long")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("tokens_available"),
+        F.sum(n_tok * tier).cast("long").alias("w"),
+    )
+    tot = src.agg(
+        F.sum("tokens_available").cast("long").alias("tok_all"),
+        F.sum("w").cast("long").alias("w_all"),
+        F.expr(f"sum(tokens_available) * {TOKEN_BUDGET_FRAC_BP} div 10000")
+        .cast("long")
+        .alias("budget"),
+    )
+    sh = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens_available",
+        "w",
+        "budget",
+        F.expr("budget * w div w_all").cast("long").alias("base"),
+        (F.col("budget") * F.col("w") % F.col("w_all"))
+        .cast("long")
+        .alias("rem_units"),
+    )
+    left = sh.agg(
+        (F.max("budget") - F.sum("base")).cast("long").alias("l")
+    )
+    wrk = Window.orderBy(F.col("rem_units").desc(), F.col("source").asc())
+    quota = F.col("base") + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0)
+    return (
+        sh.withColumn("rk", F.row_number().over(wrk))
+        .crossJoin(F.broadcast(left))
+        .select(
+            "source",
+            "n_docs",
+            "tokens_available",
+            F.col("w").alias("weight"),
+            quota.cast("long").alias("quota"),
+            F.least(quota, F.col("tokens_available")).cast("long").alias("allocated"),
+        )
+    )

@@ -634,3 +634,79 @@ def multimodal_video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .filter(F.col("n_videos") >= 2)
     )
+
+
+@query(
+    "multimodal_image_dhash",
+    oracle="""
+SELECT doc_id, CAST(h AS BIGINT) AS height,
+       array_to_string(list_transform(range(0, h), y ->
+         array_to_string(list_transform(range(0, 15), x ->
+           CASE WHEN
+             list_sum(list_transform(range(0, 3),
+               c -> ascii(substr(text, ((y * 48 + x * 3 + c) % L) + 1, 1))))
+             >
+             list_sum(list_transform(range(0, 3),
+               c -> ascii(substr(text, ((y * 48 + (x + 1) * 3 + c) % L) + 1, 1))))
+           THEN '1' ELSE '0' END), '')), '') AS dhash
+FROM (
+  SELECT doc_id, text, length(text) AS L,
+         greatest(1, least(12, length(text) // 64)) AS h
+  FROM documents
+  WHERE length(text) > 0
+)
+""",
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) over the decoded P6 PPM images —
+    the GRADIENT twin of multimodal_image_ahash: one bit per horizontally
+    adjacent pixel pair (luma(y,x) > luma(y,x+1)), 15 bits per row over
+    the 16-pixel-wide image. dHash survives global brightness shifts that
+    flip aHash bits (the mean moves, gradients don't), so production
+    near-dup image pipelines band on BOTH (the simhash_pairs topology,
+    one band per hash family).
+
+    All comparisons are INTEGER luma sums (3 bytes per pixel) — bit-exact
+    across engines; the oracle replays the byte grid through the same
+    modular text indexing the ahash/decode keys prove. Same map-only
+    Arrow decode plumbing, one pass, no shuffle.
+    """
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    h = F.greatest(F.lit(1), F.least(F.lit(12), (F.col("n_chars") / 64).cast("long")))
+    need = (h * 48).cast("int")
+    reps = F.ceil(need / F.length("text")).cast("int")
+    header = F.concat_ws("", F.lit("P6\n16 "), h.cast("string"), F.lit("\n255\n"))
+    ppm = F.encode(
+        F.concat(header, F.substring(F.repeat(F.col("text"), reps), 1, need)),
+        "utf-8",
+    )
+    m = d.select("doc_id", ppm.alias("payload"))
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "height": [], "dhash": []}
+            for doc_id, pay in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(pay)
+                if buf[:2] != b"P6":
+                    raise ValueError("bad PPM magic")
+                nl1 = buf.index(b"\n")
+                nl2 = buf.index(b"\n", nl1 + 1)
+                nl3 = buf.index(b"\n", nl2 + 1)
+                w, hh = (int(x) for x in buf[nl1 + 1 : nl2].split())
+                pix = np.frombuffer(buf, dtype=np.uint8, offset=nl3 + 1)
+                luma = (
+                    pix.reshape(hh, w, 3).astype(np.int64).sum(axis=2)
+                )  # integer luma per pixel
+                bits = luma[:, :-1] > luma[:, 1:]
+                out["doc_id"].append(doc_id)
+                out["height"].append(hh)
+                out["dhash"].append(
+                    "".join(
+                        "1" if b else "0" for row in bits for b in row
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return m.mapInPandas(dhash, "doc_id long, height long, dhash string")

@@ -856,3 +856,153 @@ def emb_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint()
             )
     return out
+
+
+# MMR re-ranking constants: λ = 0.6 as integer tenths (6·rel − 4·maxsim —
+# the basis-point discipline), a DELIBERATELY coarser 1e-4 lattice than
+# ann_ivf's 1e-8 (weighted int64 scores must stay < 2^63: values ≤ 2e4,
+# dots ≤ 64·4e8 ≈ 2.6e10, ×6 ≈ 1.6e11 — comfortable; both engines share
+# the identical lattice so parity is exact regardless of the coarseness)
+MMR_Q = 10**4
+MMR_OFF = 10**4
+MMR_POOL = 20  # candidate pool from the relevance rail
+MMR_K = 10  # diversified result size
+MMR_LN, MMR_LD = 6, 4  # λ and 1−λ in tenths
+_MMR_LAT_SQL = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000"
+    " + 0.5) AS BIGINT) + 10000)"
+)
+_MMR_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+)
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        f"""mq AS MATERIALIZED (
+  SELECT {_MMR_LAT_SQL} AS p FROM embeddings WHERE vec_id = 0
+),
+mcand AS MATERIALIZED (
+  SELECT vec_id, rel, q FROM (
+    SELECT e.vec_id, {_MMR_DOT.format(a="q", b="mq.p")} AS rel, q
+    FROM (SELECT vec_id, {_MMR_LAT_SQL} AS q FROM embeddings
+          WHERE vec_id <> 0) e, mq
+  ) ORDER BY rel DESC, vec_id ASC LIMIT {MMR_POOL}
+),
+mpair AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST({_MMR_DOT.format(a="a.q", b="b.q")} AS BIGINT) AS dot
+  FROM mcand a JOIN mcand b ON a.vec_id <> b.vec_id
+),
+msel1 AS MATERIALIZED (
+  SELECT vec_id, CAST(rel AS BIGINT) AS rel, CAST(0 AS BIGINT) AS maxsim,
+         1 AS rank
+  FROM mcand ORDER BY rel DESC, vec_id ASC LIMIT 1
+)"""
+    ]
+    for k in range(2, MMR_K + 1):
+        parts.append(
+            f"""mpick{k} AS MATERIALIZED (
+  SELECT c.vec_id, CAST(c.rel AS BIGINT) AS rel,
+         CAST(max(p.dot) AS BIGINT) AS maxsim, {k} AS rank
+  FROM mcand c
+  JOIN mpair p ON p.a = c.vec_id
+    AND p.b IN (SELECT vec_id FROM msel{k - 1})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM msel{k - 1})
+  GROUP BY c.vec_id, c.rel
+  ORDER BY {MMR_LN} * CAST(c.rel AS BIGINT) - {MMR_LD} * CAST(max(p.dot) AS BIGINT) DESC,
+           c.vec_id ASC
+  LIMIT 1
+),
+msel{k} AS MATERIALIZED (
+  SELECT * FROM msel{k - 1} UNION ALL SELECT * FROM mpick{k}
+)"""
+        )
+    return (
+        "WITH\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(rank AS INT) AS rank, vec_id, rel AS rel_dot,
+       maxsim AS maxsim_dot,
+       CAST({MMR_LN} * rel - {MMR_LD} * maxsim AS BIGINT) AS mmr_score
+FROM msel{MMR_K} ORDER BY rank
+"""
+    )
+
+
+@query("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of a similarity result — the
+    retrieval-diversification step between top-k search and RAG context
+    assembly: from the probe's top-{MMR_POOL} relevance pool, greedily
+    select {MMR_K} items maximizing λ·rel(d) − (1−λ)·max_sim(d, selected)
+    (λ = 0.6 in integer tenths), so near-duplicate hits don't crowd the
+    context window.
+
+    Exactness: relevance and pairwise similarities are int64 dots over a
+    shared 1e-4 lattice (see MMR_Q above) — the greedy argmax chain is
+    pure integer comparison on both engines, so the 10-step selection is
+    bit-reproducible and the oracle unrolls it as 10 argmax CTE steps.
+
+    Scale: the distributed work is ONE lattice-dot scan + TakeOrdered
+    {MMR_POOL} (the sim_cosine_topk rail); the greedy fold runs on the
+    driver over the {MMR_POOL}-row pool (bounded collect — the binseg
+    "model on driver, data on cluster" topology). At 100 TB the pool
+    comes from the IVF/PQ rail instead; MMR cost is unchanged (pool-
+    sized, never corpus-sized).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    lat = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * MMR_Q + F.lit(0.5)).cast("long")
+        + F.lit(MMR_OFF),
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(lat.alias("p"))
+    rel = F.aggregate(
+        F.zip_with("q", "p", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+    pool_rows = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", lat.alias("q"))
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", rel.alias("rel"), "q")
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+        .collect()  # bounded: MMR_POOL rows × 64 ints
+    )
+    cand = {r["vec_id"]: (int(r["rel"]), list(r["q"])) for r in pool_rows}
+
+    def dot(a: list, b: list) -> int:
+        s = 0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    selected: list[tuple[int, int, int, int]] = []  # (rank, vec, rel, maxsim)
+    chosen: set = set()
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vec, (r_d, q) in sorted(cand.items()):
+            if vec in chosen:
+                continue
+            ms = (
+                max(dot(q, cand[v][1]) for _, v, _, _ in selected)
+                if selected
+                else 0
+            )
+            score = MMR_LN * r_d - MMR_LD * ms
+            if best is None or score > best[0]:  # ties: first = min vec_id
+                best = (score, vec, r_d, ms)
+        selected.append((rank, best[1], best[2], best[3]))
+        chosen.add(best[1])
+    out = [
+        (rank, vec, r_d, ms, MMR_LN * r_d - MMR_LD * ms)
+        for rank, vec, r_d, ms in selected
+    ]
+    return spark.createDataFrame(
+        out,
+        "rank int, vec_id long, rel_dot bigint, maxsim_dot bigint,"
+        " mmr_score bigint",
+    )
