@@ -182,6 +182,18 @@ PROBE_KEYS = [
     ("scan_snapshot_branch_merge", "orders 10x (4-gen COW chain, 4 ref reads)"),
     ("scan_agg_pushdown_stats", "orders 10x (manifest-only aggs + 2-file residual)"),
     ("dedup_minhash_weighted", "documents 10x (exact collapse first; <=4x shingles banded + wj verify on survivors)"),
+    # r13 wave: the composed bill (staged — replica twins die at stage 1),
+    # the coreness fixpoint (rides the ~100x-inflated replica pair graph,
+    # the graph_modularity class), and the §2-Y additions
+    ("dedup_pipeline_bill", "documents+embeddings 10x (5-stage bill; exact collapse kills replica twins first)"),
+    ("graph_coreness", "documents 10x (h-index fixpoint; ~100x replica-inflated edge set)"),
+    ("stat_cliffs_delta", "orders+customer 10x (value-count cumulatives via two-phase cumsum)"),
+    ("curation_token_budget", "documents 10x (one groupBy(source); integer largest-remainder)"),
+    ("sim_mmr_diversify", "embeddings 10x (one lattice-dot scan + TakeOrdered 20; driver fold)"),
+    ("text_bigram_lm_logprob", "documents 10x (vocab-bounded count tables joined to bigram stream)"),
+    ("multimodal_image_dhash", "documents 10x (map-only Arrow decode; integer luma gradients)"),
+    ("stream_emb_index_ingest", "embeddings 10x (4-wave replay vs persisted sign-LSH index)"),
+    ("stream_pq_index_append", "embeddings 10x (4-wave PQ encode + report vs frozen books)"),
     ("curation_quality_ensemble", "documents 10x (2 passes + doc join, 20-row rollup)"),
     ("emb_binary_hamming_topk", "embeddings 10x (2-word sign pack; popcount scan + exact rail)"),
 ]
