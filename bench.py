@@ -105,6 +105,10 @@ def main() -> None:
         "semantic_funnel_ann": "pipeline_semantic_funnel_ann",
         "tokenize_bpe": "tokenize_bpe_apply",
         "quantiles_exact": "agg_quantiles_exact_multi",
+        # r13 additions: the composed five-stage dedup bill (the flagship
+        # end-to-end pipeline) + the re-staged weighted MinHash key
+        "dedup_pipeline_bill": "dedup_pipeline_bill",
+        "dedup_minhash_weighted": "dedup_minhash_weighted",
     }
 
     # global JIT/codegen warm-up: drive shuffle + agg + window codepaths a

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import functions as F
+
 import upflow_spark  # noqa: F401
 from upflow_spark.registry import QUERIES
 
@@ -167,3 +169,89 @@ def test_pipeline_bill_stages_consistent(spark):
         assert r["n_removed"] >= 0 and r["n_in"] - r["n_removed"] == r["n_out"]
     staged = QUERIES["dedup_staged"](spark, SF).collect()[0]
     assert rows[0]["n_out"] == staged["n_survivors"]
+
+
+def test_running_distinct_bounds(spark):
+    """n_distinct_types <= min(n_events, |event-type domain|); third-type
+    timestamp present iff the user reached 3 distinct types."""
+    rows = QUERIES["win_running_distinct"](spark, SF).collect()
+    assert rows
+    n_types = (
+        QUERIES["win_running_distinct"](spark, SF)
+        .sparkSession.read.parquet(f"{SF}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert 1 <= r["n_distinct_types"] <= min(r["n_events"], n_types)
+        assert (r["third_type_us"] is not None) == (r["n_distinct_types"] >= 3)
+
+
+def test_retention_fit_internally_consistent(spark):
+    """retained <= at_risk; the fitted curve reproduces a + b*ln k at
+    every lag (same a, b on all rows)."""
+    import math
+
+    rows = QUERIES["events_retention_curve_fit"](spark, SF).collect()
+    assert rows
+    a = rows[0]["intercept_a"]
+    b = rows[0]["slope_b"]
+    for r in rows:
+        assert 0 < r["retained"] <= r["at_risk"]
+        assert r["intercept_a"] == a and r["slope_b"] == b
+        assert 0.0 < r["rate"] <= 1.0 and r["fitted_rate"] > 0.0
+
+
+def test_rouge_reference_scores_itself_perfectly(spark):
+    """Each language's reference document must score rouge1 = 1.0 (and
+    rouge2 = 1.0 where it has bigrams) against itself; all scores in
+    [0, 1]."""
+    from upflow_spark.io import load
+
+    refs = {
+        r["lang"]: r["ref_id"]
+        for r in load(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.min("doc_id").alias("ref_id"))
+        .collect()
+    }
+    rows = QUERIES["eval_rouge_ngram"](spark, SF).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for lang, rid in refs.items():
+        r = by_id[rid]
+        assert r["rouge1"] == 1.0, r
+        if r["r2_ref"] > 0:
+            assert r["rouge2"] == 1.0, r
+    for r in rows:
+        assert 0.0 <= r["rouge1"] <= 1.0
+        if r["rouge2"] is not None:
+            assert 0.0 <= r["rouge2"] <= 1.0
+
+
+def test_ols_two_factor_matches_numpy(spark):
+    """The closed-form 2-factor OLS must agree with numpy lstsq on the
+    same data (r4 tolerance) — the external-reference rail."""
+    import numpy as np
+
+    from upflow_spark.io import load
+
+    got = QUERIES["stat_ols_two_factor"](spark, SF).collect()[0]
+    pdf = (
+        load(spark, SF, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [
+            np.ones(len(pdf)),
+            pdf["l_quantity"].to_numpy(dtype=np.float64),
+            pdf["l_discount"].to_numpy(dtype=np.float64),
+        ]
+    )
+    yv = pdf["l_extendedprice"].to_numpy(dtype=np.float64)
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert abs(got["b0"] - beta[0]) < 0.01 * max(1.0, abs(beta[0]))
+    assert abs(got["b1"] - beta[1]) < 0.01 * max(1.0, abs(beta[1]))
+    assert abs(got["b2"] - beta[2]) < 0.01 * max(1.0, abs(beta[2]))
+    assert 0.0 <= got["r2"] <= 1.0

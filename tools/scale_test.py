@@ -193,7 +193,10 @@ PROBE_KEYS = [
     ("text_bigram_lm_logprob", "documents 10x (vocab-bounded count tables joined to bigram stream)"),
     ("multimodal_image_dhash", "documents 10x (map-only Arrow decode; integer luma gradients)"),
     ("stream_emb_index_ingest", "embeddings 10x (4-wave replay vs persisted sign-LSH index)"),
-    ("stream_pq_index_append", "embeddings 10x (4-wave PQ encode + report vs frozen books)"),
+    ("win_running_distinct", "events 10x (two user-partitioned windows; first-flag cumsum)"),
+    ("events_retention_curve_fit", "events 10x (one distinct user-week rollup; lag-spine joins)"),
+    ("eval_rouge_ngram", "documents 10x (distinct ngram explode joined to per-lang reference sets)"),
+    ("stat_ols_two_factor", "lineitem 10x (one scan, nine exact-decimal sufficient stats)"),
     ("curation_quality_ensemble", "documents 10x (2 passes + doc join, 20-row rollup)"),
     ("emb_binary_hamming_topk", "embeddings 10x (2-word sign pack; popcount scan + exact rail)"),
 ]

@@ -1034,3 +1034,70 @@ def agg_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_lo"),
         )
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+WITH rdm AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+  FROM events
+),
+rdr AS (
+  SELECT user_id, us, is_first,
+         CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+  FROM rdm
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(running) AS BIGINT) AS n_distinct_types,
+       CAST(min(CASE WHEN is_first = 1 AND running = 3 THEN us END)
+            AS BIGINT) AS third_type_us
+FROM rdr GROUP BY user_id
+""",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT per user over the event stream — the window
+    SQL famously can't express directly (COUNT(DISTINCT) OVER is illegal
+    in every engine): rewritten as the first-occurrence-flag cumsum, the
+    production pattern for breadth-of-engagement milestones. Graded per
+    user: event count, final distinct event-type count, and the timestamp
+    (epoch µs) at which the user first reached THREE distinct types (the
+    activation-milestone column; NULL if never).
+
+    Both windows are PARTITIONED by user (first-occurrence flag by
+    (user, type), the cumsum by user) — no global ordering anywhere, so
+    the op scales as two user-keyed shuffles at any corpus size; ties are
+    totally ordered by (ts, event_id).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts_ns div 1000").cast("long").alias("us"),
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "is_first", (F.row_number().over(w_first) == 1).cast("int")
+    ).withColumn("running", F.sum("is_first").over(w_run).cast("long"))
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("running").cast("long").alias("n_distinct_types"),
+        F.min(
+            F.when(
+                (F.col("is_first") == 1) & (F.col("running") == 3), F.col("us")
+            )
+        )
+        .cast("long")
+        .alias("third_type_us"),
+    )

@@ -725,3 +725,186 @@ def events_ab_lift_hashbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4((mean_b - mean_a) - 1.96 * se).alias("ci_lo"),
         r4((mean_b - mean_a) + 1.96 * se).alias("ci_hi"),
     )
+
+
+RETN_K = 6  # retention lags (weeks) fitted
+RETN_UNAT = 10**6  # ln values quantized to integer micro-nats before sums
+
+
+@query(
+    "events_retention_curve_fit",
+    oracle=f"""
+WITH ra AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+  FROM events
+),
+rc AS MATERIALIZED (
+  SELECT user_id, min(wk) AS cohort FROM ra GROUP BY user_id
+),
+rmx AS (SELECT max(wk) AS mx FROM ra),
+rk AS (SELECT CAST(unnest(range(1, {RETN_K} + 1)) AS BIGINT) AS k),
+rrisk AS (
+  SELECT k.k, CAST(count(*) AS BIGINT) AS at_risk
+  FROM rk k, rc, rmx WHERE rc.cohort + k.k <= rmx.mx GROUP BY k.k
+),
+rret AS (
+  SELECT k.k, CAST(count(*) AS BIGINT) AS retained
+  FROM rk k JOIN rc ON true JOIN ra
+    ON ra.user_id = rc.user_id AND ra.wk = rc.cohort + k.k
+  GROUP BY k.k
+),
+rpts AS MATERIALIZED (
+  SELECT r.k, r.at_risk, coalesce(t.retained, 0) AS retained,
+         CAST(floor(ln(CAST(coalesce(t.retained, 0) AS DOUBLE) / r.at_risk)
+              * {RETN_UNAT} + 0.5) AS BIGINT) AS ly,
+         CAST(floor(ln(CAST(r.k AS DOUBLE)) * {RETN_UNAT} + 0.5) AS BIGINT)
+           AS lx
+  FROM rrisk r LEFT JOIN rret t ON r.k = t.k
+  WHERE coalesce(t.retained, 0) > 0 AND r.at_risk > 0
+),
+rfit AS (
+  SELECT CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy
+  FROM rpts
+),
+rab AS (
+  SELECT np,
+         (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS braw
+  FROM rfit
+),
+rab2 AS (
+  SELECT rab.np, rab.braw,
+         (CAST(rfit.sy AS DOUBLE) / {RETN_UNAT}
+          - rab.braw * CAST(rfit.sx AS DOUBLE) / {RETN_UNAT})
+           / rab.np AS araw
+  FROM rab, rfit
+)
+SELECT p.k, p.at_risk, p.retained,
+       floor((CAST(p.retained AS DOUBLE) / p.at_risk) * 10000 + 0.5) / 10000
+         AS rate,
+       floor(exp(a.araw + a.braw * CAST(p.lx AS DOUBLE) / {RETN_UNAT})
+             * 10000 + 0.5) / 10000 AS fitted_rate,
+       floor(a.braw * 10000 + 0.5) / 10000 AS slope_b,
+       floor(a.araw * 10000 + 0.5) / 10000 AS intercept_a
+FROM rpts p, rab2 a
+""",
+)
+def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention power-law fit — the forecasting summary ON TOP of
+    retention_cohorts: pooled weekly retention rates r_k (users active k
+    weeks after their first-activity week / users at risk at lag k) for
+    k = 1..{RETN_K}, fitted as ln r_k = a + b·ln k (the power-law decay a
+    growth team extrapolates). Graded per lag: at-risk and retained
+    counts, the observed and fitted rate, plus the shared (a, b).
+
+    Exactness: counts are exact ints; each point's ln values are one
+    identical IEEE expression quantized to integer MICRO-NATS before the
+    fit sums (the micro-nat rule — Σ over ≤{RETN_K} points is exact
+    int64, order-free), and the closed-form least squares finishes in
+    identical double trees. Zero-retained / at-risk-empty lags drop out
+    of the fit on both sides (degenerate-relation rule).
+
+    Scale: activity = one DISTINCT (user, week) rollup; cohorts = one
+    groupBy(user) min; at-risk/retained = joins against the ≤{RETN_K}-row
+    lag spine — calendar-bounded, never event-sized, after the first
+    rollup shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    ra = (
+        ev.select(
+            "user_id",
+            F.expr("ts_ns div 1000").cast("long").alias("us"),
+        )
+        .select("user_id", F.expr("us div 604800000000").cast("long").alias("wk"))
+        .distinct()
+        .localCheckpoint()  # read by cohorts, max-week, and retained joins
+    )
+    rc = ra.groupBy("user_id").agg(F.min("wk").cast("long").alias("cohort"))
+    mx = ra.agg(F.max("wk").alias("mx"))
+    ks = spark.range(1, RETN_K + 1).select(F.col("id").cast("long").alias("k"))
+    risk = (
+        ks.crossJoin(F.broadcast(mx))
+        .join(rc, F.col("cohort") + F.col("k") <= F.col("mx"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("at_risk"))
+    )
+    ret = (
+        ks.join(rc, F.lit(True))
+        .join(
+            ra.select(F.col("user_id").alias("u2"), F.col("wk").alias("w2")),
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("w2") == F.col("cohort") + F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("retained"))
+    )
+    pts = (
+        risk.join(ret, "k", "left")
+        .select(
+            "k",
+            "at_risk",
+            F.coalesce("retained", F.lit(0)).cast("long").alias("retained"),
+        )
+        .filter((F.col("retained") > 0) & (F.col("at_risk") > 0))
+        .select(
+            "k",
+            "at_risk",
+            "retained",
+            F.floor(
+                F.log(F.col("retained").cast("double") / F.col("at_risk"))
+                * RETN_UNAT
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ly"),
+            F.floor(F.log(F.col("k").cast("double")) * RETN_UNAT + F.lit(0.5))
+            .cast("long")
+            .alias("lx"),
+        )
+        .localCheckpoint()  # read by the fit aggregate AND the output join
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+    )
+    npd = F.col("np").cast("double")
+    braw = (npd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        npd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    ab = fit.select(
+        "np",
+        braw.alias("braw"),
+        "sx",
+        "sy",
+    ).select(
+        "np",
+        "braw",
+        (
+            (
+                F.col("sy").cast("double") / RETN_UNAT
+                - F.col("braw") * F.col("sx").cast("double") / RETN_UNAT
+            )
+            / F.col("np")
+        ).alias("araw"),
+    )
+    return pts.crossJoin(F.broadcast(ab)).select(
+        "k",
+        "at_risk",
+        "retained",
+        r4(F.col("retained").cast("double") / F.col("at_risk")).alias("rate"),
+        r4(
+            F.exp(
+                F.col("araw")
+                + F.col("braw") * F.col("lx").cast("double") / RETN_UNAT
+            )
+        ).alias("fitted_rate"),
+        r4(F.col("braw")).alias("slope_b"),
+        r4(F.col("araw")).alias("intercept_a"),
+    )

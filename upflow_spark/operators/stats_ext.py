@@ -2395,3 +2395,125 @@ def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_seg").cast("double") * (F.col("n_total") - F.col("n_seg")).cast("double"))
         ).alias("cliffs_delta"),
     )
+
+
+@query(
+    "stat_ols_two_factor",
+    oracle=f"""
+WITH ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         CAST(sum({_SQL_DEC.replace("o_totalprice", "l_extendedprice")})
+              AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+         CAST(sum(CAST(l_discount AS DECIMAL(19,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+         CAST(sum(CAST(l_discount AS DECIMAL(19,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+),
+olsc AS (
+  SELECT n,
+         s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+         s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy,
+         s1 / n AS m1, s2 / n AS m2, sy / n AS my
+  FROM ols
+),
+olsb AS (
+  SELECT n, cyy, c1y, c2y, m1, m2, my,
+         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+  FROM olsc
+)
+SELECT n,
+       floor((my - b1 * m1 - b2 * m2) * 10000 + 0.5) / 10000 AS b0,
+       floor(b1 * 10000 + 0.5) / 10000 AS b1,
+       floor(b2 * 10000 + 0.5) / 10000 AS b2,
+       floor(((b1 * c1y + b2 * c2y) / cyy) * 10000 + 0.5) / 10000 AS r2
+FROM olsb
+""",
+)
+def stat_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS with intercept — extendedprice ~ quantity +
+    discount over lineitem, the multivariate step past agg_regression's
+    simple regression: coefficients from the centered normal equations
+    solved in closed form (2×2 Cramer), plus R² from the fitted
+    covariances. The model itself is the point (price scales with
+    quantity; discount's partial effect is the interesting sign), and the
+    shape is the production one: a SINGLE scan computing nine sufficient
+    statistics.
+
+    Float parity: every sufficient statistic accumulates in EXACT DECIMAL
+    (2dp values, 4dp products — order-insensitive on both engines), and
+    the solve is one identical IEEE expression tree over the nine doubles
+    (the Welch/ANOVA discipline). At 100 TB this is one map-side-combined
+    aggregate — no shuffle beyond the 1-row merge.
+    """
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    ds = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    q19 = F.col("l_quantity").cast("decimal(19,2)")
+    d19 = F.col("l_discount").cast("decimal(19,2)")
+    y19 = F.col("l_extendedprice").cast("decimal(19,2)")
+    s = load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(ds).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(d19 * ds).cast("double").alias("s22"),
+        F.sum(q19 * ds).cast("double").alias("s12"),
+        F.sum(q19 * y).cast("double").alias("s1y"),
+        F.sum(d19 * y).cast("double").alias("s2y"),
+        F.sum(y19 * y).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    c = s.select(
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b = c.select(
+        "n",
+        "cyy",
+        "c1y",
+        "c2y",
+        "m1",
+        "m2",
+        "my",
+        ((F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det).alias(
+            "b1d"
+        ),
+        ((F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias(
+            "b2d"
+        ),
+    )
+    return b.select(
+        "n",
+        r4(
+            F.col("my") - F.col("b1d") * F.col("m1") - F.col("b2d") * F.col("m2")
+        ).alias("b0"),
+        r4(F.col("b1d")).alias("b1"),
+        r4(F.col("b2d")).alias("b2"),
+        r4(
+            (F.col("b1d") * F.col("c1y") + F.col("b2d") * F.col("c2y"))
+            / F.col("cyy")
+        ).alias("r2"),
+    )

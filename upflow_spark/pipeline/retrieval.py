@@ -234,3 +234,130 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", r4(F.col("rrf_raw")).alias("rrf"))
     )
+
+
+@query(
+    "eval_rouge_ngram",
+    oracle=f"""
+WITH rgref AS MATERIALIZED (
+  SELECT lang, min(doc_id) AS ref_id FROM documents GROUP BY lang
+),
+rgu AS MATERIALIZED (
+  SELECT DISTINCT doc_id, lang, unnest({SQL_TOKENS}) AS g FROM documents
+),
+rgb AS MATERIALIZED (
+  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+  FROM (SELECT doc_id, lang, unnest(range(1, len(t))) AS i, t
+        FROM (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents))
+),
+rgru AS (SELECT r.lang, u.g FROM rgref r JOIN rgu u ON u.doc_id = r.ref_id),
+rgrb AS (SELECT r.lang, b.g FROM rgref r JOIN rgb b ON b.doc_id = r.ref_id),
+rgru_n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM rgru GROUP BY lang),
+rgrb_n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM rgrb GROUP BY lang),
+rh1 AS (
+  SELECT u.doc_id, CAST(count(*) AS BIGINT) AS h
+  FROM rgu u JOIN rgru r ON u.lang = r.lang AND u.g = r.g
+  GROUP BY u.doc_id
+),
+rh2 AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS h
+  FROM rgb b JOIN rgrb r ON b.lang = r.lang AND b.g = r.g
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(h1.h, 0) AS BIGINT) AS r1_hits,
+       u.n AS r1_ref,
+       floor((CAST(coalesce(h1.h, 0) AS DOUBLE) / u.n) * 10000 + 0.5) / 10000
+         AS rouge1,
+       CAST(coalesce(h2.h, 0) AS BIGINT) AS r2_hits,
+       coalesce(b.n, 0) AS r2_ref,
+       CASE WHEN b.n > 0 THEN
+         floor((CAST(coalesce(h2.h, 0) AS DOUBLE) / b.n) * 10000 + 0.5) / 10000
+       END AS rouge2
+FROM documents d
+JOIN rgru_n u ON d.lang = u.lang
+LEFT JOIN rgrb_n b ON d.lang = b.lang
+LEFT JOIN rh1 h1 ON d.doc_id = h1.doc_id
+LEFT JOIN rh2 h2 ON d.doc_id = h2.doc_id
+""",
+)
+def eval_rouge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-ROUGE evaluation against a per-language reference — the
+    summarization/contamination eval primitive: for every document,
+    ROUGE-1 and ROUGE-2 RECALL of its language's reference document (the
+    language's min doc_id): |distinct-ngrams(doc) ∩ distinct-ngrams(ref)|
+    / |distinct-ngrams(ref)|. The same overlap machinery an eval harness
+    runs candidate-vs-reference; here the reference set doubles as a
+    per-language similarity probe over the corpus.
+
+    Exact integer overlap counts, one IEEE division, r4 — ROUGE-2 is NULL
+    when the reference has no bigrams (degenerate-relation rule). Scale:
+    the reference ngram sets are ≤|langs|·ref-doc-length rows (tiny —
+    AQE broadcasts them; no forced hint); the corpus side is one distinct
+    ngram explode joined on (lang, gram), never doc×doc.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    refs = d.groupBy("lang").agg(F.min("doc_id").alias("ref_id"))
+    uni = d.select(
+        "doc_id", "lang", F.explode(toks).alias("g")
+    ).distinct()
+    t = d.select("doc_id", "lang", toks.alias("t"), F.size(toks).alias("n"))
+    big = (
+        t.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.col("n") - 1),
+                    F.expr("slice(t, 2, n - 1)"),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    ref_uni = uni.join(
+        refs, (uni.doc_id == refs.ref_id) & (uni.lang == refs.lang)
+    ).select(uni.lang.alias("rl"), "g")
+    ref_big = big.join(
+        refs, (big.doc_id == refs.ref_id) & (big.lang == refs.lang)
+    ).select(big.lang.alias("rl"), "g")
+    run = ref_uni.groupBy("rl").agg(F.count(F.lit(1)).cast("long").alias("r1_ref"))
+    rbn = ref_big.groupBy("rl").agg(F.count(F.lit(1)).cast("long").alias("r2_ref"))
+    h1 = (
+        uni.join(ref_uni, (uni.lang == ref_uni.rl) & (uni.g == ref_uni.g))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("r1_hits"))
+    )
+    h2 = (
+        big.join(ref_big, (big.lang == ref_big.rl) & (big.g == ref_big.g))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("r2_hits"))
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(run.withColumnRenamed("rl", "lang"), "lang")
+        .join(rbn.withColumnRenamed("rl", "lang"), "lang", "left")
+        .join(h1, "doc_id", "left")
+        .join(h2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("r1_hits", F.lit(0)).cast("long").alias("r1_hits"),
+            "r1_ref",
+            r4(
+                F.coalesce("r1_hits", F.lit(0)).cast("double") / F.col("r1_ref")
+            ).alias("rouge1"),
+            F.coalesce("r2_hits", F.lit(0)).cast("long").alias("r2_hits"),
+            F.coalesce("r2_ref", F.lit(0)).cast("long").alias("r2_ref"),
+            F.when(
+                F.col("r2_ref") > 0,
+                r4(
+                    F.coalesce("r2_hits", F.lit(0)).cast("double")
+                    / F.col("r2_ref")
+                ),
+            ).alias("rouge2"),
+        )
+    )
