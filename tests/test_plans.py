@@ -789,3 +789,16 @@ def test_no_corpus_sized_broadcast_hints():
     ]
     hits = [k for k in denied if k in sites]
     assert not hits, hits
+
+
+def test_cliffs_delta_never_pair_joins(spark):
+    """The effect-size key must count via cumulatives, not an orders x
+    orders pair join: no cartesian product anywhere, and the (value,
+    segment-value) relations reach the aggregate through rank2's
+    checkpointed two-phase cumsum, never a self-join of the fact table."""
+    plan = plan_of(spark, "stat_cliffs_delta")
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    scans = _re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)
+    assert len(scans) <= 2, plan  # orders + customer, each once

@@ -255,3 +255,16 @@ def test_ols_two_factor_matches_numpy(spark):
     assert abs(got["b1"] - beta[1]) < 0.01 * max(1.0, abs(beta[1]))
     assert abs(got["b2"] - beta[2]) < 0.01 * max(1.0, abs(beta[2]))
     assert 0.0 <= got["r2"] <= 1.0
+
+
+def test_markov_next_eval_consistent(spark):
+    """Per-state rows sum to the __ALL__ rollup; accuracy in [0,1];
+    predicted states come from the training alphabet."""
+    rows = QUERIES["events_markov_next_eval"](spark, SF).collect()
+    per = [r for r in rows if r["prev_type"] != "__ALL__"]
+    allr = [r for r in rows if r["prev_type"] == "__ALL__"][0]
+    assert sum(r["n_test"] for r in per) == allr["n_test"]
+    assert sum(r["n_correct"] for r in per) == allr["n_correct"]
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_test"]
+        assert 0.0 <= r["top1_acc"] <= 1.0

@@ -197,6 +197,7 @@ PROBE_KEYS = [
     ("events_retention_curve_fit", "events 10x (one distinct user-week rollup; lag-spine joins)"),
     ("eval_rouge_ngram", "documents 10x (distinct ngram explode joined to per-lang reference sets)"),
     ("stat_ols_two_factor", "lineitem 10x (one scan, nine exact-decimal sufficient stats)"),
+    ("events_markov_next_eval", "events 10x (lag window; margins on the 25-cell transition space)"),
     ("curation_quality_ensemble", "documents 10x (2 passes + doc join, 20-row rollup)"),
     ("emb_binary_hamming_topk", "embeddings 10x (2-word sign pack; popcount scan + exact rail)"),
 ]

@@ -908,3 +908,153 @@ def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("braw")).alias("slope_b"),
         r4(F.col("araw")).alias("intercept_a"),
     )
+
+
+MKV_SPLIT_BP = 7000  # temporal split: first 70% of the calendar window
+
+
+@query(
+    "events_markov_next_eval",
+    oracle=f"""
+WITH mne_seq AS MATERIALIZED (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+mne_win AS (
+  SELECT min(us) AS lo,
+         min(us) + (max(us) - min(us)) * {MKV_SPLIT_BP} // 10000 AS cut
+  FROM mne_seq
+),
+mne_pairs AS MATERIALIZED (
+  SELECT s.prev_type, s.event_type AS next_type, s.us < w.cut AS is_train
+  FROM mne_seq s, mne_win w WHERE s.prev_type IS NOT NULL
+),
+mne_tr AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM mne_pairs WHERE is_train GROUP BY prev_type, next_type
+),
+mne_pred AS MATERIALIZED (
+  SELECT prev_type, next_type AS predicted, n AS n_train_top FROM (
+    SELECT *, row_number() OVER (PARTITION BY prev_type
+      ORDER BY n DESC, next_type ASC) AS rk FROM mne_tr
+  ) WHERE rk = 1
+),
+mne_tr_tot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_train FROM mne_tr
+  GROUP BY prev_type
+),
+mne_te AS (
+  SELECT p.prev_type, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(count(*) FILTER (p.next_type = d.predicted) AS BIGINT)
+           AS n_correct
+  FROM mne_pairs p LEFT JOIN mne_pred d ON p.prev_type = d.prev_type
+  WHERE NOT p.is_train GROUP BY p.prev_type
+),
+mne_rows AS (
+  SELECT t.prev_type, tt.n_train, d.predicted, t.n_test, t.n_correct
+  FROM mne_te t
+  LEFT JOIN mne_pred d ON t.prev_type = d.prev_type
+  LEFT JOIN mne_tr_tot tt ON t.prev_type = tt.prev_type
+)
+SELECT prev_type, coalesce(n_train, 0) AS n_train, predicted,
+       n_test, n_correct,
+       floor((CAST(n_correct AS DOUBLE) / n_test) * 10000 + 0.5) / 10000
+         AS top1_acc
+FROM mne_rows
+UNION ALL
+SELECT '__ALL__', CAST(sum(coalesce(n_train, 0)) AS BIGINT),
+       NULL, CAST(sum(n_test) AS BIGINT), CAST(sum(n_correct) AS BIGINT),
+       floor((CAST(sum(n_correct) AS DOUBLE) / sum(n_test)) * 10000 + 0.5)
+         / 10000
+FROM mne_rows
+""",
+)
+def events_markov_next_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction EVAL on a temporal split — the honest
+    companion to events_markov_transition's fitted matrix: train the
+    first-order argmax predictor on transitions completing in the first
+    {MKV_SPLIT_BP} bp of the calendar window, score top-1 accuracy on the
+    rest (per prev_type + an __ALL__ rollup). Train-before-test is the
+    split a production sequence model actually gets; random splits leak.
+
+    Determinism: the split point is integer arithmetic on epoch-µs; the
+    per-state argmax tie-breaks (count desc, next_type asc); counts are
+    exact ints and only the accuracy divides (r4). A prev_type seen only
+    in test carries a NULL prediction and scores 0 — the honest cold-start
+    bill (degenerate-relation rule, mirrored in the oracle's left join).
+
+    Scale: one lag window over the user shuffle domain, then everything
+    aggregates on the ≤|event-type|² transition space — margin tables,
+    never event-sized joins.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.expr("ts_ns div 1000").cast("long").alias("us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    # the calendar window spans ALL events (each user's first event has no
+    # pair but still anchors min/max — the oracle measures the same span)
+    win = ev.select(F.expr("ts_ns div 1000").cast("long").alias("us")).agg(
+        (
+            F.min("us")
+            + F.expr(f"(max(us) - min(us)) * {MKV_SPLIT_BP} div 10000")
+        ).alias("cut")
+    )
+    pairs = seq.crossJoin(F.broadcast(win)).select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        (F.col("us") < F.col("cut")).alias("is_train"),
+    )
+    tr = (
+        pairs.filter("is_train")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wrk = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    pred = (
+        tr.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    tr_tot = tr.groupBy("prev_type").agg(F.sum("n").cast("long").alias("n_train"))
+    te = (
+        pairs.filter(~F.col("is_train"))
+        .join(pred, "prev_type", "left")
+        .groupBy("prev_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count(F.when(F.col("next_type") == F.col("predicted"), 1))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    rows = (
+        te.join(pred, "prev_type", "left")
+        .join(tr_tot, "prev_type", "left")
+        .select(
+            "prev_type",
+            F.coalesce("n_train", F.lit(0)).cast("long").alias("n_train"),
+            "predicted",
+            "n_test",
+            "n_correct",
+        )
+        .localCheckpoint()  # read by the per-state rows AND the rollup
+    )
+    allr = rows.agg(
+        F.lit("__ALL__").alias("prev_type"),
+        F.sum("n_train").cast("long").alias("n_train"),
+        F.lit(None).cast("string").alias("predicted"),
+        F.sum("n_test").cast("long").alias("n_test"),
+        F.sum("n_correct").cast("long").alias("n_correct"),
+    )
+    acc = r4(F.col("n_correct").cast("double") / F.col("n_test"))
+    return rows.unionByName(allr).select(
+        "prev_type", "n_train", "predicted", "n_test", "n_correct",
+        acc.alias("top1_acc"),
+    )
