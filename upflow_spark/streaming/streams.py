@@ -800,22 +800,31 @@ def _emb_sign_sigs(df: DataFrame) -> DataFrame:
             "long"
         ),
     )
-
-    def score(h: int):  # noqa: ANN202
-        return F.aggregate(
+    # ALL coefficients as ONE flat array literal (a single Literal node —
+    # 32 per-hyperplane literal arrays made the expression tree so large
+    # that every micro-batch paid ~5-9 s of analysis/codegen, measured at
+    # sf0.1; the nested-HOF form compiles in milliseconds and computes the
+    # identical int64 folds in the identical order)
+    cflat = F.lit([c for row in EMB_LSH_C for c in row]).cast("array<long>")
+    n_h = EMB_LSH_TABLES * EMB_LSH_BITS
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(n_h - 1)),
+        lambda h: F.aggregate(
             F.zip_with(
                 q,
-                F.array(*[F.lit(c).cast("long") for c in EMB_LSH_C[h]]),
+                F.slice(cflat, h * EMB_DIM + 1, EMB_DIM),
                 lambda x, y: x * y,
             ),
             F.lit(0).cast("long"),
             lambda s, v: s + v,
-        )
-
+        ),
+    )
+    sc = df.withColumn("__sc", scores)
     buckets = [
         sum(
             F.when(
-                score(t * EMB_LSH_BITS + j) >= 0, F.lit(1 << j)
+                F.element_at("__sc", t * EMB_LSH_BITS + j + 1) >= 0,
+                F.lit(1 << j),
             ).otherwise(F.lit(0))
             for j in range(EMB_LSH_BITS)
         )
@@ -823,7 +832,7 @@ def _emb_sign_sigs(df: DataFrame) -> DataFrame:
         .alias(f"b{t}")
         for t in range(EMB_LSH_TABLES)
     ]
-    return df.select("*", *buckets)
+    return sc.select(*df.columns, *buckets)
 
 
 def _sql_emb_sig_cols() -> str:
