@@ -119,6 +119,9 @@ SHOWCASE = [
     ("emb_ivf_probe_autotune", "nprobe autotune (§2-W): ONE exact-distance pass (localCheckpoint) feeds the global rail AND all four nprobe candidate legs — the plan shows the reuse, not four recomputed distance scans"),
     ("stat_wilcoxon_signed_rank", "paired rank stat (§2-W): ranks never materialize — per-|d| tie blocks via one groupBy + rank2's two-phase cumulative count; no unpartitioned window, no global sort"),
     ("text_feature_hashing", "feature hashing (§2-W): the codepoint-polynomial fold runs once per DISTINCT token (exchange on token), then a broadcast join back onto the corpus multiset; everything downstream is integer partial aggregation"),
+    ("stat_cliffs_delta", "ordinal effect size (§2-Y): NO pair join anywhere — per-(segment,value) counts + rank2's two-phase global cumulative + a PARTITIONED per-segment cumulative; the only scans are orders and customer, once each"),
+    ("win_running_distinct", "running distinct rewrite (§2-Y): COUNT(DISTINCT) OVER is illegal, so the plan is first-occurrence-flag window (user,type) -> cumsum window (user) -> groupBy — every window PARTITIONED, two user-keyed exchanges total"),
+    ("text_bigram_lm_logprob", "bigram LM scoring (§2-Y): vocab-bounded unigram/bigram count tables equi-join the bigram stream on token keys (no forced broadcast — AQE decides); the per-doc sum aggregates integer micro-nats, map-side combinable"),
 ]
 
 
