@@ -34,14 +34,24 @@ ALLOWLIST = os.path.join(ROOT, "tools", "broadcast_allowlist.json")
 
 
 def broadcast_sites() -> dict[str, int]:
-    """All F.broadcast call sites, keyed file::function::arg, -> count.
+    """All F.broadcast call sites, keyed file::function::arg@h8, -> count.
 
     The arg component is the bare variable name when the hint wraps a
     name (the reviewable case), else the AST node kind (Call/Tuple/...,
     i.e. inline expressions — overwhelmingly 1-row ``.agg(...)`` builds).
     Keys deliberately exclude line numbers so unrelated edits don't churn
     the snapshot; a count change in the same function still trips it.
+
+    ADVICE r13: a bare (file, function, name) key lets someone re-point an
+    EXISTING hinted name at a different — possibly corpus-sized — relation
+    without tripping the gate. The key therefore also carries ``@h8``, an
+    8-hex sha256 of the unparsed RHS of every assignment to that name
+    inside the same function (in source order): re-targeting a hinted
+    variable changes the hash and invalidates the snapshot, forcing the
+    --write review. Inline expressions hash their own unparsed source.
     """
+    import hashlib
+
     sites: Counter[str] = Counter()
     for dirpath, _dirs, files in os.walk(SRC):
         for fn in sorted(files):
@@ -64,6 +74,33 @@ def broadcast_sites() -> dict[str, int]:
                     walk(child, nf)
 
             walk(tree, "<module>")
+
+            # (function, var-name) -> unparsed RHS sources of every
+            # assignment to that name in that function, in source order —
+            # the identity the @h8 suffix pins (ADVICE r13)
+            assigns: dict[tuple[str, str], list[str]] = {}
+            for node in ast.walk(tree):
+                fname = parents.get(node, "<module>")
+                targets: list[ast.expr] = []
+                value: ast.expr | None = None
+                if isinstance(node, ast.Assign):
+                    targets, value = node.targets, node.value
+                elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+                    targets, value = [node.target], node.value
+                elif isinstance(node, ast.NamedExpr):
+                    targets, value = [node.target], node.value
+                if value is None:
+                    continue
+                for t in targets:
+                    for leaf in ast.walk(t):
+                        if isinstance(leaf, ast.Name):
+                            assigns.setdefault(
+                                (fname, leaf.id), []
+                            ).append(ast.unparse(value))
+
+            def h8(src: str) -> str:
+                return hashlib.sha256(src.encode()).hexdigest()[:8]
+
             for node in ast.walk(tree):
                 if (
                     isinstance(node, ast.Call)
@@ -71,13 +108,15 @@ def broadcast_sites() -> dict[str, int]:
                     and node.func.attr == "broadcast"
                 ):
                     arg = node.args[0] if node.args else None
-                    name = (
-                        arg.id
-                        if isinstance(arg, ast.Name)
-                        else type(arg).__name__
-                    )
                     fname = parents.get(node, "<module>")
-                    sites[f"{rel}::{fname}::{name}"] += 1
+                    if isinstance(arg, ast.Name):
+                        name = arg.id
+                        srcs = assigns.get((fname, name), [])
+                        tag = h8("\n".join(srcs)) if srcs else "param"
+                    else:
+                        name = type(arg).__name__
+                        tag = h8(ast.unparse(arg) if arg is not None else "")
+                    sites[f"{rel}::{fname}::{name}@{tag}"] += 1
     return dict(sorted(sites.items()))
 
 

@@ -771,10 +771,15 @@ rfit AS (
   FROM rpts
 ),
 rab AS (
+  -- degenerate-relation rule (ADVICE r13): with a single usable lag point
+  -- the slope denominator np*sxx - sx*sx is 0 and the engines' x/0
+  -- semantics diverge (DuckDB IEEE Inf/NaN vs Spark NULL) — np >= 2 drops
+  -- the fit identically on both sides (distinct k => distinct lx, so the
+  -- denominator is nonzero whenever np >= 2)
   SELECT np,
          (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
            / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS braw
-  FROM rfit
+  FROM rfit WHERE np >= 2
 ),
 rab2 AS (
   SELECT rab.np, rab.braw,
@@ -874,6 +879,11 @@ def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
         F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
     )
+    # np >= 2 mirrors the oracle's degenerate guard (ADVICE r13): one fit
+    # point makes the slope denominator exactly 0, where Spark's non-ANSI
+    # double division (NULL) and DuckDB's IEEE (Inf/NaN) silently diverge;
+    # with the guard BOTH engines emit zero rows for the degenerate input
+    fit = fit.filter(F.col("np") >= 2)
     npd = F.col("np").cast("double")
     braw = (npd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
         npd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")

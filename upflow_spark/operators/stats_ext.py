@@ -2429,16 +2429,25 @@ olsc AS (
   FROM ols
 ),
 olsb AS (
+  -- degenerate-relation rule (ADVICE r13): a constant regressor makes the
+  -- Cramer determinant exactly 0, where DuckDB's IEEE x/0 (Inf/NaN) and
+  -- Spark's non-ANSI NULL diverge silently — both sides CASE the solve to
+  -- NULL coefficients on det = 0 (and r2 to NULL on cyy = 0), so the
+  -- degenerate input produces one identical, visibly-NULL row
   SELECT n, cyy, c1y, c2y, m1, m2, my,
-         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
-         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+         CASE WHEN c11 * c22 - c12 * c12 = 0 THEN NULL
+              ELSE (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) END AS b1,
+         CASE WHEN c11 * c22 - c12 * c12 = 0 THEN NULL
+              ELSE (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) END AS b2
   FROM olsc
 )
 SELECT n,
        floor((my - b1 * m1 - b2 * m2) * 10000 + 0.5) / 10000 AS b0,
        floor(b1 * 10000 + 0.5) / 10000 AS b1,
        floor(b2 * 10000 + 0.5) / 10000 AS b2,
-       floor(((b1 * c1y + b2 * c2y) / cyy) * 10000 + 0.5) / 10000 AS r2
+       CASE WHEN cyy = 0 THEN NULL
+            ELSE floor(((b1 * c1y + b2 * c2y) / cyy) * 10000 + 0.5) / 10000
+       END AS r2
 FROM olsb
 """,
 )
@@ -2489,6 +2498,10 @@ def stat_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s2") / n).alias("m2"),
         (F.col("sy") / n).alias("my"),
     )
+    # det != 0 guard mirrors the oracle's CASE (ADVICE r13): a constant
+    # regressor zeroes the determinant, where Spark x/0 -> NULL but DuckDB
+    # -> IEEE Inf/NaN; F.when(..., expr) with no otherwise emits the same
+    # NULL the oracle's CASE does, so degenerate inputs stay identical
     det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
     b = c.select(
         "n",
@@ -2498,12 +2511,14 @@ def stat_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m1",
         "m2",
         "my",
-        ((F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det).alias(
-            "b1d"
-        ),
-        ((F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias(
-            "b2d"
-        ),
+        F.when(
+            det != 0,
+            (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det,
+        ).alias("b1d"),
+        F.when(
+            det != 0,
+            (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det,
+        ).alias("b2d"),
     )
     return b.select(
         "n",
@@ -2512,8 +2527,11 @@ def stat_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b0"),
         r4(F.col("b1d")).alias("b1"),
         r4(F.col("b2d")).alias("b2"),
-        r4(
-            (F.col("b1d") * F.col("c1y") + F.col("b2d") * F.col("c2y"))
-            / F.col("cyy")
+        F.when(
+            F.col("cyy") != 0,
+            r4(
+                (F.col("b1d") * F.col("c1y") + F.col("b2d") * F.col("c2y"))
+                / F.col("cyy")
+            ),
         ).alias("r2"),
     )

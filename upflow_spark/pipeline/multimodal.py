@@ -31,6 +31,35 @@ from upflow_spark.registry import query
 MEDIA_TYPES = ("image", "audio", "video")
 
 
+def _check_meta_ok(ok: bool, doc_id: int) -> None:
+    """Loud-fail rail for the PPM image keys (ADVICE r13): the builder sizes
+    the image from the n_chars metadata column while the oracle indexes by
+    length(text) — identical on the shipped fixtures, but a drifted fixture
+    (n_chars != length(text)) would otherwise diverge SILENTLY between the
+    engines. The builder ships the equality as a boolean per row; decode
+    refuses to proceed past a false."""
+    if not ok:
+        raise ValueError(
+            f"documents fixture drifted for doc_id={doc_id}: n_chars != "
+            "length(text) — the PPM image builder derives height from "
+            "n_chars while the oracle uses length(text); regenerate the "
+            "fixture or re-derive the keys' height source"
+        )
+
+
+def _check_ppm_body(n_body: int, w: int, h: int) -> None:
+    """Loud-fail rail #2 (ADVICE r13): the decode assumes 1 byte per char
+    (ascii) — multibyte text makes utf-8 encode() produce MORE bytes than
+    the w*h*3 the header declares, which must be a clear error, not a
+    cryptic numpy reshape failure on garbage pixels."""
+    if n_body != h * w * 3:
+        raise ValueError(
+            f"PPM body is {n_body} bytes, expected {h * w * 3} "
+            f"(w={w}, h={h}): text is not 1-byte-per-char ascii — the "
+            "image keys' byte-grid contract does not hold for this fixture"
+        )
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → opaque binary payloads with typed metadata."""
     d = load(spark, sf_dir, "documents")
@@ -178,7 +207,15 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(header, F.substring(F.repeat(F.col("text"), reps), 1, need)),
         "utf-8",
     )
-    m = d.select("doc_id", ppm.alias("payload"))
+    # meta_ok rides along so the decode kernel FAILS LOUDLY if the fixture
+    # ever drifts to n_chars != length(text) (ADVICE r13): the PPM builder
+    # sizes the image from n_chars while the oracle indexes by length(text)
+    # — a silent divergence without this rail
+    m = d.select(
+        "doc_id",
+        ppm.alias("payload"),
+        (F.col("n_chars") == F.length("text")).alias("meta_ok"),
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -205,13 +242,17 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if int(buf[nl2 + 1 : nl3]) != 255:
                     raise ValueError("unsupported maxval")
                 pix = np.frombuffer(buf, dtype=np.uint8, offset=nl3 + 1)
+                _check_ppm_body(pix.size, w, hh)
                 arr = pix.reshape(hh, w, 3).astype(np.uint64)
                 return w, hh, arr.sum(axis=(0, 1))
 
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [],
                    "sum_r": [], "sum_g": [], "sum_b": []}
-            for doc_id, pay in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, pay, ok in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta_ok"]
+            ):
+                _check_meta_ok(ok, doc_id)
                 w, hh, sums = _decode(bytes(pay))
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
@@ -315,12 +356,20 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(header, F.substring(F.repeat(F.col("text"), reps), 1, need)),
         "utf-8",
     )
-    m = d.select("doc_id", ppm.alias("payload"))
+    # meta_ok + body-size rails: see _check_meta_ok/_check_ppm_body
+    m = d.select(
+        "doc_id",
+        ppm.alias("payload"),
+        (F.col("n_chars") == F.length("text")).alias("meta_ok"),
+    )
 
     def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "height": [], "ahash": []}
-            for doc_id, pay in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, pay, ok in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta_ok"]
+            ):
+                _check_meta_ok(ok, doc_id)
                 buf = bytes(pay)
                 if buf[:2] != b"P6":
                     raise ValueError("bad PPM magic")
@@ -329,6 +378,7 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nl3 = buf.index(b"\n", nl2 + 1)
                 w, hh = (int(x) for x in buf[nl1 + 1 : nl2].split())
                 pix = np.frombuffer(buf, dtype=np.uint8, offset=nl3 + 1)
+                _check_ppm_body(pix.size, w, hh)
                 rows = pix.reshape(hh, w * 3).astype(np.int64)
                 row_sums = rows.sum(axis=1)
                 total = int(row_sums.sum())
@@ -682,12 +732,20 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(header, F.substring(F.repeat(F.col("text"), reps), 1, need)),
         "utf-8",
     )
-    m = d.select("doc_id", ppm.alias("payload"))
+    # meta_ok + body-size rails: see _check_meta_ok/_check_ppm_body
+    m = d.select(
+        "doc_id",
+        ppm.alias("payload"),
+        (F.col("n_chars") == F.length("text")).alias("meta_ok"),
+    )
 
     def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "height": [], "dhash": []}
-            for doc_id, pay in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, pay, ok in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta_ok"]
+            ):
+                _check_meta_ok(ok, doc_id)
                 buf = bytes(pay)
                 if buf[:2] != b"P6":
                     raise ValueError("bad PPM magic")
@@ -696,6 +754,7 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nl3 = buf.index(b"\n", nl2 + 1)
                 w, hh = (int(x) for x in buf[nl1 + 1 : nl2].split())
                 pix = np.frombuffer(buf, dtype=np.uint8, offset=nl3 + 1)
+                _check_ppm_body(pix.size, w, hh)
                 luma = (
                     pix.reshape(hh, w, 3).astype(np.int64).sum(axis=2)
                 )  # integer luma per pixel
