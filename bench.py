@@ -130,28 +130,36 @@ def main() -> None:
     except Exception:  # bench must still run if tools/ is absent
         VANILLA_BUILDERS = {}
 
-    def _best_of_2(build) -> float:
-        build().collect()  # warm-up: plan + IO caches
+    def _timed(build) -> tuple[float, float]:
+        """(cold_sec, warm_best_of_2_sec). The first run is TIMED (r13
+        verdict item 5: composed keys pay session-memo builds exactly
+        once, and folding that cost invisibly into the warm-up made
+        round-over-round totals cache-state noise — now it's its own
+        recorded number), then best-of-2 warm per BASELINE.md."""
+        t0 = time.perf_counter()
+        build().collect()  # cold: plan + IO caches + session memos
+        cold = time.perf_counter() - t0
         best = float("inf")
         for _ in range(2):  # best-of-2 warm, per BASELINE.md methodology
             t0 = time.perf_counter()
             build().collect()
             best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
+        return round(cold, 4), round(best, 4)
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     vanilla: dict[str, float] = {}
     for name, key in bench_keys.items():
         fn = QUERIES[key]
         try:
-            timings[name] = _best_of_2(lambda: fn(spark, sf_dir))
+            cold[name], timings[name] = _timed(lambda: fn(spark, sf_dir))
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
         tw = VANILLA_BUILDERS.get(name)
         if tw is not None and timings[name] >= 0:
             try:
-                vanilla[name] = _best_of_2(lambda: tw(spark, sf_dir))
+                _, vanilla[name] = _timed(lambda: tw(spark, sf_dir))
             except Exception as exc:
                 print(f"bench: vanilla {name} failed: {exc}", file=sys.stderr)
 
@@ -165,6 +173,10 @@ def main() -> None:
         # serial-run sentinel: False means another Spark JVM was live at
         # bench start and these timings are not comparison-grade
         "clean": not concurrent,
+        # first-run seconds per key (includes one-time session memos for
+        # the composed keys; "value" above stays the WARM total so
+        # round-over-round comparisons are cache-state-honest)
+        "cold": cold,
         # same-session vanilla twins + engine/vanilla ratio per headline
         # key — the drift-immune round-over-round comparison surface
         "vanilla": vanilla,

@@ -1,0 +1,48 @@
+"""Round-14 behavioral tests: retrieval-quality eval invariants.
+
+The oracle hash-checks eval_retrieval_ndcg's exact values; these tests pin
+the SEMANTIC claims the key makes — fusion should not degrade retrieval
+quality against the dense ground truth on the fixture (the dense arm IS
+the truth, so folding it into RRF must lift the lexical-only arm), and the
+metrics must sit in their defined ranges.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ndcg_rows(spark):
+    from upflow_spark.registry import QUERIES
+
+    rows = QUERIES["eval_retrieval_ndcg"](spark, SF).collect()
+    return {r["arm"]: r for r in rows}
+
+
+def test_ndcg_reports_both_arms(ndcg_rows):
+    assert set(ndcg_rows) == {"bm25", "rrf"}
+
+
+def test_fused_arm_at_least_as_good_as_lexical(ndcg_rows):
+    """RRF folds the ground-truth dense ranking into the lexical arm, so
+    every graded metric must be >= the BM25-only arm on the fixture."""
+    bm, rrf = ndcg_rows["bm25"], ndcg_rows["rrf"]
+    assert rrf["ndcg10"] >= bm["ndcg10"]
+    assert rrf["mrr"] >= bm["mrr"]
+    assert rrf["n_hits"] >= bm["n_hits"]
+
+
+def test_metric_ranges(ndcg_rows):
+    for r in ndcg_rows.values():
+        assert 0.0 <= r["ndcg10"] <= 1.0
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert 0 <= r["n_hits"] <= 10
+
+
+def test_rrf_first_hit_is_rank_one(ndcg_rows):
+    """The fused list's top result comes from the dense arm's rank 1 (the
+    truth's highest-gain doc) on the fixture: MRR must be exactly 1.0."""
+    assert ndcg_rows["rrf"]["mrr"] == 1.0

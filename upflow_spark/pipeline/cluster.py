@@ -1494,11 +1494,15 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Algorithm: h-index iteration (Lü et al. 2016) — c0 = degree,
     c_{{t+1}}(u) = H-index of u's neighbors' current values, monotonically
     non-increasing and convergent to coreness on every graph. Each round
-    is ONE join + one partitioned rank window + one groupBy over the edge
-    relation (the memoized _cc_edges checkpoint all graph keys share) —
-    the same iterative-relaxation class as BFS/LPA/CC, linear in edges per
-    round at any scale; no single-partition windows (rank partitions by
-    node). The Spark loop is CONVERGENCE-DRIVEN (stops the first round
+    is ONE join + one partitioned rank window + one groupBy — but only
+    over the DELTA FRONTIER (r14): since c_{{t+1}}(u) is a function of
+    neighbors' c_t alone, the round recomputes just the nodes with >= 1
+    changed neighbor (changed-set semi-join onto the memoized _cc_edges
+    checkpoint all graph keys share) and passes every other label through
+    untouched — identical round values to the full sweep, with per-round
+    cost proportional to edges INCIDENT TO the frontier instead of all
+    edges. The same iterative-relaxation class as BFS/LPA/CC; no
+    single-partition windows (rank partitions by node). The Spark loop is CONVERGENCE-DRIVEN (stops the first round
     with zero changed values, checked by an order-free count); the
     {CORENESS_ROUNDS}-round budget is only the oracle's unroll depth plus
     the loud-fail rail — past it BOTH engines emit the (-1,-1) poison row
@@ -1515,29 +1519,71 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
             .localCheckpoint()
         )
+        # Delta frontier (r13 verdict item 4): c_{t+1}(u) depends ONLY on
+        # u's neighbors' c_t values, so a node whose neighbors all held
+        # still cannot change — once the changed set is SPARSE, a round
+        # recomputes just the nodes with >= 1 changed neighbor (changed
+        # set semi-joined onto edges) and coalesces every other label
+        # through untouched. While the frontier is DENSE (> 1/4 of
+        # nodes, i.e. the first sweeps) the full recompute is kept — the
+        # semi-joins would touch ~every edge anyway and only add
+        # constant-factor stages. Round values are IDENTICAL to the full
+        # sweep either way (same synchronous h-index iteration), so the
+        # oracle's unrolled CTEs and the convergence/poison accounting
+        # are unchanged; on the degenerate replica probe (SCALE.md) the
+        # late rounds collapse from all-edges to frontier-incident edges.
+        # Materialization cadence: exactly ONE localCheckpoint + one
+        # count per round (the pagerank/LPA loop discipline) — a second
+        # per-round checkpoint chain (changed AND merged c) measured
+        # EXPONENTIAL round times here (0.2 s -> 181 s by round 22 at
+        # sf0.1), and an anti-join+union merge trips Spark's LogicalRDD
+        # constraint rewrite ("key not found: u#N") outright.
+        n_nodes = c.count()
+        frontier = None  # None = dense/full sweep (round 1: all changed)
         converged = False
         for _ in range(CORENESS_ROUNDS):
+            cv = c.select(F.col("u").alias("v"), F.col("c").alias("cv"))
             w = Window.partitionBy("u").orderBy(F.col("cv").desc())
-            nxt = (
-                edges.join(
-                    c.select(F.col("u").alias("v"), F.col("c").alias("cv")), "v"
-                )
+            if frontier is None:
+                scope = edges
+            else:
+                affected = edges.join(
+                    frontier.select(F.col("u").alias("v")), "v", "semi"
+                ).select("u")
+                scope = edges.join(affected, "u", "semi")
+            upd = (
+                scope.join(cv, "v")
                 .withColumn("rn", F.row_number().over(w))
                 .groupBy("u")
                 .agg(
                     F.max(F.least(F.col("rn").cast("long"), F.col("cv")))
                     .cast("long")
-                    .alias("c")
+                    .alias("nc")
+                )
+            )
+            # the changed flag rides INSIDE the one materialization, so a
+            # round is exactly one checkpoint job + one leaf-scan count —
+            # no separate diff-join job (r13 paid one per round)
+            c_next = (
+                c.alias("o")
+                .join(upd, F.col("o.u") == upd.u, "left")
+                .select(
+                    F.col("o.u").alias("u"),
+                    F.coalesce(F.col("nc"), F.col("o.c")).alias("c"),
+                    (
+                        F.col("nc").isNotNull()
+                        & (F.col("nc") != F.col("o.c"))
+                    ).alias("chg"),
                 )
                 .localCheckpoint()
             )
-            n_changed = (
-                nxt.alias("a")
-                .join(c.alias("b"), F.col("a.u") == F.col("b.u"))
-                .filter(F.col("a.c") != F.col("b.c"))
-                .count()
+            n_changed = c_next.filter(F.col("chg")).count()
+            frontier = (
+                None
+                if n_changed * 4 > n_nodes
+                else c_next.filter(F.col("chg")).select("u")
             )
-            c = nxt
+            c = c_next
             if n_changed == 0:
                 converged = True
                 break

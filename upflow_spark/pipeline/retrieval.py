@@ -188,20 +188,38 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_probe_topk); RRF itself stays a driver-scale list merge, which is
     exactly why production hybrid search fuses by rank, not by score.
     """
+    fused = _fused_rrf(spark, sf_dir)
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", r4(F.col("rrf_raw")).alias("rrf"))
+    )
+
+
+def _lex_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rl): BM25 lexical arm ranks 1..RRF_DEPTH (doc 0 excluded).
+
+    Rank assignment over an already-limited 100-row list: the unpartitioned
+    window is a single task over <=100 rows by construction, not a scale
+    risk. Shared by search_rrf_hybrid and eval_retrieval_ndcg."""
     lex = (
         _bm25_scored(spark, sf_dir)
         .filter(F.col("doc_id") != 0)
         .orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
         .limit(RRF_DEPTH)
     )
-    # rank assignment over an already-limited 100-row list: the unpartitioned
-    # window is a single task over ≤100 rows by construction, not a scale risk
-    lex = lex.select(
+    return lex.select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc()))
         .alias("rl"),
     )
+
+
+def _dense_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rd): dense cosine arm ranks 1..RRF_DEPTH vs doc 0's
+    embedding (doc 0 excluded) — one corpus scan into
+    TakeOrderedAndProject, probe broadcast as a 1-row relation."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _unit("embedding").alias("emb")
     )
@@ -209,30 +227,32 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(probe))
-        .select(F.col("vec_id").alias("doc_id"), _cos(F.col("emb"), F.col("p")).alias("cos_raw"))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cos(F.col("emb"), F.col("p")).alias("cos_raw"),
+        )
         .orderBy(F.col("cos_raw").desc(), F.col("doc_id").asc())
         .limit(RRF_DEPTH)
     )
-    dense = dense.select(
+    return dense.select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.col("cos_raw").desc(), F.col("doc_id").asc()))
         .alias("rd"),
     )
-    fused = (
-        lex.join(dense, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            (
-                F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0))
-                + F.coalesce(1.0 / (RRF_K + F.col("rd")), F.lit(0.0))
-            ).alias("rrf_raw"),
-        )
-    )
-    return (
-        fused.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
-        .limit(10)
-        .select("doc_id", r4(F.col("rrf_raw")).alias("rrf"))
+
+
+def _fused_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rrf_raw): reciprocal-rank fusion of the two arms' top-100
+    lists — the shared core of search_rrf_hybrid and eval_retrieval_ndcg."""
+    lex = _lex_ranked(spark, sf_dir)
+    dense = _dense_ranked(spark, sf_dir)
+    return lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rd")), F.lit(0.0))
+        ).alias("rrf_raw"),
     )
 
 
@@ -360,4 +380,178 @@ def eval_rouge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("rouge2"),
         )
+    )
+
+
+NDCG_K = 10  # graded depth for the retrieval-quality eval
+NDCG_UNIT = 1_000_000  # micro-unit quantization for order-free DCG sums
+
+
+@query(
+    "eval_retrieval_ndcg",
+    oracle=f"""
+WITH {_SQL_TF_STATS},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ({_sql_score()}) DESC, doc_id ASC) AS rl
+  FROM tf CROSS JOIN stats
+  WHERE doc_id <> 0
+),
+lex_top AS (SELECT doc_id, rl FROM lex WHERE rl <= {RRF_DEPTH}),
+probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (ORDER BY ({_sql_cos('e.embedding', 'probe.p')}) DESC,
+                            e.vec_id ASC) AS rd
+  FROM embeddings e CROSS JOIN probe
+  WHERE e.vec_id <> 0
+),
+dense_top AS (SELECT doc_id, rd FROM dense WHERE rd <= {RRF_DEPTH}),
+truth AS (
+  SELECT doc_id, CAST({NDCG_K} + 1 - rd AS BIGINT) AS gain
+  FROM dense WHERE rd <= {NDCG_K}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_K} + l.rl), 0.0)
+           + coalesce(1.0 / ({RRF_K} + d.rd), 0.0) AS rrf_raw
+  FROM lex_top l FULL OUTER JOIN dense_top d ON l.doc_id = d.doc_id
+),
+rrf_arm AS (
+  SELECT doc_id, rk FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY rrf_raw DESC, doc_id ASC) AS rk
+    FROM fused
+  ) WHERE rk <= {NDCG_K}
+),
+arms AS (
+  SELECT 'bm25' AS arm, doc_id, CAST(rl AS BIGINT) AS rk FROM lex
+  WHERE rl <= {NDCG_K}
+  UNION ALL
+  SELECT 'rrf' AS arm, doc_id, CAST(rk AS BIGINT) AS rk FROM rrf_arm
+),
+scored AS (
+  SELECT a.arm, a.rk, t.gain
+  FROM arms a LEFT JOIN truth t ON a.doc_id = t.doc_id
+),
+nspine AS (SELECT CAST(unnest(range(1, {NDCG_K} + 1)) AS BIGINT) AS i),
+idcg AS (
+  SELECT CAST(sum(CAST(floor(CAST({NDCG_K} + 1 - i AS DOUBLE)
+                 / ln(CAST(i + 1 AS DOUBLE)) * {NDCG_UNIT} + 0.5)
+            AS BIGINT)) AS BIGINT) AS idcg_u
+  FROM nspine
+)
+SELECT arm,
+       CAST(count(gain) AS BIGINT) AS n_hits,
+       floor(CAST(sum(CAST(CASE WHEN gain IS NULL THEN 0
+                 ELSE floor(CAST(gain AS DOUBLE)
+                      / ln(CAST(rk + 1 AS DOUBLE)) * {NDCG_UNIT} + 0.5)
+                 END AS BIGINT)) AS DOUBLE)
+             / CAST(idcg_u AS DOUBLE) * 10000 + 0.5) / 10000 AS ndcg10,
+       floor(coalesce(1.0 / min(CASE WHEN gain IS NOT NULL THEN rk END), 0.0)
+             * 10000 + 0.5) / 10000 AS mrr
+FROM scored, idcg
+GROUP BY arm, idcg_u
+ORDER BY arm
+""",
+)
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality gate for the lexical and hybrid arms — nDCG@10
+    and MRR of the BM25 arm and the RRF-fused arm against the
+    embedding-cosine ground truth (the dense ranking vs document 0's
+    embedding; graded gain NDCG_K+1-rank for the truth top-NDCG_K, 0 outside),
+    the standard eval every retrieval stack reports (r13 verdict item 7).
+
+    The rounded-rank discipline end to end: arm positions and truth gains
+    are exact INTEGERS (each arm's ordering is the engines' bit-identical
+    score tree, doc_id tie-breaks), each DCG term gain/ln(rank+1) is
+    quantized to integer micro-units BEFORE summation (order-free int64
+    sum — the retention micro-nat rule), and nDCG divides by the same
+    micro-unit ideal-DCG constant computed in-engine from a range spine
+    (never a Python float literal, so both engines use their own ln on
+    identical inputs). MRR is a single IEEE division by the first hit's
+    rank, 0.0 when an arm misses the truth set entirely.
+
+    Scale: both arms are the shared top-k builders (_lex_ranked /
+    _dense_ranked — corpus scan into TakeOrderedAndProject each); the
+    eval itself joins three <= RRF_DEPTH-row lists and an NDCG_K-row spine —
+    driver-scale by construction, exactly like the RRF fusion it grades.
+    """
+    lex = _lex_ranked(spark, sf_dir).localCheckpoint()  # feeds arm + fusion
+    dense = _dense_ranked(spark, sf_dir).localCheckpoint()  # arm + truth
+    truth = dense.filter(F.col("rd") <= NDCG_K).select(
+        "doc_id", (F.lit(NDCG_K + 1) - F.col("rd")).cast("long").alias("gain")
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rd")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    rrf_arm = (
+        fused.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+        .limit(NDCG_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc()))
+            .cast("long")
+            .alias("rk"),
+        )
+    )
+    bm_arm = lex.filter(F.col("rl") <= NDCG_K).select(
+        "doc_id", F.col("rl").cast("long").alias("rk")
+    )
+    arms = bm_arm.select(F.lit("bm25").alias("arm"), "doc_id", "rk").unionByName(
+        rrf_arm.select(F.lit("rrf").alias("arm"), "doc_id", "rk")
+    )
+    scored = arms.join(truth, "doc_id", "left")
+    spine = spark.range(1, NDCG_K + 1).select(F.col("id").cast("long").alias("i"))
+    idcg = spine.agg(
+        F.sum(
+            F.floor(
+                (F.lit(NDCG_K + 1) - F.col("i")).cast("double")
+                / F.log((F.col("i") + 1).cast("double"))
+                * NDCG_UNIT
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("idcg_u")
+    )
+    dcg_u = F.when(
+        F.col("gain").isNull(), F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(
+            F.col("gain").cast("double")
+            / F.log((F.col("rk") + 1).cast("double"))
+            * NDCG_UNIT
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    per_arm = (
+        scored.select("arm", "rk", "gain", dcg_u.alias("dcg_u"))
+        .groupBy("arm")
+        .agg(
+            F.count("gain").cast("long").alias("n_hits"),
+            F.sum("dcg_u").cast("long").alias("dcg_sum"),
+            F.min(F.when(F.col("gain").isNotNull(), F.col("rk"))).alias(
+                "first_hit"
+            ),
+        )
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(idcg))
+        .select(
+            "arm",
+            "n_hits",
+            r4(
+                F.col("dcg_sum").cast("double") / F.col("idcg_u").cast("double")
+            ).alias("ndcg10"),
+            r4(
+                F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0))
+            ).alias("mrr"),
+        )
+        .orderBy("arm")
     )

@@ -49,7 +49,13 @@ def get_spark(app_name: str = "upflow-spark") -> SparkSession:
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", shuffle)
-        .config("spark.driver.memory", os.environ.get("UPFLOW_DRIVER_MEM", "8g"))
+        # 24g on the 128 GiB box (r14): the 8g default left ~4g of storage
+        # memory, and the 10x scale probe's checkpointed edge relations
+        # (486 MiB/partition) thrashed in and out of the cache — evicted
+        # localCheckpoint blocks recompute their whole lineage, turning
+        # iterative keys' sf1 probes into recompute storms. On a real
+        # cluster this is per-executor storage sizing, not driver heap.
+        .config("spark.driver.memory", os.environ.get("UPFLOW_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
