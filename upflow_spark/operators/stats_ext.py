@@ -1043,7 +1043,14 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == PT_GA, 1)).alias("n_a"),
         F.count(F.when(F.col("event_type") == PT_GB, 1)).alias("n_b"),
     )
-    exploded = pool.select(
+    # r14 (guide §2.5 input skew): the filtered pool reads as ONE scan task
+    # (single-file fixture), so the ×{PT_N_PERMS} explode + per-row md5 ran
+    # serially on one core; spread the (small) pool first so the fan-out
+    # and the partial aggregation parallelize. The groupBy(b) result is
+    # unchanged — only task placement moves.
+    exploded = pool.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "v",
         F.explode(F.sequence(F.lit(0), F.lit(PT_N_PERMS - 1))).alias("b"),
         "event_id",

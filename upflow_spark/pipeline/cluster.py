@@ -1155,11 +1155,16 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    # r14 (guide §2.4/§5): materialize the co-order self-join ONCE — base_p
+    # feeds the base CC, delta_p is read three times (delta_nodes, the
+    # contraction join, the n_delta_edges stat) and each read re-ran the
+    # lineitem self-join from scratch without this checkpoint.
     pairs = (
         a.join(b, "ok")
         .filter(F.col("pa") < F.col("pb"))
         .select((F.col("ok") % 7).alias("wave"), "pa", "pb")
         .distinct()
+        .localCheckpoint()
     )
     base_p = pairs.filter(F.col("wave") == CCI_BASE).select("pa", "pb").distinct()
     delta_p = pairs.filter(F.col("wave") == CCI_DELTA).select("pa", "pb").distinct()
@@ -1539,6 +1544,13 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sf0.1), and an anti-join+union merge trips Spark's LogicalRDD
         # constraint rewrite ("key not found: u#N") outright.
         n_nodes = c.count()
+        # r14 note: unrolling multiple h-index rounds into one lineage
+        # between checkpoints was TRIED and measured 26.5 s -> 43 s: each
+        # sub-round references its predecessor 3x (cv, frontier, join
+        # base) and Spark duplicates unmaterialized subplans, so a
+        # 4-chain recomputes round 1 up to 3^4 times — the same
+        # exponential class the cadence comment below records. One
+        # checkpoint + one count per round IS the optimum cadence here.
         frontier = None  # None = dense/full sweep (round 1: all changed)
         converged = False
         for _ in range(CORENESS_ROUNDS):

@@ -69,8 +69,21 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _signatures_of(d: DataFrame) -> DataFrame:
     """MinHash signatures for any (doc_id, text, ...) DataFrame — shared by
-    the corpus-wide key and the staged (survivors-only) pipeline."""
-    tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).distinct()
+    the corpus-wide key and the staged (survivors-only) pipeline.
+
+    r14 (guide §2.4): the (doc_id, term) dedup is `array_distinct` INSIDE
+    the doc row, not a `.distinct()` over the exploded token stream.
+    Catalyst's RemoveRedundantAggregates already elided the distinct under
+    the duplicate-agnostic min() aggregates (before/after physical plans
+    are identical — plans/r14/dedup_minhash_signature_{before,after}.txt),
+    so this is defence-in-depth, not a measured win: the map-side form
+    stays shuffle-free even under consumers whose aggregates are NOT
+    duplicate-agnostic, where the optimizer rule cannot fire. Equivalent
+    because each doc is one input row and min() over duplicate term hashes
+    equals min() over distinct ones."""
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("term")
+    )
     # project the two digests BEFORE the aggregate so each md5 is computed
     # once per (doc, term) row, not once per min() expression reading it
     tokh = tok.select(
@@ -560,7 +573,16 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from upflow_spark.registry import QUERIES
 
-    sig = _signatures(spark, sf_dir).localCheckpoint()
+    # repartition BEFORE the checkpoint (the _distinct_candidates rule):
+    # with the signature agg now one shuffle (r14 array_distinct change),
+    # AQE coalesces it to one partition and every banding's quadratic
+    # bucket probe would serialize on one core (measured 7 s -> 18 s at
+    # sf0.1 without the spread)
+    sig = (
+        _signatures(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     truth = (
         QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
         .select("doc_a", "doc_b")
