@@ -793,46 +793,53 @@ def _emb_sign_sigs(df: DataFrame) -> DataFrame:
     both engines), score(h) = Σ_i q_i·c(h,i) — an exact int64 fold, so
     bucket ids are order-free AND engine-free; bucket_t packs the sign
     bits of its {EMB_LSH_BITS} hyperplanes. |q|≤~5e3, |c|<2²³, 64 terms
-    ⇒ |score| < 2⁴⁶, no overflow."""
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * EMB_Q_SCALE + F.lit(0.5)).cast(
-            "long"
-        ),
+    ⇒ |score| < 2⁴⁶, no overflow.
+
+    r14 (guide §4.2): the 32×64 multiply-add per row is an Arrow-batched
+    numpy int64 matmul, replacing the nested-HOF SQL form. History: r13
+    replaced 32 per-hyperplane literal arrays (5-9 s of analysis/codegen
+    PER micro-batch) with one flat literal + transform/aggregate HOFs —
+    which compile in milliseconds but EVALUATE interpreted, ~0.37 ms/row
+    (the sf0.1 seed corpus alone paid ~3.4 s). The kernel computes the
+    identical integers: float32→float64 cast, ·1000, +0.5, floor are the
+    same IEEE-754 double ops in numpy as in Spark's expression tree, and
+    the int64 matmul is exact (no float accumulation) with the same
+    per-term products — order of an exact integer sum is immaterial.
+    Bucket ids therefore stay engine-free and byte-identical to the
+    DuckDB oracle's literal-coefficient restatement (_sql_emb_sig_cols).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    in_cols = list(df.columns)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"b{t}", IntegerType()) for t in range(EMB_LSH_TABLES)]
     )
-    # ALL coefficients as ONE flat array literal (a single Literal node —
-    # 32 per-hyperplane literal arrays made the expression tree so large
-    # that every micro-batch paid ~5-9 s of analysis/codegen, measured at
-    # sf0.1; the nested-HOF form compiles in milliseconds and computes the
-    # identical int64 folds in the identical order)
-    cflat = F.lit([c for row in EMB_LSH_C for c in row]).cast("array<long>")
-    n_h = EMB_LSH_TABLES * EMB_LSH_BITS
-    scores = F.transform(
-        F.sequence(F.lit(0), F.lit(n_h - 1)),
-        lambda h: F.aggregate(
-            F.zip_with(
-                q,
-                F.slice(cflat, h * EMB_DIM + 1, EMB_DIM),
-                lambda x, y: x * y,
-            ),
-            F.lit(0).cast("long"),
-            lambda s, v: s + v,
-        ),
+    coeffs = np.array(EMB_LSH_C, dtype=np.int64)  # (T*BITS) × DIM
+
+    def kernel(batches):  # noqa: ANN001
+        for pdf in batches:
+            if len(pdf) == 0:
+                for t in range(EMB_LSH_TABLES):
+                    pdf[f"b{t}"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * EMB_Q_SCALE + 0.5).astype(np.int64)
+            signs = (q @ coeffs.T) >= 0  # n × (T*BITS), exact int64 scores
+            for t in range(EMB_LSH_TABLES):
+                b = np.zeros(len(pdf), dtype=np.int32)
+                for j in range(EMB_LSH_BITS):
+                    b |= signs[:, t * EMB_LSH_BITS + j].astype(np.int32) << j
+                pdf[f"b{t}"] = b
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema).select(
+        *in_cols, *[f"b{t}" for t in range(EMB_LSH_TABLES)]
     )
-    sc = df.withColumn("__sc", scores)
-    buckets = [
-        sum(
-            F.when(
-                F.element_at("__sc", t * EMB_LSH_BITS + j + 1) >= 0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-            for j in range(EMB_LSH_BITS)
-        )
-        .cast("int")
-        .alias(f"b{t}")
-        for t in range(EMB_LSH_TABLES)
-    ]
-    return sc.select(*df.columns, *buckets)
 
 
 def _sql_emb_sig_cols() -> str:
