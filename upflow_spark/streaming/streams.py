@@ -1343,7 +1343,20 @@ def stream_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id", "embedding"
             )
             wave_rows = wave_rows.localCheckpoint()  # read 4× below
-            n_vectors = wave_rows.count()
+            # r14 (guide §1.2 fewer driver round-trips): the wave count and
+            # the drift-monitor centroid ride ONE aggregate job — per pos,
+            # count(v) = n_vectors (embeddings are fixed-width 64), so the
+            # separate count() job is redundant.
+            cent_rows = (
+                wave_rows.select(
+                    F.posexplode(_dbl("embedding")).alias("pos", "v")
+                )
+                .groupBy("pos")
+                .agg(F.avg("v").alias("c"), F.count("v").alias("n"))
+                .orderBy("pos")
+                .collect()
+            )
+            n_vectors = int(cent_rows[0]["n"]) if cent_rows else 0
             # ENCODE against the frozen codebooks; APPEND = overwrite the
             # wave's own partition (retry-idempotent)
             _pq_encode_df(spark, wave_rows, books).select(
@@ -1355,6 +1368,9 @@ def stream_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             back = spark.read.parquet(os.path.join(idx_dir, f"wave={int(w)}"))
             n_codes = back.count()
             per = back.select("vec_id", F.posexplode("codes").alias("s", "c"))
+            # r14: both top-5 arms are 5-row bounded relations — collect
+            # each and intersect driver-side (2 tiny jobs) instead of a
+            # third join+count job per wave
             top_adc = (
                 per.join(F.broadcast(lut), ["s", "c"])
                 .groupBy("vec_id")
@@ -1378,20 +1394,14 @@ def stream_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(5)
                 .select("vec_id")
             )
-            overlap = top_adc.join(top_exact, "vec_id").count()
-            # drift monitor: wave centroid vs static centroid (64 bounded rows)
+            overlap = len(
+                {r["vec_id"] for r in top_adc.collect()}
+                & {r["vec_id"] for r in top_exact.collect()}
+            )
+            # drift monitor: wave centroid vs static centroid (64 bounded
+            # rows, collected with the count in cent_rows above)
             wave_cent = np.array(
-                [
-                    r["c"]
-                    for r in wave_rows.select(
-                        F.posexplode(_dbl("embedding")).alias("pos", "v")
-                    )
-                    .groupBy("pos")
-                    .agg(F.avg("v").alias("c"))
-                    .orderBy("pos")
-                    .collect()
-                ],
-                dtype=np.float64,
+                [r["c"] for r in cent_rows], dtype=np.float64
             )
             # in-order 64-term fold (numpy sequential) = oracle list_sum
             shift = float(np.sqrt(((wave_cent - static_cent) ** 2).sum()))
