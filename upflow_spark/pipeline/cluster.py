@@ -331,6 +331,15 @@ def _cc_star_fixpoint(pairs: DataFrame) -> DataFrame:
     only when the cheap check fires, so a hash collision can never
     terminate the loop early.
     """
+    # r14 (guide §2.4): materialize the caller's pair lineage ONCE — every
+    # call site passes an EXPENSIVE lazy stream (banded candidate join,
+    # GEMM cosine pairs, ANN pairs) and this function reads it from two
+    # subplans Spark will not share: the canonical edge set `e` below, and
+    # `nodes` (evaluated when the caller materializes the labels, for the
+    # isolated-center anti-join). Without this checkpoint the pair
+    # generator executed twice per fixpoint (~2 s per execution for the
+    # bill's banded join at sf0.1).
+    pairs = pairs.localCheckpoint()
     nodes = (
         pairs.select(F.col("doc_a").alias("n"))
         .unionByName(pairs.select(F.col("doc_b").alias("n")))
