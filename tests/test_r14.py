@@ -46,3 +46,25 @@ def test_rrf_first_hit_is_rank_one(ndcg_rows):
     """The fused list's top result comes from the dense arm's rank 1 (the
     truth's highest-gain doc) on the fixture: MRR must be exactly 1.0."""
     assert ndcg_rows["rrf"]["mrr"] == 1.0
+
+
+def test_weighted_verify_fallback_equals_broadcast(spark):
+    """dedup_minhash_weighted (r14): the distributed intersection-join
+    fallback (past the WVER_BCAST_DOCS broadcast ceiling) must produce the
+    EXACT report the capped-broadcast map-side verify produces — forcing
+    the cap to 0 routes every doc through the fallback."""
+    from upflow_spark.pipeline import minhash_sql as M
+    from upflow_spark.registry import QUERIES
+
+    want = sorted(
+        map(tuple, QUERIES["dedup_minhash_weighted"](spark, SF).collect())
+    )
+    cap = M.WVER_BCAST_DOCS
+    M.WVER_BCAST_DOCS = 0  # force the distributed fallback
+    try:
+        got = sorted(
+            map(tuple, QUERIES["dedup_minhash_weighted"](spark, SF).collect())
+        )
+    finally:
+        M.WVER_BCAST_DOCS = cap
+    assert got == want

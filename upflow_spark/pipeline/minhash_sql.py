@@ -677,6 +677,11 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WCAP = 4  # integer weight cap: term weight = min(count, WCAP)
 WJ_TAU_BP = 5000  # verified pair: exact weighted Jaccard >= 0.5
+# Broadcast ceiling for the weighted verify's per-doc term->c maps: 64Ki
+# candidate-relevant docs x ~4 KiB capped-count map ≈ 256 MiB, the repo's
+# established broadcast budget (the GEMM keys' ceiling). Past it the
+# verify falls back to the skinny intersection equi-join (see the key).
+WVER_BCAST_DOCS = 65536
 
 _WSIG_CTE = f"""
 wsurv AS MATERIALIZED (
@@ -862,67 +867,110 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # both self-join sides read it (the staged rule)
     )
     cand = _candidates_of_sig(sig).localCheckpoint()
-    # Exact weighted-Jaccard verify WITHOUT the pair-group shuffle (r14):
-    # the former shape joined the candidate stream against the token
-    # relation twice and re-grouped 1.3M (doc_a, doc_b) pairs to sum the
-    # per-term minima — a 13M-row expand plus a wide groupBy. Instead each
-    # doc's capped counts ride ONCE as a term->c map with its total
-    # (docrel, one row per candidate-relevant doc), the pair stream picks
-    # both maps up by equi-join, and Σ min(c_a, c_b) evaluates MAP-SIDE in
-    # one aggregate() HOF over the smaller map's entries (element_at on
-    # the other side's map; absent terms coalesce to 0 exactly as the
-    # inner intersection join dropped them). No broadcast hint on docrel —
-    # it is corpus-sized in the worst case (the r12 hard-deny class); AQE
-    # broadcasts it at runtime when it fits. The docrel relation is
-    # semi-join-scoped to candidate doc ids, so at scale it is bounded by
-    # candidates, not the corpus.
+    # Exact weighted-Jaccard verify, r14 REWORK of the map-side shape: the
+    # docrel term->c maps may only ride onto the 1.3M-row pair stream by
+    # BROADCAST — when AQE instead picked a sort-merge join (its size
+    # estimate over map columns is unreliable), every pair row carried two
+    # full maps through sort+shuffle (hub docs' maps replicated once PER
+    # PAIR) and the key nondeterministically swung 8 s -> 95-263 s at
+    # sf0.1. So the choice is now explicit and measured, the repo's
+    # broadcast-ceiling-plus-fallback pattern (the GEMM keys' discipline):
+    # cand_ids is already materialized-adjacent (cand is checkpointed), a
+    # bounded count prices the candidate-relevant doc set, and
+    #   * within the ceiling (<= WVER_BCAST_DOCS docs, <= ~256 MiB of
+    #     capped-count maps) the per-doc maps broadcast and smin evaluates
+    #     MAP-SIDE in one aggregate() HOF — pair rows stay skinny;
+    #   * past it, the skinny (doc, term, c) intersection equi-join +
+    #     re-group computes the same sums with shuffle volume
+    #     proportional to Σ|terms| — the 100 TB shape, never a
+    #     corpus-sized broadcast (the r12 hard-deny class).
+    # Identical integers either way: min-sum over common terms, absent
+    # terms contribute 0 exactly as the inner join drops them.
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
+        .localCheckpoint()
     )
-    docrel = (
-        wtok.join(cand_ids, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("term", "c"))).alias(
-                "tc"
-            ),
-            F.sum("c").cast("long").alias("tot"),
+    n_cand_docs = cand_ids.count()
+    if n_cand_docs <= WVER_BCAST_DOCS:
+        docrel = (
+            wtok.join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "c"))
+                ).alias("tc"),
+                F.sum("c").cast("long").alias("tot"),
+            )
         )
-    )
-    da = docrel.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("tc").alias("tca"),
-        F.col("tot").alias("tot_a"),
-    )
-    db = docrel.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("tc").alias("tcb"),
-        F.col("tot").alias("tot_b"),
-    )
-    wv = (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .withColumn(
-            "smin",
-            F.aggregate(
-                F.map_entries("tca"),
-                F.lit(0).cast("long"),
-                lambda acc, e: acc
-                + F.least(
-                    e["value"],
-                    F.coalesce(
-                        F.element_at(F.col("tcb"), e["key"]),
-                        F.lit(0).cast("long"),
+        da = F.broadcast(
+            docrel.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("tc").alias("tca"),
+                F.col("tot").alias("tot_a"),
+            )
+        )
+        db = F.broadcast(
+            docrel.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("tc").alias("tcb"),
+                F.col("tot").alias("tot_b"),
+            )
+        )
+        wv = (
+            cand.join(da, "doc_a")
+            .join(db, "doc_b")
+            .withColumn(
+                "smin",
+                F.aggregate(
+                    F.map_entries("tca"),
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc
+                    + F.least(
+                        e["value"],
+                        F.coalesce(
+                            F.element_at(F.col("tcb"), e["key"]),
+                            F.lit(0).cast("long"),
+                        ),
                     ),
                 ),
-            ),
+            )
         )
-        .withColumn(
-            "wj_bp",
-            F.expr("(smin * 10000) div (tot_a + tot_b - smin)").cast("long"),
+    else:  # distributed fallback: skinny-row intersection join
+        wa = wtok.select(
+            F.col("doc_id").alias("doc_a"), "term", F.col("c").alias("ca")
         )
+        wb = wtok.select(
+            F.col("doc_id").alias("doc_b"), "term", F.col("c").alias("cb")
+        )
+        inter = (
+            cand.select("doc_a", "doc_b")
+            .join(wa, "doc_a")
+            .join(wb, ["doc_b", "term"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias("smin"))
+        )
+        wtot_c = (
+            wtok.join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("tot"))
+        )
+        ta = wtot_c.select(
+            F.col("doc_id").alias("doc_a"), F.col("tot").alias("tot_a")
+        )
+        tb = wtot_c.select(
+            F.col("doc_id").alias("doc_b"), F.col("tot").alias("tot_b")
+        )
+        wv = (
+            cand.join(inter, ["doc_a", "doc_b"], "left")
+            .fillna(0, ["smin"])
+            .join(ta, "doc_a")
+            .join(tb, "doc_b")
+        )
+    wv = wv.withColumn(
+        "wj_bp",
+        F.expr("(smin * 10000) div (tot_a + tot_b - smin)").cast("long"),
     )
     agg = wv.agg(
         *[
