@@ -68,3 +68,23 @@ def test_weighted_verify_fallback_equals_broadcast(spark):
     finally:
         M.WVER_BCAST_DOCS = cap
     assert got == want
+
+
+def test_coreness_fallback_equals_broadcast(spark):
+    """graph_coreness (r14): the distributed shuffle rounds (past the
+    CORENESS_BCAST_NODES label-broadcast ceiling) must produce the EXACT
+    coreness relation the broadcast-mode rounds produce — forcing the cap
+    to 0 routes every round through the fallback."""
+    from upflow_spark.pipeline import cluster as C
+    from upflow_spark.registry import QUERIES
+
+    want = sorted(map(tuple, QUERIES["graph_coreness"](spark, SF).collect()))
+    cap = C.CORENESS_BCAST_NODES
+    C.CORENESS_BCAST_NODES = 0  # force the distributed fallback rounds
+    try:
+        got = sorted(
+            map(tuple, QUERIES["graph_coreness"](spark, SF).collect())
+        )
+    finally:
+        C.CORENESS_BCAST_NODES = cap
+    assert got == want

@@ -1457,6 +1457,16 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark loop is convergence-driven and stops the first unchanged round.
 CORENESS_ROUNDS = 24
 
+# Broadcast ceiling for the h-index loop's per-round label relation: the
+# (u, c) pairs are NODE-sized, and within ~4.2M nodes (two longs per row,
+# ≈256 MiB hashed — the repo's established broadcast budget) each round can
+# ride the labels onto the PERSISTED u-partitioned edge relation map-side,
+# making a dense round exactly ONE node-sized exchange (the carry-through
+# left join) instead of four edge-sized ones. Past the ceiling the loop
+# falls back to the distributed shuffle rounds — never a forced broadcast
+# of an unbounded relation (the r12 hard-deny class).
+CORENESS_BCAST_NODES = 1 << 22
+
 
 def _coreness_cte(rounds: int = CORENESS_ROUNDS) -> str:
     """Unrolled h-index iteration: c0 = degree; c_{t+1}(u) = H-index of
@@ -1511,11 +1521,12 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE join + one partitioned rank window + one groupBy — but only
     over the DELTA FRONTIER (r14): since c_{{t+1}}(u) is a function of
     neighbors' c_t alone, the round recomputes just the nodes with >= 1
-    changed neighbor (changed-set semi-join onto the memoized _cc_edges
-    checkpoint all graph keys share) and passes every other label through
-    untouched — identical round values to the full sweep, with per-round
-    cost proportional to edges INCIDENT TO the frontier instead of all
-    edges. The same iterative-relaxation class as BFS/LPA/CC; no
+    changed neighbor (changed-set semi-join onto the edge relation — the
+    per-call u-partitioned persisted copy in broadcast mode, the memoized
+    _cc_edges checkpoint in the distributed fallback) and passes every
+    other label through untouched — identical round values to the full
+    sweep, with per-round cost proportional to edges INCIDENT TO the
+    frontier instead of all edges. The same iterative-relaxation class as BFS/LPA/CC; no
     single-partition windows (rank partitions by node). The Spark loop is CONVERGENCE-DRIVEN (stops the first round
     with zero changed values, checked by an order-free count); the
     {CORENESS_ROUNDS}-round budget is only the oracle's unroll depth plus
@@ -1527,9 +1538,23 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     from pyspark.sql import Window
 
+    e_u = None
     try:
+        # r14 (guide §2.4 remove shuffles / §3.1 deliberate join strategy):
+        # localCheckpoint scans come back as UnknownPartitioning, so the
+        # r13 rounds paid FOUR edge-sized exchanges each (cv join on v,
+        # window on u, plus the frontier semi-joins) — the event log showed
+        # ~11 AQE stage-jobs per round, ~0.5-1 s of fixed overhead per
+        # round even with a 3-node frontier. A PERSISTED relation keeps its
+        # partitioning (InMemoryRelation pins the cached plan's output
+        # partitioning), so the edge set is repartitioned by u ONCE and
+        # every round's window/groupBy reuses that layout exchange-free;
+        # the node-sized label relation rides in by capped broadcast
+        # (ceiling + distributed fallback, the weighted-verify pattern).
+        bcast_mode = None  # decided after n_nodes is known
+        e_u = edges.repartition(8, "u").persist()
         c = (
-            edges.groupBy("u")
+            e_u.groupBy("u")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
             .localCheckpoint()
         )
@@ -1553,6 +1578,10 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sf0.1), and an anti-join+union merge trips Spark's LogicalRDD
         # constraint rewrite ("key not found: u#N") outright.
         n_nodes = c.count()
+        bcast_mode = n_nodes <= CORENESS_BCAST_NODES
+        if not bcast_mode:
+            # distributed rounds never read the cached copy — release it
+            e_u.unpersist()
         # r14 note: unrolling multiple h-index rounds into one lineage
         # between checkpoints was TRIED and measured 26.5 s -> 43 s: each
         # sub-round references its predecessor 3x (cv, frontier, join
@@ -1565,16 +1594,32 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(CORENESS_ROUNDS):
             cv = c.select(F.col("u").alias("v"), F.col("c").alias("cv"))
             w = Window.partitionBy("u").orderBy(F.col("cv").desc())
-            if frontier is None:
-                scope = edges
+            if bcast_mode:
+                # labels (and the ≤ n/4-node frontier, when set) are under
+                # the ceiling: both semi-joins and the value join evaluate
+                # against the cached u-partitioned edges with no edge-sized
+                # exchange — the window/groupBy reuse the cached layout
+                if frontier is None:
+                    scope = e_u
+                else:
+                    affected = e_u.join(
+                        F.broadcast(frontier.select(F.col("u").alias("v"))),
+                        "v",
+                        "semi",
+                    ).select("u")
+                    scope = e_u.join(affected, "u", "semi")
+                rows = scope.join(F.broadcast(cv), "v")
             else:
-                affected = edges.join(
-                    frontier.select(F.col("u").alias("v")), "v", "semi"
-                ).select("u")
-                scope = edges.join(affected, "u", "semi")
+                if frontier is None:
+                    scope = edges
+                else:
+                    affected = edges.join(
+                        frontier.select(F.col("u").alias("v")), "v", "semi"
+                    ).select("u")
+                    scope = edges.join(affected, "u", "semi")
+                rows = scope.join(cv, "v")
             upd = (
-                scope.join(cv, "v")
-                .withColumn("rn", F.row_number().over(w))
+                rows.withColumn("rn", F.row_number().over(w))
                 .groupBy("u")
                 .agg(
                     F.max(F.least(F.col("rn").cast("long"), F.col("cv")))
@@ -1610,6 +1655,9 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        if e_u is not None and bcast_mode is not False:
+            # the final c is checkpointed, so nothing downstream reads e_u
+            e_u.unpersist()
     out = c.select(F.col("u").alias("doc_id"), F.col("c").alias("coreness"))
     if not converged:
         out = out.unionByName(
