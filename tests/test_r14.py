@@ -70,6 +70,28 @@ def test_weighted_verify_fallback_equals_broadcast(spark):
     assert got == want
 
 
+def test_cosine_grid_fallback_equals_broadcast(spark):
+    """dedup_embedding_cosine (r14): past GEMM_BROADCAST_MAX_BYTES the
+    cosine kernel runs over the block-row grid instead of a broadcast B
+    operand — forcing the ceiling to 0 must leave the pair relation
+    byte-identical (same dim-sequential float64 accumulation per cell)."""
+    from upflow_spark.pipeline import dedup as D
+    from upflow_spark.registry import QUERIES
+
+    want = sorted(
+        map(tuple, QUERIES["dedup_embedding_cosine"](spark, SF).collect())
+    )
+    cap = D.GEMM_BROADCAST_MAX_BYTES
+    D.GEMM_BROADCAST_MAX_BYTES = 0  # force the grid path
+    try:
+        got = sorted(
+            map(tuple, QUERIES["dedup_embedding_cosine"](spark, SF).collect())
+        )
+    finally:
+        D.GEMM_BROADCAST_MAX_BYTES = cap
+    assert got == want and len(got) == 66
+
+
 def test_coreness_fallback_equals_broadcast(spark):
     """graph_coreness (r14): the distributed shuffle rounds (past the
     CORENESS_BCAST_NODES label-broadcast ceiling) must produce the EXACT

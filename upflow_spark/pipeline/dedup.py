@@ -791,6 +791,106 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", r4(F.col("jac_raw")).alias("jaccard"))
 
 
+def _cosine_pairs_gemm(spark, e: DataFrame, threshold: float) -> DataFrame:
+    """All (vec_a < vec_b) embedding pairs with exact cosine >= threshold,
+    via the blocked-matrix kernel discipline of :func:`_jaccard_pairs_gemm`.
+
+    r14 (guide §4.2): the previous shape evaluated the cosine as an
+    interpreted `aggregate(zip_with(...))` HOF once per pair of the
+    O(n²) BroadcastNestedLoopJoin — 12.5M pair evals × 64 dims at sf0.1,
+    measured 18-33 s on this box (HOFs codegen their PLAN but evaluate
+    their lambdas interpreted). This kernel computes the identical IEEE
+    float64 values vectorized: normalization and the dot product both
+    accumulate DIM-SEQUENTIALLY (acc = ((0 + x0·y0) + x1·y1) + …, one
+    fused numpy op per dimension, vectorized across PAIRS) — the exact
+    fold order of `_unit`/`_cos` and of the DuckDB oracle's in-order list
+    fold, so every cos_raw is bit-identical; no BLAS matmul is used
+    precisely because its pairwise-blocked summation would reassociate.
+
+    Topology (the _packed_corpus rules): the B operand is packed
+    DISTRIBUTIVELY (mapInPandas → per-partition float64 blocks), and only
+    when n·d·8 fits GEMM_BROADCAST_MAX_BYTES do the packed bytes converge
+    on the driver for the sc.broadcast; past the ceiling the kernel runs
+    over the block-row grid instead and the matrix never converges
+    anywhere (test-forced; hash-identical output either way).
+    """
+    import numpy as np
+    import pandas as pd
+
+    par = spark.sparkContext.defaultParallelism
+    thr = float(threshold)
+    n_vecs = e.count()
+    if n_vecs == 0:
+        return spark.createDataFrame([], "vec_a long, vec_b long, cos_raw double")
+    dim = len(e.limit(1).collect()[0]["embedding"])  # bounded: one row
+
+    def _norm_rows(pdf):
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        acc = np.zeros(len(ids), dtype=np.float64)
+        for k in range(v.shape[1]):  # _unit's exact fold order
+            acc = acc + v[:, k] * v[:, k]
+        return ids, v / np.sqrt(acc)[:, None]
+
+    def _score(a_ids_full, amat_full, b_ids, bmat):
+        blk = 512  # bounds the (blk × n_b) float64 score slab
+        for s in range(0, len(a_ids_full), blk):
+            aid = a_ids_full[s : s + blk]
+            a = amat_full[s : s + blk]
+            acc = np.zeros((len(aid), len(b_ids)), dtype=np.float64)
+            for k in range(a.shape[1]):  # _cos's exact fold order
+                acc += a[:, k][:, None] * bmat[:, k][None, :]
+            mask = (aid[:, None] < b_ids[None, :]) & (acc >= thr)
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": aid[ai], "vec_b": b_ids[bi], "cos_raw": acc[ai, bi]}
+            )
+
+    def pack_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, v = _norm_rows(pdf)
+            yield pd.DataFrame({"ids": [ids.tobytes()], "mat": [v.tobytes()]})
+
+    src = e.repartition(par)
+    if n_vecs * dim * 8 <= GEMM_BROADCAST_MAX_BYTES:
+        rows = src.mapInPandas(pack_kernel, "ids binary, mat binary").collect()
+        b_ids = np.concatenate([np.frombuffer(r["ids"], np.int64) for r in rows])
+        bmat = np.concatenate(
+            [np.frombuffer(r["mat"], np.float64).reshape(-1, dim) for r in rows]
+        )
+        bc = spark.sparkContext.broadcast((b_ids, bmat))
+
+        def kernel(batches):
+            bi_ids, bimat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, amat = _norm_rows(pdf)
+                yield from _score(ids, amat, bi_ids, bimat)
+
+        return src.mapInPandas(kernel, "vec_a long, vec_b long, cos_raw double")
+
+    # grid fallback: B would not fit a broadcast — all block-row pairs,
+    # each cell scored with the SAME kernel (a<b mask emits each pair once)
+    blocks = src.mapInPandas(pack_kernel, "ids binary, mat binary").localCheckpoint()
+    grid = blocks.crossJoin(
+        blocks.select(F.col("ids").alias("b_ids"), F.col("mat").alias("b_mat"))
+    )
+
+    def grid_kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                a_ids = np.frombuffer(row.ids, np.int64)
+                amat = np.frombuffer(row.mat, np.float64).reshape(-1, dim)
+                g_ids = np.frombuffer(row.b_ids, np.int64)
+                gmat = np.frombuffer(row.b_mat, np.float64).reshape(-1, dim)
+                yield from _score(a_ids, amat, g_ids, gmat)
+
+    return grid.mapInPandas(grid_kernel, "vec_a long, vec_b long, cos_raw double")
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -809,24 +909,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized pair set at every sf (66 / 59 / 920 pairs at sf0.001/0.01/0.1) so
     the cosine math is actually exercised by the oracle comparison.
 
-    Brute-force exact for the oracle; at 100 TB route candidates through
-    sim_ann_lsh buckets first, then verify with this exact cosine.
+    Brute-force exact for the oracle (via the blocked float64 kernel —
+    see :func:`_cosine_pairs_gemm` for the exact-parity argument); at
+    100 TB route candidates through sim_ann_lsh buckets first, then
+    verify with this exact cosine.
     """
-    e = load(spark, sf_dir, "embeddings").select("vec_id", _unit("embedding").alias("emb"))
-    # the fixture parquet is ONE file -> one partition; without an explicit
-    # repartition the broadcast-nested-loop pair join runs the whole O(n^2)
-    # HOF workload on a single core (measured 9+ min at sf0.1 -> seconds)
-    a = e.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    pairs = _cosine_pairs_gemm(
+        spark, load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), 0.40
     )
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
-    cos = _cos(F.col("emb_a"), F.col("emb_b"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_raw"))
-        .filter(F.col("cos_raw") >= 0.40)
-        .select("vec_a", "vec_b", r4(F.col("cos_raw")).alias("cos_sim"))
-    )
+    return pairs.select("vec_a", "vec_b", r4(F.col("cos_raw")).alias("cos_sim"))
 
 
 @query(
