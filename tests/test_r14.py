@@ -92,6 +92,28 @@ def test_cosine_grid_fallback_equals_broadcast(spark):
     assert got == want and len(got) == 66
 
 
+def test_cc_star_fallback_equals_local_kernel(spark):
+    """_cc_star_fixpoint (r14): past CC_LOCAL_MAX_EDGES the distributed
+    star alternation must produce the EXACT label relation the bounded
+    single-task kernel produces — forcing the ceiling to 0 routes the
+    fixpoint through the star loop."""
+    from upflow_spark.pipeline import cluster as C
+    from upflow_spark.registry import QUERIES
+
+    want = sorted(map(tuple, QUERIES["dedup_semantic_cc"](spark, SF).collect()))
+    C._SEM_LABEL_CACHE.clear()  # labels are memoized per app+fixture
+    cap = C.CC_LOCAL_MAX_EDGES
+    C.CC_LOCAL_MAX_EDGES = 0  # force the distributed star rounds
+    try:
+        got = sorted(
+            map(tuple, QUERIES["dedup_semantic_cc"](spark, SF).collect())
+        )
+    finally:
+        C.CC_LOCAL_MAX_EDGES = cap
+        C._SEM_LABEL_CACHE.clear()
+    assert got == want
+
+
 def test_coreness_fallback_equals_broadcast(spark):
     """graph_coreness (r14): the distributed shuffle rounds (past the
     CORENESS_BCAST_NODES label-broadcast ceiling) must produce the EXACT

@@ -315,6 +315,93 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _star_round(e: DataFrame, bcast: bool) -> DataFrame:
+    """One fused large-star + small-star round, output-identical to
+    `_small_star(_large_star(e))` (the spec shape, kept above for the
+    property tests), with two r14 physics changes (guide §2.4/§3.1):
+
+    - the intermediate large-star `.distinct()` is DROPPED: small-star's
+      min() is duplicate-agnostic and the round's final distinct dedupes
+      the linked rows, so the extra exchange bought nothing;
+    - when `bcast` (node count under the CORENESS_BCAST_NODES ceiling,
+      decided once per fixpoint by the caller) the two NODE-sized
+      min-label relations ride onto the edge stream by broadcast instead
+      of shuffling the edge set twice per round — same capped-broadcast +
+      distributed-fallback discipline as the weighted verify and the
+      coreness loop; past the ceiling every join stays a shuffle join.
+    """
+    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m1 = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    ls = (
+        nbrs.join(F.broadcast(m1) if bcast else m1, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+    linked = ls.join(F.broadcast(m2) if bcast else m2, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = m2.select("u", F.col("m").alias("v"))
+    return (
+        linked.unionByName(self_link)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+# Ceiling for the single-task CC kernel: a canonical edge set under 4M
+# rows (~64 MiB of (u,v) longs through Arrow) is solved in ONE bounded
+# executor task by the numpy min-label/pointer-jumping kernel below —
+# replacing ~6 star rounds × ~10 scheduler jobs of sub-second stages with
+# one job (the fixpoints' cost at fixture scale was pure driver/stage
+# overhead: 127-job bills with 6 s of between-job gaps). Past the ceiling
+# the large-star/small-star loop runs unchanged — the 100 TB path.
+CC_LOCAL_MAX_EDGES = 1 << 22
+
+
+def _cc_local_kernel(batches):  # noqa: ANN001, ANN201
+    """Single-task CC: emit (doc_id, component-min label) for every node of
+    the edge batch. Min-label propagation + full pointer compression, all
+    vectorized; labels are node INDICES into the np.unique-sorted id array,
+    so index mins equal id mins and the fixpoint is exactly the component
+    minimum — the same labels the star forest converges to, by definition.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ua, va = [], []
+    for pdf in batches:
+        if len(pdf):
+            ua.append(pdf["u"].to_numpy(np.int64))
+            va.append(pdf["v"].to_numpy(np.int64))
+    if not ua:
+        return
+    u = np.concatenate(ua)
+    v = np.concatenate(va)
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    a, b = inv[: len(u)], inv[len(u) :]
+    lbl = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = lbl
+        l2 = lbl.copy()
+        np.minimum.at(l2, a, lbl[b])
+        np.minimum.at(l2, b, lbl[a])
+        while True:  # full path compression (pointer jumping)
+            nxt = l2[l2]
+            if np.array_equal(nxt, l2):
+                break
+            l2 = nxt
+        if np.array_equal(l2, prev):
+            lbl = l2
+            break
+        lbl = l2
+    yield pd.DataFrame({"doc_id": ids, "lbl": ids[lbl]})
+
+
 def _cc_star_fixpoint(pairs: DataFrame) -> DataFrame:
     """Connected components via large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -351,27 +438,41 @@ def _cc_star_fixpoint(pairs: DataFrame) -> DataFrame:
         F.least("doc_a", "doc_b").alias("v"),
     ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
 
-    def _sig(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)),
-            F.sum("u"),
-            F.sum("v"),
-            F.expr("bit_xor(xxhash64(u, v))"),  # order-insensitive, no ANSI overflow
-        ).collect()[0]
-        return tuple(row)
+    if e.count() <= CC_LOCAL_MAX_EDGES:
+        # capped single-task kernel (labels identical by definition:
+        # component minimum per edge-bearing node — includes the centers)
+        member = e.coalesce(1).mapInPandas(
+            _cc_local_kernel, "doc_id long, lbl long"
+        )
+    else:
+        # distributed star alternation — the past-ceiling/100 TB path.
+        # Node count prices the per-round min-label broadcasts
+        # (see _star_round).
+        bcast = nodes.count() <= CORENESS_BCAST_NODES
 
-    prev = _sig(e)
-    for _ in range(MAX_ROUNDS * 3):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        cur = _sig(e2)
-        if cur == prev and e2.exceptAll(e).isEmpty():
+        def _sig(df: DataFrame) -> tuple:
+            row = df.agg(
+                F.count(F.lit(1)),
+                F.sum("u"),
+                F.sum("v"),
+                F.expr("bit_xor(xxhash64(u, v))"),  # order-insensitive, no ANSI overflow
+            ).collect()[0]
+            return tuple(row)
+
+        prev = _sig(e)
+        for _ in range(MAX_ROUNDS * 3):
+            e2 = _star_round(e, bcast).localCheckpoint()
+            cur = _sig(e2)
+            if cur == prev and e2.exceptAll(e).isEmpty():
+                e = e2
+                break
+            prev = cur
             e = e2
-            break
-        prev = cur
-        e = e2
-    # fixpoint is a star forest: every edge points a member at its
-    # component min; centers + isolated-in-pairs nodes label themselves
-    member = e.select(F.col("u").alias("doc_id"), F.col("v").alias("lbl"))
+        # fixpoint is a star forest: every edge points a member at its
+        # component min; centers label themselves via the anti-join below
+        member = e.select(F.col("u").alias("doc_id"), F.col("v").alias("lbl"))
+    # nodes with no canonical edge (isolated in pairs) — and, on the star
+    # path, the forest centers — label themselves
     centers = nodes.join(
         member, nodes.n == member.doc_id, "left_anti"
     ).select(F.col("n").alias("doc_id"), F.col("n").alias("lbl"))
