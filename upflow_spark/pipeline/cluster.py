@@ -211,9 +211,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     edges = _cc_edges(spark, sf_dir)
-    labels0 = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
-        "lbl", F.col("doc_id")
-    )
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct()
     # size the iteration's shuffles to the LABEL table (tiny: one row per
     # node in a dup cluster), not the session default — same per-query
     # sizing pattern as streaming's run_to_completion; each round is 2
@@ -221,7 +219,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        labels = _cc_fixpoint(edges, labels0).localCheckpoint()
+        labels = _cc_min_labels(edges, nodes).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     # keep at most one entry — see _EDGE_CACHE above (ADVICE r8/r10)
@@ -229,6 +227,31 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LABEL_CACHE.pop(stale)
     _LABEL_CACHE[key] = labels
     return labels
+
+
+def _cc_min_labels(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Identity-seeded CC — (doc_id, cluster_id = component min,
+    is_canonical) for every node of `nodes` (callers pass the distinct
+    edge-endpoint relation, optionally plus isolated nodes, so every edge
+    endpoint is labeled). r14: edge sets under CC_LOCAL_MAX_EDGES run the
+    bounded single-task numpy kernel (see _cc_local_kernel — identical
+    labels by definition, one job instead of ~3-8 pointer-jumping rounds
+    of fixed stage overhead); past the ceiling, the distributed
+    _cc_fixpoint loop runs unchanged. Isolated nodes label themselves on
+    both paths, exactly as the fixpoint's left joins do."""
+    if edges.count() <= CC_LOCAL_MAX_EDGES:
+        lbls = edges.coalesce(1).mapInPandas(
+            _cc_local_kernel, "doc_id long, lbl long"
+        )
+        iso = nodes.join(lbls, nodes.doc_id == lbls.doc_id, "left_anti").select(
+            F.col("doc_id"), F.col("doc_id").alias("lbl")
+        )
+        return lbls.unionByName(iso).select(
+            "doc_id",
+            F.col("lbl").alias("cluster_id"),
+            (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+        )
+    return _cc_fixpoint(edges, nodes.withColumn("lbl", F.col("doc_id")))
 
 
 def _cc_fixpoint(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -1290,7 +1313,7 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_e = sym(base_p).localCheckpoint()
         base_nodes = base_e.select(F.col("u").alias("doc_id")).distinct()
         base_lbl = (
-            _cc_fixpoint(base_e, base_nodes.withColumn("lbl", F.col("doc_id")))
+            _cc_min_labels(base_e, base_nodes)
             .select("doc_id", F.col("cluster_id").alias("lbl"))
             .localCheckpoint()
         )
@@ -1321,9 +1344,9 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         super_nodes = (
             sym(super_p).select(F.col("u").alias("doc_id")).distinct()
         )
-        merge_map = _cc_fixpoint(
-            sym(super_p), super_nodes.withColumn("lbl", F.col("doc_id"))
-        ).select("doc_id", F.col("cluster_id").alias("root"))
+        merge_map = _cc_min_labels(sym(super_p), super_nodes).select(
+            "doc_id", F.col("cluster_id").alias("root")
+        )
         final = labels.join(
             F.broadcast(
                 merge_map.select(F.col("doc_id").alias("lbl"), "root")
