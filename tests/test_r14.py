@@ -114,6 +114,30 @@ def test_cc_star_fallback_equals_local_kernel(spark):
     assert got == want
 
 
+def test_bpe_train_fallback_equals_local_kernel(spark):
+    """tokenize_bpe_train (r14): past BPE_TRAIN_LOCAL_MAX the distributed
+    round loop must learn the EXACT merge table the bounded single-task
+    kernel learns — forcing the ceiling to 0 routes training through the
+    distributed rounds (the learned-merge memo is cleared around both
+    runs; the oracle separately pins the dynamics)."""
+    from upflow_spark.pipeline import bpe as B
+    from upflow_spark.registry import QUERIES
+
+    B._bpe_learned_cache.clear()
+    want = sorted(map(tuple, QUERIES["tokenize_bpe_train"](spark, SF).collect()))
+    B._bpe_learned_cache.clear()
+    cap = B.BPE_TRAIN_LOCAL_MAX
+    B.BPE_TRAIN_LOCAL_MAX = 0  # force the distributed round loop
+    try:
+        got = sorted(
+            map(tuple, QUERIES["tokenize_bpe_train"](spark, SF).collect())
+        )
+    finally:
+        B.BPE_TRAIN_LOCAL_MAX = cap
+        B._bpe_learned_cache.clear()
+    assert got == want and len(got) == 16
+
+
 def test_coreness_fallback_equals_broadcast(spark):
     """graph_coreness (r14): the distributed shuffle rounds (past the
     CORENESS_BCAST_NODES label-broadcast ceiling) must produce the EXACT

@@ -561,6 +561,69 @@ def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # does not re-run the 16-round trainer.
 _bpe_learned_cache: dict = {}
 
+# Ceiling for the single-task trainer kernel: the training STATE is the
+# Heaps-bounded distinct-pretoken relation (never the corpus), and under
+# ~2M distinct pretokens the whole N_TRAIN-round loop runs in ONE bounded
+# executor task — which is also how production BPE trainers work
+# (Sennrich et al.'s reference and HF tokenizers both train single-node
+# over aggregated pretoken counts). The distributed round loop below
+# stays as the past-ceiling fallback (test-forced, identical output).
+BPE_TRAIN_LOCAL_MAX = 1 << 21
+
+
+def _bpe_train_kernel(batches):  # noqa: ANN001, ANN201
+    """Single-task BPE trainer over (pt, w) occurrence rows — the exact
+    dynamics of the distributed loop: per round, count EVERY adjacency
+    weighted by w (Sennrich counting: 'aaa' adds 2 to (a,a)), pick the
+    (count DESC, lft ASC, rgt ASC) argmax (python str order == UTF-8 byte
+    order, the engines' binary collation), then merge left-to-right
+    non-overlapping (the greedy scan is exactly the run-parity window
+    arithmetic: within a run of consecutive matches the 1st/3rd/…
+    occurrences merge). Emits the (merge_rank, lft, rgt, pair_count)
+    table; stops early when no pairs remain, like both engines."""
+    import pandas as pd
+
+    seqs: list = []
+    ws: list = []
+    for pdf in batches:
+        for pt, w in zip(pdf["pt"], pdf["w"]):
+            seqs.append(list(pt))
+            ws.append(int(w))
+    out: list = []
+    for k in range(N_TRAIN):
+        counts: dict = {}
+        for s, w in zip(seqs, ws):
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + w
+        if not counts:
+            break
+        (lft, rgt), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((k, lft, rgt, cnt))
+        for idx, s in enumerate(seqs):
+            if lft not in s:
+                continue
+            ns: list = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lft and s[i + 1] == rgt:
+                    ns.append(lft + rgt)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[idx] = ns
+    yield pd.DataFrame(
+        {
+            "merge_rank": pd.array([r[0] for r in out], dtype="int64"),
+            "lft": pd.array([r[1] for r in out], dtype="string"),
+            "rgt": pd.array([r[2] for r in out], dtype="string"),
+            "pair_count": pd.array([r[3] for r in out], dtype="int64"),
+        }
+    )
+
 
 def _bpe_train_merges(
     spark: SparkSession, sf_dir: str
@@ -584,22 +647,37 @@ def _bpe_train_merges(
         .groupBy("pt")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    st = occ.select(
-        "pt", "w", F.posexplode(F.split(F.col("pt"), "")).alias("p0", "sym")
-    ).select("pt", "w", (F.col("p0") + 1).alias("pos"), "sym")
-    st = st.localCheckpoint()
-    w_pt = Window.partitionBy("pt").orderBy("pos")
+    occ = occ.localCheckpoint()  # read by the gate count AND the kernel/loop
     learned: list[tuple[int, str, str, int]] = []
-    # size the per-round shuffles (pair groupBy + pt-partitioned windows)
-    # to the vocab-sized state, not the session default — 200-partition
-    # tasks on a Heaps-bounded relation are pure scheduler overhead
-    # (the stream_emb_index_ingest per-wave sizing pattern)
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        _train_rounds(spark, st, w_pt, learned)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
+    if occ.count() <= BPE_TRAIN_LOCAL_MAX:
+        # r14: bounded single-task trainer over the Heaps-bounded pretoken
+        # counts (see BPE_TRAIN_LOCAL_MAX) — one job instead of N_TRAIN
+        # rounds × (argmax collect + window checkpoint) of stage overhead
+        rows = occ.coalesce(1).mapInPandas(
+            _bpe_train_kernel,
+            "merge_rank long, lft string, rgt string, pair_count long",
+        ).collect()
+        learned.extend(
+            (int(r["merge_rank"]), str(r["lft"]), str(r["rgt"]), int(r["pair_count"]))
+            for r in rows
+        )
+        learned.sort()
+    else:
+        st = occ.select(
+            "pt", "w", F.posexplode(F.split(F.col("pt"), "")).alias("p0", "sym")
+        ).select("pt", "w", (F.col("p0") + 1).alias("pos"), "sym")
+        st = st.localCheckpoint()
+        w_pt = Window.partitionBy("pt").orderBy("pos")
+        # size the per-round shuffles (pair groupBy + pt-partitioned windows)
+        # to the vocab-sized state, not the session default — 200-partition
+        # tasks on a Heaps-bounded relation are pure scheduler overhead
+        # (the stream_emb_index_ingest per-wave sizing pattern)
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            _train_rounds(spark, st, w_pt, learned)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
     _bpe_learned_cache[key] = learned
     return learned
 
