@@ -99,8 +99,85 @@ def _merge_map(merges: list[tuple[str, str]] = MERGES):
     return F.create_map(*kv)
 
 
+# Ceiling for the single-task encode kernel: the apply state is position
+# rows over the Heaps-bounded DISTINCT-pretoken relation; under ~4M rows
+# the whole n_iter-round loop runs in ONE bounded executor task (the
+# BPE_TRAIN_LOCAL_MAX rationale — production encoders apply merge tables
+# per pretoken locally). Past it, the distributed window loop below runs
+# unchanged (test-forced, identical output).
+BPE_APPLY_LOCAL_MAX = 1 << 22
+
+
+def _bpe_apply_kernel(merges: list):  # noqa: ANN201
+    """mapInPandas kernel: per pretoken, n_iter rounds of 'merge the
+    minimum-rank adjacent pair's occurrences left-to-right
+    non-overlapping' — the exact per-round dynamics of the window loop
+    (per-pt best rank via min; run-parity == greedy scan), with ranks
+    keyed by (lft, rgt) TUPLES, which cannot collide (the loop needs the
+    \\x01 separator only because Catalyst map keys are strings). Position
+    values are the surviving row's original pos, as the loop keeps them.
+    A pretoken with no table pair present can never gain one without a
+    merge, so its early break skips provably idle rounds."""
+    rank_of = {(lft, rgt): i for i, (lft, rgt) in enumerate(merges)}
+    n_iter = len(merges)
+
+    def kernel(batches):  # noqa: ANN001, ANN202
+        import pandas as pd
+
+        by_pt: dict = {}
+        for pdf in batches:
+            for pt, pos, sym in zip(pdf["pt"], pdf["pos"], pdf["sym"]):
+                by_pt.setdefault(pt, []).append((int(pos), str(sym)))
+        opt: list = []
+        opos: list = []
+        osym: list = []
+        for pt, seq in by_pt.items():
+            seq.sort()
+            for _ in range(n_iter):
+                best = None
+                for i in range(len(seq) - 1):
+                    r = rank_of.get((seq[i][1], seq[i + 1][1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                lft, rgt = merges[best]
+                ns: list = []
+                i = 0
+                while i < len(seq):
+                    if (
+                        i + 1 < len(seq)
+                        and seq[i][1] == lft
+                        and seq[i + 1][1] == rgt
+                    ):
+                        ns.append((seq[i][0], lft + rgt))
+                        i += 2
+                    else:
+                        ns.append(seq[i])
+                        i += 1
+                seq = ns
+            for pos, sym in seq:
+                opt.append(pt)
+                opos.append(pos)
+                osym.append(sym)
+        yield pd.DataFrame(
+            {
+                "pt": pd.array(opt, dtype="string"),
+                "pos": pd.array(opos, dtype="int32"),
+                "sym": pd.array(osym, dtype="string"),
+            }
+        )
+
+    return kernel
+
+
 def _run_merge_loop(st: DataFrame, merges: list[tuple[str, str]] = MERGES) -> DataFrame:
     """Apply the full unrolled merge loop to a (pt, pos, sym) state."""
+    if st.count() <= BPE_APPLY_LOCAL_MAX:
+        return st.coalesce(1).mapInPandas(
+            _bpe_apply_kernel([(str(a), str(b)) for a, b in merges]),
+            "pt string, pos int, sym string",
+        )
     mm = _merge_map(merges)
     n_iter = len(merges)
     w_pt = Window.partitionBy("pt").orderBy("pos")
