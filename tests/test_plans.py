@@ -631,6 +631,7 @@ TINY_WINDOW_OK = {
     "q_top_supplier_revenue": "scalar max window over the ~100-group revenue view (Q15 decorrelation)",
     "ratio_to_report": "share window over the 25-row nation aggregate",
     "search_rrf_hybrid": "rank fuse over two ≤100-row TakeOrdered retrieval arms",
+    "eval_retrieval_ndcg": "rank over the LIMIT NDCG_K(=10) TakeOrdered fused arm (bounded by the metric's K, not data)",
     "sort_nulls_ordering": "row_number over the LIMIT 50 TakeOrdered result",
     "text_zipf_slope": "rank over the bounded (Heaps-law) term vocabulary",
     "stat_theil_sen": "median rank over O(day-span²) slope pairs — scale-invariant in rows",
