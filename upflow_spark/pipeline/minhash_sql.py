@@ -147,28 +147,41 @@ def _distinct_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAIR_SALT_G = 16  # pair-generation salt groups (see _candidates_of_sig)
+# Salt ONLY the shuffle-path candidate join (r15 — fixes the r14
+# dedup_staged regression, VERDICT r14 item 1): under a BroadcastHashJoin
+# the probe side keeps its own (already round-robin-spread) partitioning,
+# so a hot bucket's quadratic fan-out is ALREADY split across every probe
+# task — a build-side salt there multiplies the broadcast hash relation
+# G× for ZERO parallelism gain (the r14 unconditional G=16 explode+
+# broadcast regressed dedup_staged 2.0 s → 11.0 s warm at the driver's
+# local[32]; measured histograms show the staged/corpus sigs carry ~2290-
+# doc buckets and ran fine UNSALTED in r13 precisely because of this).
+# Salting earns its keep only when the band relation exceeds the
+# broadcast ceiling and the join shuffles on (band_idx, band_hash): there
+# ONE degenerate bucket key is unsplittable by AQE's skew handling (guide
+# §2.5 — it cannot split a single enormous key), and the G-way probe-salt
+# carves it into G independent keys. The gate is the band relation's own
+# row count: 4 bands × ~200 B/row ≈ 400 MiB at the ceiling, the repo's
+# broadcast budget class — below it AQE picks broadcast-hash at runtime.
+PAIR_SALT_MIN_DOCS = 1 << 19
 
 
-def _candidates_of_sig(sig: DataFrame) -> DataFrame:
+def _candidates_of_sig(sig: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Banded candidate pairs from a materialized signature table.
 
-    r14 skew fix: a hot band bucket generates |bucket|²/2 pairs inside ONE
-    join key — at sf0.1 the weighted key's worst bucket held 833 docs
-    (347k pairs, 26% of the stream) on a single task while 31 cores sat
-    idle. The build side is therefore SALTED: each probe row carries
-    g = doc_id % G (G = PAIR_SALT_G), the build side replicates every row G× with a
-    rep_j column, and the equi-join adds rep_j = g — splitting each
-    bucket's quadratic fan-out across G independent join keys. Output
-    rows are IDENTICAL (each (a,b) pair matches exactly the one replica
-    with rep_j = g_b); only the parallelism changes. Build-side blowup is
-    |sig|·bands·G tiny rows — noise next to the pair stream it
-    parallelizes. The same shape is the documented salting pattern in
-    operators/scale_patterns.py (join_skew_salted).
+    `n_docs` (the signature row count) gates the shuffle-path salt — see
+    PAIR_SALT_MIN_DOCS above; callers that already know the count pass it,
+    otherwise one metadata-cheap count job on the (checkpointed) sig
+    relation prices the gate. Output rows are IDENTICAL salted or not
+    (each (a,b) pair matches exactly the one replica with rep_j = g_b);
+    only the join's physical parallelism changes.
     """
     # band value = the 4-tuple itself (struct equality join) — identical
     # semantics to the oracle's per-column band equality, no hash-collision
     # false-positive path to reason about
-    G = PAIR_SALT_G
+    if n_docs is None:
+        n_docs = sig.count()
+    G = PAIR_SALT_G if n_docs > PAIR_SALT_MIN_DOCS else 1
     bands = sig.select(
         "doc_id",
         *[F.col(f"mh{i}") for i in range(K_HASHES)],
@@ -189,14 +202,18 @@ def _candidates_of_sig(sig: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", *[f"mh{i}" for i in range(K_HASHES)], "band.band_idx", "band.band_hash")
-    a = (
-        bands.withColumn(
-            "rep_j", F.explode(F.array(*[F.lit(j) for j in range(G)]))
-        )
-    ).alias("a")
-    b = bands.withColumn("g", F.pmod(F.col("doc_id"), F.lit(G)).cast("int")).alias(
-        "b"
-    )
+    if G > 1:
+        a = (
+            bands.withColumn(
+                "rep_j", F.explode(F.array(*[F.lit(j) for j in range(G)]))
+            )
+        ).alias("a")
+        b = bands.withColumn(
+            "g", F.pmod(F.col("doc_id"), F.lit(G)).cast("int")
+        ).alias("b")
+    else:
+        a = bands.alias("a")
+        b = bands.alias("b")
 
     def band_agrees(bi: int):  # noqa: ANN202
         cond = F.lit(True)
@@ -217,14 +234,15 @@ def _candidates_of_sig(sig: DataFrame) -> DataFrame:
         F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
         for i in range(K_HASHES)
     )
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if G > 1:
+        cond = cond & (F.col("a.rep_j") == F.col("b.g"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.rep_j") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .filter(first_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -815,7 +833,7 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv.select("doc_id", F.explode(tokens_col()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.least(F.count(F.lit(1)), F.lit(WCAP)).cast("long").alias("c"))
-        # repartition BEFORE the checkpoint: AQE coalesces this small
+        # repartition BEFORE the persist: AQE coalesces this small
         # aggregate to ONE partition, which would serialize the 64-md5
         # signature projection on a single core (measured 8 s -> 0.4 s at
         # sf0.1 — the _distinct_candidates rationale)
@@ -916,6 +934,9 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
             F.col("c").cast("int"),
         )
+        # materialize ONCE: da and db are two separate BroadcastExchanges
+        # and Spark shares no subplans — without this the semi-join +
+        # collect_list lineage executed twice per run (r15, guide §2.4)
         docrel = (
             wtok.join(cand_ids, "doc_id", "left_semi")
             .groupBy("doc_id")
@@ -923,6 +944,7 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.flatten(F.collect_list(reps)).alias("ra"),
                 F.sum("c").cast("long").alias("tot"),
             )
+            .localCheckpoint()
         )
         da = F.broadcast(
             docrel.select(
@@ -964,6 +986,7 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             wtok.join(cand_ids, "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(F.sum("c").cast("long").alias("tot"))
+            .localCheckpoint()  # ta AND tb read it (two unshared subplans)
         )
         ta = wtot_c.select(
             F.col("doc_id").alias("doc_a"), F.col("tot").alias("tot_a")
@@ -993,15 +1016,20 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("wj_bp") >= WJ_TAU_BP, 1)).alias("nv"),
         F.sum(F.when(F.col("wj_bp") >= WJ_TAU_BP, F.col("ph"))).alias("cv"),
     )
-    row = agg.collect()[0]
-    counts = d.agg(
+    # one driver job for the whole summary: the pair aggregate and both
+    # bounded counts ride one plan via 1-row crossJoins (r15 — was two
+    # serial collect() jobs; guide §1.2 job-count discipline)
+    counts_df = d.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     ).crossJoin(
-        surv.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
-    ).collect()[0]
+        F.broadcast(
+            surv.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+        )
+    )
+    row = agg.crossJoin(F.broadcast(counts_df)).collect()[0]
     out = [(bi, row[f"n{bi}"], row[f"c{bi}"]) for bi in range(N_BANDS)] + [
         (-1, row["nv"], row["cv"]),
-        (-2, counts["n_survivors"], counts["n_docs"] - counts["n_survivors"]),
+        (-2, row["n_survivors"], row["n_docs"] - row["n_survivors"]),
     ]
     return spark.createDataFrame(
         out, "band_idx int, n_pairs bigint, pair_checksum bigint"
