@@ -105,6 +105,16 @@ def _merge_map(merges: list[tuple[str, str]] = MERGES):
 # BPE_TRAIN_LOCAL_MAX rationale — production encoders apply merge tables
 # per pretoken locally). Past it, the distributed window loop below runs
 # unchanged (test-forced, identical output).
+#
+# Memory budget (r14 ADVICE — this ceiling is NOT the CC kernel's 64 MiB
+# Arrow framing): the kernel holds the state as Python dicts/lists of
+# (int, str) tuples, ~10-20x the Arrow footprint, so 4M position rows is
+# roughly 1.5-3 GiB of Python objects in ONE worker at the ceiling. That
+# is deliberate and sized to this sandbox's memory (one local worker,
+# 128 GiB box); an executor-packed production deployment (many workers
+# per host under spark.executor.pyspark.memory) would lower these
+# ceilings to its per-worker budget — the fallback path is the contract,
+# the ceiling is a tunable.
 BPE_APPLY_LOCAL_MAX = 1 << 22
 
 
@@ -173,6 +183,11 @@ def _bpe_apply_kernel(merges: list):  # noqa: ANN201
 
 def _run_merge_loop(st: DataFrame, merges: list[tuple[str, str]] = MERGES) -> DataFrame:
     """Apply the full unrolled merge loop to a (pt, pos, sym) state."""
+    # materialize before the gate: the count below evaluates the caller's
+    # full lineage (pretokenize + distinct + posexplode) and the kernel/
+    # loop would re-evaluate it — both callers pass st un-checkpointed
+    # (r14 ADVICE; the pattern _bpe_train_merges applies to `occ`)
+    st = st.localCheckpoint()
     if st.count() <= BPE_APPLY_LOCAL_MAX:
         return st.coalesce(1).mapInPandas(
             _bpe_apply_kernel([(str(a), str(b)) for a, b in merges]),

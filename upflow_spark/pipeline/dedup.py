@@ -854,6 +854,13 @@ def _cosine_pairs_gemm(spark, e: DataFrame, threshold: float) -> DataFrame:
             yield pd.DataFrame({"ids": [ids.tobytes()], "mat": [v.tobytes()]})
 
     src = e.repartition(par)
+    # Gate accounting (r14 ADVICE): n_vecs*dim*8 prices the MATRIX only;
+    # peak driver residency during assembly is ~3x that — collected row
+    # bytes + the np.concatenate copy + the broadcast's serialized form
+    # (ids add n_vecs*8, noise next to dim>=8 matrices). The 256 MiB
+    # ceiling therefore budgets ~768 MiB of transient driver memory, well
+    # inside the 24g driver this repo sizes (session.py) — the claim is
+    # the TRANSIENT budget, not the gated estimate.
     if n_vecs * dim * 8 <= GEMM_BROADCAST_MAX_BYTES:
         rows = src.mapInPandas(pack_kernel, "ids binary, mat binary").collect()
         b_ids = np.concatenate([np.frombuffer(r["ids"], np.int64) for r in rows])

@@ -209,10 +209,41 @@ def _uni_seed_counts(pts: DataFrame) -> DataFrame:
     return e.groupBy("tok").agg(F.sum("w").cast("long").alias("cnt"))
 
 
+def _viterbi_tokens(pt: str, c: dict) -> list:
+    """Viterbi-optimal segmentation of one pretoken under counts `c` —
+    all-integer DP, ties to the longest token (the oracle's
+    row_number(v ASC, t DESC) rule). Returned right-to-left, exactly the
+    backtrack order the unrolled CTEs emit. SHARED by the distributed
+    E-step and the bounded single-task EM kernel, so the two paths run
+    literally the same segmentation code."""
+    n = len(pt)
+    dp = [0] + [None] * n
+    bp = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best, bt = None, 0
+        for t in range(1, min(UNI_MAXT, i) + 1):
+            if dp[i - t] is None:
+                continue
+            sub = pt[i - t : i]
+            cnt = c.get(sub, 0)
+            if t > 1 and cnt == 0:
+                continue  # multi-char tokens must be in-vocab
+            v = dp[i - t] + (UNI_BIG - cnt)
+            if best is None or v < best or (v == best and t > bt):
+                best, bt = v, t
+        dp[i], bp[i] = best, bt
+    out = []
+    i = n
+    while i > 0:
+        t = bp[i]
+        out.append(pt[i - t : i])
+        i -= t
+    return out
+
+
 def _uni_estep(spark: SparkSession, pts: DataFrame, cdict: dict) -> DataFrame:
     """Viterbi segmentation of every pretoken against the broadcast vocab
-    counts — map-only Arrow pass, all-integer DP (ties to the longest
-    token, the oracle's row_number(v ASC, t DESC) rule)."""
+    counts — map-only Arrow pass (see _viterbi_tokens)."""
     bc = spark.sparkContext.broadcast(cdict)
 
     def seg(batches):  # noqa: ANN001, ANN202
@@ -222,34 +253,75 @@ def _uni_estep(spark: SparkSession, pts: DataFrame, cdict: dict) -> DataFrame:
         for pdf in batches:
             out_pt, out_w, out_tok = [], [], []
             for pt, w in zip(pdf["pt"], pdf["w"]):
-                n = len(pt)
-                dp = [0] + [None] * n
-                bp = [0] * (n + 1)
-                for i in range(1, n + 1):
-                    best, bt = None, 0
-                    for t in range(1, min(UNI_MAXT, i) + 1):
-                        if dp[i - t] is None:
-                            continue
-                        sub = pt[i - t : i]
-                        cnt = c.get(sub, 0)
-                        if t > 1 and cnt == 0:
-                            continue  # multi-char tokens must be in-vocab
-                        v = dp[i - t] + (UNI_BIG - cnt)
-                        if best is None or v < best or (v == best and t > bt):
-                            best, bt = v, t
-                    dp[i], bp[i] = best, bt
-                i = n
-                while i > 0:
-                    t = bp[i]
+                for tok in _viterbi_tokens(pt, c):
                     out_pt.append(pt)
                     out_w.append(int(w))
-                    out_tok.append(pt[i - t : i])
-                    i -= t
+                    out_tok.append(tok)
             yield pd.DataFrame({"pt": out_pt, "w": out_w, "tok": out_tok})
 
     return pts.select("pt", "w").mapInPandas(
         seg, "pt string, w long, tok string"
     )
+
+
+# Ceiling for the single-task EM kernel: the trainer state is the
+# Heaps-bounded weighted DISTINCT-pretoken relation plus the candidate
+# counts dict; under 2M pretokens (the BPE_TRAIN_LOCAL_MAX budget — a few
+# GiB of Python objects in the one worker this sandbox runs) the whole
+# seed + {UNI_ROUNDS}-round hard-EM loop runs in ONE bounded executor
+# task instead of 1 + 2*rounds serial collect jobs whose per-job overhead
+# dominated at fixture scale. Past the ceiling the distributed loop below
+# runs unchanged (test-forced, identical output — every count is an
+# integer sum, order-free across partitions, and the per-pretoken DP is
+# the shared _viterbi_tokens).
+UNI_TRAIN_LOCAL_MAX = 1 << 21
+
+
+def _uni_em_local(pairs: list, rounds: int) -> dict:
+    """Seed + `rounds` hard-EM rounds over [(pt, w)] — the exact loop the
+    distributed path runs (integer sums; shared _viterbi_tokens DP)."""
+    counts: dict = {}
+    for pt, w in pairs:
+        w = int(w)
+        n = len(pt)
+        for i in range(1, n + 1):
+            for t in range(1, min(UNI_MAXT, i) + 1):
+                sub = pt[i - t : i]
+                counts[sub] = counts.get(sub, 0) + w
+    for _ in range(rounds):
+        usage: dict = {}
+        for pt, w in pairs:
+            w = int(w)
+            for tok in _viterbi_tokens(pt, counts):
+                usage[tok] = usage.get(tok, 0) + w
+        counts = usage
+    return counts
+
+
+def _uni_em_kernel(rounds: int, emit: str):  # noqa: ANN201
+    """mapInPandas kernel over the (coalesced) pts relation: run the full
+    EM locally; emit the final (tok, cnt) vocabulary (`emit='counts'`) or
+    the final-segmentation token count per pretoken (`emit='ntok'`)."""
+
+    def kernel(batches):  # noqa: ANN001, ANN202
+        import pandas as pd
+
+        pairs = []
+        for pdf in batches:
+            pairs.extend(zip(pdf["pt"], pdf["w"]))
+        counts = _uni_em_local(pairs, rounds)
+        if emit == "counts":
+            yield pd.DataFrame(
+                {"k": list(counts.keys()),
+                 "v": [int(v) for v in counts.values()]}
+            )
+        else:  # 'ntok': one extra E-step under the FINAL counts
+            yield pd.DataFrame(
+                {"k": [pt for pt, _ in pairs],
+                 "v": [len(_viterbi_tokens(pt, counts)) for pt, _ in pairs]}
+            )
+
+    return kernel
 
 
 # (appId, fixture identity) -> final [(rank, token, len, cnt)] — the
@@ -287,17 +359,33 @@ def tokenize_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stale in [k for k in _uni_vocab_cache if k != key]:
             _uni_vocab_cache.pop(stale)
         pts = _uni_pts(spark, sf_dir).localCheckpoint()
-        counts = {
-            r["tok"]: int(r["cnt"]) for r in _uni_seed_counts(pts).collect()
-        }
-        for _ in range(UNI_ROUNDS):
-            usage = _uni_estep(spark, pts, counts)
+        # r15 (VERDICT r14 item 3): under the ceiling the whole seed +
+        # EM loop is ONE bounded task (one job instead of 1 + 2*rounds
+        # serial collects); the distributed loop is the past-ceiling
+        # path, test-forced for output equality
+        if pts.count() <= UNI_TRAIN_LOCAL_MAX:
             counts = {
-                r["tok"]: int(r["cnt"])
-                for r in usage.groupBy("tok")
-                .agg(F.sum("w").cast("long").alias("cnt"))
+                r["k"]: int(r["v"])
+                for r in pts.select("pt", "w")
+                .coalesce(1)
+                .mapInPandas(
+                    _uni_em_kernel(UNI_ROUNDS, "counts"), "k string, v long"
+                )
                 .collect()
             }
+        else:
+            counts = {
+                r["tok"]: int(r["cnt"])
+                for r in _uni_seed_counts(pts).collect()
+            }
+            for _ in range(UNI_ROUNDS):
+                usage = _uni_estep(spark, pts, counts)
+                counts = {
+                    r["tok"]: int(r["cnt"])
+                    for r in usage.groupBy("tok")
+                    .agg(F.sum("w").cast("long").alias("cnt"))
+                    .collect()
+                }
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_TOPK]
         _uni_vocab_cache[key] = [
             (i + 1, tok, len(tok), cnt) for i, (tok, cnt) in enumerate(top)
@@ -512,22 +600,39 @@ def stream_tokenizer_oov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = static_pts.filter(F.length("pt") <= UNI_MAXP).select(
         "pt", "w", F.length("pt").cast("int").alias("n")
     ).localCheckpoint()
-    counts = {r["tok"]: int(r["cnt"]) for r in _uni_seed_counts(pts).collect()}
-    for _ in range(UNI_ROUNDS):
-        usage = _uni_estep(spark, pts, counts)
-        counts = {
-            r["tok"]: int(r["cnt"])
-            for r in usage.groupBy("tok")
-            .agg(F.sum("w").cast("long").alias("cnt"))
+    # r15 (VERDICT r14 item 3): under the ceiling the frozen model trains
+    # in ONE bounded task that directly emits the (pretoken -> token
+    # count) map (seed + EM + final segmentation), replacing 4 serial
+    # collect jobs; the distributed loop is the past-ceiling fallback
+    if pts.count() <= UNI_TRAIN_LOCAL_MAX:
+        ntok = {
+            r["k"]: int(r["v"])
+            for r in pts.select("pt", "w")
+            .coalesce(1)
+            .mapInPandas(
+                _uni_em_kernel(UNI_ROUNDS, "ntok"), "k string, v long"
+            )
             .collect()
         }
-    ntok = {
-        r["pt"]: int(r["ntk"])
-        for r in _uni_estep(spark, pts, counts)
-        .groupBy("pt")
-        .agg(F.count(F.lit(1)).alias("ntk"))
-        .collect()
-    }
+    else:
+        counts = {
+            r["tok"]: int(r["cnt"]) for r in _uni_seed_counts(pts).collect()
+        }
+        for _ in range(UNI_ROUNDS):
+            usage = _uni_estep(spark, pts, counts)
+            counts = {
+                r["tok"]: int(r["cnt"])
+                for r in usage.groupBy("tok")
+                .agg(F.sum("w").cast("long").alias("cnt"))
+                .collect()
+            }
+        ntok = {
+            r["pt"]: int(r["ntk"])
+            for r in _uni_estep(spark, pts, counts)
+            .groupBy("pt")
+            .agg(F.count(F.lit(1)).alias("ntk"))
+            .collect()
+        }
     bc_member = spark.sparkContext.broadcast(member)
     bc_ntok = spark.sparkContext.broadcast(ntok)
 
