@@ -100,6 +100,31 @@ def test_banded_pairs_identical_salted_or_not(spark):
     assert got == want
 
 
+def test_packed_corpus_fallback_equals_bounded_vocab(spark):
+    """_packed_corpus (r15): past VOCAB_BROADCAST_MAX_TERMS the dense ids
+    come from the distributed zipWithIndex + shuffle-join path instead of
+    the bounded vocab collect — the GEMM scores are column-permutation
+    invariant, so the graded pair relation must be identical."""
+    from upflow_spark.pipeline import dedup as D
+    from upflow_spark.registry import QUERIES
+
+    def run():
+        D._corpus_cache.clear()
+        return sorted(
+            map(tuple, QUERIES["dedup_containment"](spark, SF).collect())
+        )
+
+    want = run()
+    cap = D.VOCAB_BROADCAST_MAX_TERMS
+    D.VOCAB_BROADCAST_MAX_TERMS = 0  # force the distributed id path
+    try:
+        got = run()
+    finally:
+        D.VOCAB_BROADCAST_MAX_TERMS = cap
+        D._corpus_cache.clear()
+    assert got == want
+
+
 def test_coreness_partition_constants_parameterized():
     """VERDICT r14 item 5 (grep pin): no hardcoded repartition literal on
     the coreness edge copy, and the small-shuffle override is scoped to

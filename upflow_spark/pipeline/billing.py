@@ -367,14 +367,21 @@ def dedup_pipeline_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm_losers = sm_labels.filter(~F.col("is_canonical")).select("doc_id")
     s5 = s4.join(sm_losers, "doc_id", "left_anti")
 
-    # the bill: six bounded (count, id-sum) aggregates -> five stage rows
-    stats = []
-    for rel in (d, s1, s2, s3, s4, s5):
-        row = rel.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("cs"),
-        ).collect()[0]
-        stats.append((row["n"], row["cs"]))
+    # the bill: six bounded (count, id-sum) aggregates -> five stage rows.
+    # r15 (guide §1.2/§2.6): ONE driver job instead of six serial
+    # collect()s — each 1-row aggregate rides the final plan as a
+    # broadcast subtree, so the six scans of the (checkpointed) stage
+    # relations execute concurrently and the 14-job tail the event log
+    # showed (0.9 s of job+gap overhead warm) collapses into one job.
+    stats_df = None
+    for i, rel in enumerate((d, s1, s2, s3, s4, s5)):
+        a = rel.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n{i}"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias(f"cs{i}"),
+        )
+        stats_df = a if stats_df is None else stats_df.crossJoin(F.broadcast(a))
+    row = stats_df.collect()[0]
+    stats = [(row[f"n{i}"], row[f"cs{i}"]) for i in range(6)]
     out = [
         (
             no,

@@ -433,34 +433,74 @@ def _packed_corpus(spark, docs: DataFrame):
     import numpy as np
     import pandas as pd
 
-    # docs is read twice (vocab pass + id join); materialize once so the
+    # docs is read twice (vocab pass + id pass); materialize once so the
     # tokenize lineage doesn't rerun per pass
     docs = docs.localCheckpoint()
-    vocab_ids, n_vocab = _dense_vocab_ids(spark, docs)
-    vmap = (
-        F.broadcast(vocab_ids)
-        if n_vocab <= VOCAB_BROADCAST_MAX_TERMS
-        else vocab_ids
+    # r15 (guide §1.2 — the pack build was ~13 serial jobs and dominated
+    # the consumers' COLD column): under the vocab broadcast ceiling the
+    # dense ids are assigned from ONE bounded collect of the distinct-term
+    # relation — the limit(ceiling+1) caps driver bytes at exactly the
+    # footprint the former F.broadcast(vocab_ids) join hint already
+    # shipped through the driver, and sorted() makes the assignment
+    # deterministic. Ids only index matrix columns, so ANY bijection
+    # yields identical intersection counts/scores; the (t, tid) relation
+    # is returned for interface compatibility but nothing consumes it.
+    # The id pass is then one map-only Arrow kernel over the checkpointed
+    # docs (no explode, no vocab shuffle join, no groupBy re-assembly).
+    # Past the ceiling the original distributed zipWithIndex + join path
+    # runs unchanged — the 100 TB shape, test-forced for output equality.
+    vocab_probe = (
+        docs.select(F.explode("terms").alias("t"))
+        .distinct()
+        .limit(VOCAB_BROADCAST_MAX_TERMS + 1)
+        .collect()
     )
-    tok = docs.select("doc_id", F.explode("terms").alias("t"))
-    grouped = (
-        tok.join(vmap, "t").groupBy("doc_id").agg(
-            F.collect_list("tid").alias("term_ids")
+    if len(vocab_probe) <= VOCAB_BROADCAST_MAX_TERMS:
+        terms_sorted = sorted(r["t"] for r in vocab_probe)
+        n_vocab = len(terms_sorted)
+        vd = {t: i for i, t in enumerate(terms_sorted)}
+        vocab_ids = spark.createDataFrame(
+            list(vd.items()), "t string, tid long"
         )
-    )
-    # left join back so docs with EMPTY term sets (1-token docs have no
-    # bigrams) keep their zero matrix row, exactly as the dict pack did
-    docs_ids = (
-        docs.select("doc_id")
-        .join(grouped, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("term_ids", F.array().cast("array<long>")).alias(
-                "term_ids"
-            ),
+        bc_vocab = spark.sparkContext.broadcast(vd)
+
+        def to_ids(batches):
+            m = bc_vocab.value
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                        "term_ids": [
+                            [m[t] for t in terms] for terms in pdf["terms"]
+                        ],
+                    }
+                )
+
+        docs_ids = docs.mapInPandas(
+            to_ids, "doc_id long, term_ids array<long>"
+        ).localCheckpoint()
+    else:
+        vocab_ids, n_vocab = _dense_vocab_ids(spark, docs)
+        tok = docs.select("doc_id", F.explode("terms").alias("t"))
+        grouped = (
+            tok.join(vocab_ids, "t").groupBy("doc_id").agg(
+                F.collect_list("tid").alias("term_ids")
+            )
         )
-        .localCheckpoint()
-    )
+        # left join back so docs with EMPTY term sets (1-token docs have
+        # no bigrams) keep their zero matrix row (the kernel path emits
+        # [] for them naturally)
+        docs_ids = (
+            docs.select("doc_id")
+            .join(grouped, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("term_ids", F.array().cast("array<long>")).alias(
+                    "term_ids"
+                ),
+            )
+            .localCheckpoint()
+        )
     n_bytes = (n_vocab + 7) // 8
 
     # size gate BEFORE any bytes head driver-ward: count on the
@@ -728,19 +768,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 aggregate expressions makes each partial-agg row evaluate the hash
     # up to 32 times (aggregate exprs don't share subexpressions the way a
     # single codegen'd Project does) — hashing once per token row is 32x
-    # less digest work on the ~5M-row stream
+    # less digest work on the ~5M-row stream.
+    # r15 (guide §1.2 per-task work): the per-digit majority votes are
+    # INTEGER bit tests, not string ops — the digest parses ONCE per row
+    # into four 32-bit chunks (8 hex chars each, always long-safe) and
+    # digit j's high bit is bit 31-4*(j%8) of chunk j//8, so each of the
+    # 32 partial aggregates evaluates one shift+and instead of a
+    # substring + 8-way string IN (~160M string comparisons at sf0.1).
+    # Majority identity: sum(±1) >= 0  ⇔  2*sum(bit) >= count — exact.
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term")).select(
         "doc_id", F.md5("term").alias("h")
     )
+    tokb = tok.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", 8 * c + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
     bits = []
     for j in range(32):
-        high = F.substring("h", j + 1, 1).isin(
-            "8", "9", "a", "b", "c", "d", "e", "f"
-        )
+        c, k = j // 8, j % 8
+        bit = F.shiftright(F.col(f"c{c}"), 31 - 4 * k).bitwiseAND(F.lit(1))
         bits.append(
-            F.when(F.sum(F.when(high, 1).otherwise(-1)) >= 0, "1").otherwise("0")
+            F.when(
+                F.sum(bit) * 2 >= F.count(F.lit(1)), "1"
+            ).otherwise("0")
         )
-    return tok.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
+    return tokb.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
 
 
 @query(
