@@ -373,8 +373,11 @@ def dedup_pipeline_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast subtree, so the six scans of the (checkpointed) stage
     # relations execute concurrently and the 14-job tail the event log
     # showed (0.9 s of job+gap overhead warm) collapses into one job.
+    # stage-0 leg scans the parquet directly (single pruned column, no
+    # repartition exchange) — counting through `d` shuffles full text rows
+    d_count = load(spark, sf_dir, "documents").select("doc_id")
     stats_df = None
-    for i, rel in enumerate((d, s1, s2, s3, s4, s5)):
+    for i, rel in enumerate((d_count, s1, s2, s3, s4, s5)):
         a = rel.agg(
             F.count(F.lit(1)).cast("long").alias(f"n{i}"),
             F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias(f"cs{i}"),

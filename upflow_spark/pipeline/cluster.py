@@ -294,7 +294,9 @@ def _cc_fixpoint(edges: DataFrame, labels: DataFrame) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()  # eager: cut lineage, materialize this round
+            # LAZY checkpoint: the convergence sum below materializes it —
+            # one job per round instead of two (r15, guide §1.2)
+            .localCheckpoint(eager=False)
         )
         labels = new_labels
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
@@ -489,7 +491,9 @@ def _cc_star_fixpoint(pairs: DataFrame) -> DataFrame:
 
         prev = _sig(e)
         for _ in range(MAX_ROUNDS * 3):
-            e2 = _star_round(e, bcast).localCheckpoint()
+            # LAZY checkpoint: the _sig aggregate materializes it — one
+            # job per star round instead of two (r15, guide §1.2)
+            e2 = _star_round(e, bcast).localCheckpoint(eager=False)
             cur = _sig(e2)
             if cur == prev and e2.exceptAll(e).isEmpty():
                 e = e2
@@ -1784,7 +1788,11 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (F.col("nc") != F.col("o.c"))
                     ).alias("chg"),
                 )
-                .localCheckpoint()
+                # LAZY checkpoint (r15, guide §1.2): the chg-count below
+                # materializes it, so a round is ONE driver job instead
+                # of checkpoint-job + count-job (the count covers every
+                # partition, so the pin is complete)
+                .localCheckpoint(eager=False)
             )
             n_changed = c_next.filter(F.col("chg")).count()
             frontier = (
